@@ -1,0 +1,442 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+
+/** The relational operator surface (SURVEY.md §2-B/§2-C) as registered,
+  * oracle-checked queries over the driver testdata.
+  *
+  * Every query here is the declarative DataFrame/SQL form — Catalyst supplies
+  * pushdown, pruning, partial aggregation and join selection. Scale notes per
+  * query are inline; the rule of thumb applied throughout: broadcast the
+  * small side, aggregate before joining where semantics allow, never collect.
+  *
+  * Reference anchors: the verify-SQL surface
+  * (the four SQL files under
+  * `/root/reference/dags/ethereum2etl_resources/stages/verify/sqls/`)
+  * exercises scans, date filters, MAX/COUNT/COUNT DISTINCT, scalar
+  * subqueries, arithmetic/comparison and IF — q_agg_ungrouped,
+  * q_count_distinct, q_scalar_subquery, q_completeness_check and
+  * q_date_filter are the parameterized forms of exactly those constructs.
+  */
+object RelationalQueries {
+
+  private def dec(c: String, p: Int, s: Int) = col(c).cast(DecimalType(p, s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1/C2/B2 — projection + range filter; both reach the parquet scan
+    // (PushedFilters + pruned ReadSchema).
+    "q_scan_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1995-12-31").cast("timestamp") &&
+          col("l_quantity") > 25)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_shipdate")),
+
+    // C2 — IN / IS NOT NULL / NOT, three-valued logic stays in the scan.
+    "q_filter_in_null" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate").isNotNull && !(col("l_quantity") < 5))
+        .select("l_orderkey", "l_returnflag", "l_quantity")),
+
+    // C7/C8/B4/B5 — grouped agg with exact decimal sums (doubles summed as
+    // decimal so the result is order-independent → safe on any cluster).
+    "q_agg_sum_group" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity", 12, 2)).as("sum_qty"),
+          sum(dec("l_extendedprice", 14, 2)).as("sum_price"),
+          count(lit(1)).as("cnt"))),
+
+    // B4/B5 — ungrouped MAX/MIN/COUNT(*): partial agg per partition, single
+    // scalar to the driver.
+    "q_agg_ungrouped" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        max("l_orderkey").as("max_okey"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        count(lit(1)).as("cnt"))),
+
+    // B6 — exact COUNT(DISTINCT): Catalyst plans expand + two-phase agg.
+    "q_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("d_part"),
+        countDistinct(col("l_suppkey")).as("d_supp"),
+        count(lit(1)).as("cnt"))),
+
+    // B7/B8/B9 — scalar subquery as filter threshold (subquery executes once,
+    // result broadcast into the scan filter).
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)""")
+    }),
+
+    // B7-B11 analog of the reference's blocks_count verify invariant
+    // (`blocks_count.sql:1-11`): MAX(id)+1 = COUNT(*) ⇒ no gaps.
+    "q_completeness_check" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql("""SELECT CASE WHEN (SELECT MAX(event_id) FROM events) + 1 =
+                               (SELECT COUNT(*) FROM events)
+                      THEN 'complete' ELSE 'gap' END AS status""")
+    }),
+
+    // B3/B13/C18 — date-equality predicate + grouped agg.
+    "q_date_filter" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(to_date(col("ts")) === lit("2024-01-01"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), max("value").as("max_value"))),
+
+    // C13 — top-k: TakeOrderedAndProject, no global sort materialized.
+    "q_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)),
+
+    // C9 — star join through two broadcast dims (nation, region are tiny at
+    // any SF: broadcast explicitly, no shuffle of the fact side).
+    "q_join_broadcast" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), sum(dec("c_acctbal", 12, 2)).as("sum_bal"))),
+
+    // C9 — big⋈big: sort-merge on the shuffle key, partial agg after.
+    "q_join_large" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(dec("l_extendedprice", 14, 2)).as("sum_price"))),
+
+    // C9 — left-semi: existence probe, never multiplies rows.
+    "q_semi_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 100000).select("o_custkey")
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // C9 — left-anti: customers with no orders.
+    "q_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")),
+
+    // C10 — range/interval join against a tiny banding dim: broadcast
+    // nested-loop on a 10-row side (the scalable pattern for band joins; a
+    // derived equi-key `floor(price/width)` is the alternative when bands are
+    // uniform).
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = (0 until 10)
+        .map(b => (b.toLong, b * 50000.0, (b + 1) * 50000.0))
+        .toDF("band_id", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands), col("o_totalprice") >= col("lo") &&
+          col("o_totalprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("cnt"), max("o_totalprice").as("max_price"))
+    }),
+
+    // C12 — ranking window: top order per customer (deterministic tiebreak).
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // C12 — lag/gap detection: the set-based dual of the blocks_count
+    // invariant (`blocks_count.sql:6`) — per-key id gaps via LAG.
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .withColumn("prev_id", lag("event_id", 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          max("event_id").as("max_eid"),
+          sum(when(col("prev_id").isNull, 0L)
+            .otherwise(col("event_id") - col("prev_id"))).as("sum_gaps"))
+    }),
+
+    // C12 — running frame sum (decimal-exact so parallel plans agree).
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          sum(dec("value", 12, 2)).over(w).as("run_sum"))
+    }),
+
+    // C16 — rollup.
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // C16 — cube.
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), max("o_totalprice").as("max_price"))),
+
+    // C14 — except / intersect / union-distinct, one tagged count each.
+    "q_set_ops" -> ((s, d) => {
+      val negCust = Tables.customer(s, d)
+        .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      val orderCust = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      val allCust = Tables.customer(s, d).select(col("c_custkey"))
+      def tagged(tag: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("cnt")).select(lit(tag).as("tag"), col("cnt"))
+      tagged("neg_no_order", negCust.except(orderCust))
+        .unionAll(tagged("neg_with_order", negCust.intersect(orderCust)))
+        .unionAll(tagged("union_distinct", allCust.union(orderCust).distinct()))
+    }),
+
+    // C11 — as-of join via the union+window trick: one shuffle by user_id,
+    // no row-multiplying join (the correlated-subquery formulation the
+    // oracle uses would fan out signups × purchases at scale).
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "signup", col("ts")).as("signup_ts"))
+        .withColumn("last_signup_ts", last("signup_ts", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "last_signup_ts")
+    }),
+
+    // C3/C4 — UNNEST of a repeated scalar column.
+    "q_explode" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), explode(col("embedding")).as("val"))),
+
+    // C6 — array scalar functions.
+    "q_array_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        slice(col("embedding"), 1, 3).as("head3"))),
+
+    // C17 — string functions + LIKE pushdown.
+    "q_string_funcs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").like("%join%"))
+        .select(
+          col("doc_id"),
+          upper(col("lang")).as("lang_uc"),
+          substring(col("text"), 1, 12).as("prefix"),
+          length(col("text")).as("text_len"),
+          concat(col("source"), lit(":"), col("lang")).as("src_lang"))),
+
+    // C17 — regexp extraction.
+    "q_regexp" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("source"), "([0-9]+)", 1).as("src_num"))),
+
+    // C19 — integer/math functions (results typed BIGINT on both engines).
+    "q_math_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 1000)
+        .select(
+          col("l_orderkey"),
+          (col("l_orderkey") % 7).as("mod7"),
+          floor(col("l_quantity")).as("qty_floor"),
+          abs(col("l_discount") - 0.05).as("disc_dev"))),
+
+    // C20 — JSON extraction from the raw props payload.
+    "q_json_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 1000)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // C18 — date/time functions over the ns-derived timestamp.
+    "q_date_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 1000)
+        .select(
+          col("event_id"),
+          date_trunc("HOUR", col("ts")).as("ts_hour"),
+          hour(col("ts")).as("hh"),
+          to_date(col("ts")).as("dt"))),
+
+    // C23 — bounded deterministic inspection slice.
+    "q_sample_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)),
+
+    // C22 — approximate aggregates (no DuckDB oracle: sketch internals
+    // differ by design; driver records rows-only).
+    "q_approx_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1995-12-31 00:00:00' AND l_quantity > 25""",
+    "q_filter_in_null" ->
+      """SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+         WHERE l_returnflag IN ('A','R') AND l_shipdate IS NOT NULL
+           AND NOT (l_quantity < 5)""",
+    "q_agg_sum_group" ->
+      """SELECT l_returnflag, l_linestatus,
+                SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+                SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_agg_ungrouped" ->
+      """SELECT MAX(l_orderkey) AS max_okey, MIN(l_shipdate) AS min_ship,
+                MAX(l_shipdate) AS max_ship, COUNT(*) AS cnt
+         FROM lineitem""",
+    "q_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS d_part,
+                COUNT(DISTINCT l_suppkey) AS d_supp, COUNT(*) AS cnt
+         FROM lineitem""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)""",
+    "q_completeness_check" ->
+      """SELECT CASE WHEN (SELECT MAX(event_id) FROM events) + 1 =
+                          (SELECT COUNT(*) FROM events)
+                 THEN 'complete' ELSE 'gap' END AS status""",
+    "q_date_filter" ->
+      """SELECT event_type, COUNT(*) AS cnt, MAX(value) AS max_value
+         FROM events
+         WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-01'
+         GROUP BY event_type""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+                SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q_join_large" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+                SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_range_join" ->
+      """WITH bands AS (
+           SELECT band_id, band_id * 50000.0 AS lo, (band_id + 1) * 50000.0 AS hi
+           FROM (SELECT UNNEST(generate_series(0, 9)) AS band_id))
+         SELECT band_id, COUNT(*) AS cnt, MAX(o_totalprice) AS max_price
+         FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band_id""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn = 1""",
+    "q_window_lag" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS max_eid,
+                SUM(CASE WHEN prev_id IS NULL THEN 0
+                         ELSE event_id - prev_id END) AS sum_gaps
+         FROM (SELECT user_id, event_id,
+                      LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id
+               FROM events) t
+         GROUP BY user_id""",
+    "q_window_frame" ->
+      """SELECT event_id, user_id,
+                SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                  PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+         FROM events""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+                MAX(o_totalprice) AS max_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q_set_ops" ->
+      """SELECT 'neg_no_order' AS tag, COUNT(*) AS cnt FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal < 0
+           EXCEPT SELECT o_custkey FROM orders) t1
+         UNION ALL
+         SELECT 'neg_with_order', COUNT(*) FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal < 0
+           INTERSECT SELECT o_custkey FROM orders) t2
+         UNION ALL
+         SELECT 'union_distinct', COUNT(*) FROM (
+           SELECT c_custkey FROM customer
+           UNION SELECT o_custkey FROM orders) t3""",
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, MAX(CAST(s.ts AS TIMESTAMP)) AS last_signup_ts
+         FROM events p
+         LEFT JOIN events s ON s.user_id = p.user_id
+           AND s.event_type = 'signup' AND s.ts <= p.ts
+         WHERE p.event_type = 'purchase'
+         GROUP BY p.event_id, p.user_id""",
+    "q_explode" ->
+      """SELECT vec_id, UNNEST(embedding) AS val FROM embeddings WHERE vec_id < 10""",
+    "q_array_funcs" ->
+      """SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_val,
+                embedding[1:3] AS head3
+         FROM embeddings""",
+    "q_string_funcs" ->
+      """SELECT doc_id, upper(lang) AS lang_uc, substr(text, 1, 12) AS prefix,
+                length(text) AS text_len, source || ':' || lang AS src_lang
+         FROM documents WHERE text LIKE '%join%'""",
+    "q_regexp" ->
+      """SELECT doc_id, regexp_extract(source, '([0-9]+)', 1) AS src_num
+         FROM documents""",
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_orderkey % 7 AS mod7,
+                CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+                abs(l_discount - 0.05) AS disc_dev
+         FROM lineitem WHERE l_orderkey <= 1000""",
+    "q_json_funcs" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE event_id < 1000""",
+    "q_date_funcs" ->
+      """SELECT event_id,
+                date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_hour,
+                CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS hh,
+                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt
+         FROM events WHERE event_id < 1000""",
+    "q_sample_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100"""
+  )
+}
