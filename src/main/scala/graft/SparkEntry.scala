@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{DedupQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.ops.{DedupQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ TextQueries.queries
+      SimilarityQueries.queries ++ TextQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, LSH bucketing)
     * get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ TextQueries.oracle
+      SimilarityQueries.oracle ++ TextQueries.oracle ++
+      MultimodalQueries.oracle
 }

@@ -1,0 +1,127 @@
+package graft.jobs
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.BeaconIO
+import graft.model.{BeaconFunctions, BeaconSchemas}
+import graft.verify.Checks
+
+/** E8 — the four pipeline entry points (daily/hourly × export/load) as
+  * Spark jobs, mirroring the reference DAG factories
+  * (`/root/reference/dags/ethereum2etl_airflow/build_export_dag.py`,
+  * `build_load_dag.py`, `build_hourly_export_dag.py`,
+  * `build_hourly_load_dag.py`).
+  *
+  * The row source is pluggable ([[BeaconSource]]): production would fetch
+  * from a beacon-node HTTP API (A1–A3 are delegated to a client lib in the
+  * reference too); tests and this container use a JSONL-fixture source —
+  * no network, same dataflow.
+  */
+trait BeaconSource {
+  /** A1 — blocks for an inclusive slot range. */
+  def blocks(spark: SparkSession, slotRange: (Long, Long)): DataFrame
+  /** A2 — validator snapshots for an inclusive epoch range (hourly DAG
+    * passes an explicit range — `build_hourly_export_dag.py:105-124`). */
+  def validators(spark: SparkSession, epochRange: (Long, Long)): DataFrame
+  /** A2 — the full *current* validator set (the daily DAG passes
+    * `start_epoch=None, end_epoch=None` — `build_export_dag.py:135-143`). */
+  def validatorsLatest(spark: SparkSession): DataFrame
+  /** A3 — committees for an inclusive epoch range. */
+  def committees(spark: SparkSession, epochRange: (Long, Long)): DataFrame
+}
+
+/** Fixture source: reads pre-staged JSONL (the exporter's exchange format)
+  * and filters to the requested range — the integration-test analog of the
+  * reference's single-day replay (`/root/reference/README.md:105-117`). */
+final class JsonlBeaconSource(baseDir: String) extends BeaconSource {
+  def blocks(spark: SparkSession, r: (Long, Long)): DataFrame =
+    BeaconIO.readBeaconTable(spark, "beacon_blocks", s"$baseDir/beacon_blocks.json")
+      .filter(col("block_slot").between(r._1, r._2))
+  private def allValidators(spark: SparkSession): DataFrame =
+    BeaconIO.readBeaconTable(spark, "beacon_validators", s"$baseDir/beacon_validators.json")
+  def validators(spark: SparkSession, r: (Long, Long)): DataFrame =
+    allValidators(spark).filter(col("epoch").between(r._1, r._2))
+  def validatorsLatest(spark: SparkSession): DataFrame = {
+    val df = allValidators(spark)
+    // one-row metadata scan to resolve "current" — the analog of the
+    // reference's range-service call, not a data-path collect
+    val maxEpoch = df.agg(max("epoch")).collect()(0).getLong(0)
+    df.filter(col("epoch") === maxEpoch)
+  }
+  def committees(spark: SparkSession, r: (Long, Long)): DataFrame =
+    BeaconIO.readBeaconTable(spark, "beacon_committees", s"$baseDir/beacon_committees.json")
+      .filter(col("epoch").between(r._1, r._2))
+}
+
+object BeaconPipeline {
+
+  /** Daily export (`build_export_dag.py`): resolve the date's slot/epoch
+    * ranges (A4/A5), pull each entity, publish partitioned JSONL under
+    * `export/{table}/block_date=…` (A8). */
+  def dailyExport(spark: SparkSession, source: BeaconSource, ds: LocalDate,
+                  exportBase: String): Unit = {
+    val slots = BeaconFunctions.slotRangeForDate(ds)
+    val epochs = BeaconFunctions.epochRangeForSlots(slots)
+    BeaconIO.writeDaily(source.blocks(spark, slots), "block_timestamp",
+      s"$exportBase/beacon_blocks")
+    BeaconIO.writeDaily(source.validatorsLatest(spark), "timestamp",
+      s"$exportBase/beacon_validators")
+    BeaconIO.writeDaily(source.committees(spark, epochs), "epoch_timestamp",
+      s"$exportBase/beacon_committees")
+  }
+
+  /** Hourly export (`build_hourly_export_dag.py`): hour-clamped ranges
+    * (A6/A7), hourly layout (A9), plus the validators dual history+latest
+    * sink (A10/D6). */
+  def hourlyExport(spark: SparkSession, source: BeaconSource, ds: LocalDate, hour: Int,
+                   exportBase: String): Unit = {
+    val slots = BeaconFunctions.slotRangeForHour(ds, hour)
+    val epochs = BeaconFunctions.epochRangeForSlots(slots)
+    BeaconIO.writeHourly(source.blocks(spark, slots), "block_timestamp",
+      s"$exportBase/beacon_blocks")
+    BeaconIO.writeHourly(source.committees(spark, epochs), "epoch_timestamp",
+      s"$exportBase/beacon_committees")
+    BeaconIO.writeSnapshotWithLatest(source.validators(spark, epochs), "timestamp",
+      s"$exportBase/beacon_validators", s"$exportBase/beacon_validators_latest")
+  }
+
+  /** Load stage (`build_load_dag.py:76-96`): JSONL exchange files → managed
+    * parquet tables partitioned by the materialized date column, then the
+    * verify gate (E9). Dynamic partition overwrite keeps replays idempotent
+    * (D5) — semantically WRITE_TRUNCATE per logical date. */
+  def load(spark: SparkSession, exportBase: String, warehouseBase: String,
+           ds: LocalDate, verify: Boolean = true): Unit = {
+    for ((table, (_, tsCol)) <- BeaconSchemas.tables) {
+      val df = spark.read.option("basePath", s"$exportBase/$table")
+        .schema(partitionedSchema(table))
+        .option("timestampFormat", BeaconIO.TimestampFormat)
+        .json(s"$exportBase/$table")
+      df.drop("block_date", "hour")
+        .transform(BeaconIO.withBlockDate(_, tsCol))
+        .write.mode("overwrite").partitionBy("block_date")
+        .parquet(s"$warehouseBase/$table")
+      // read back with the declared schema: robust to an empty partition set
+      // (an empty-but-valid logical hour must not crash the load)
+      spark.read.schema(partitionedSchema(table))
+        .parquet(s"$warehouseBase/$table").createOrReplaceTempView(table)
+    }
+    if (verify) Checks.runAll(spark, ds.toString)
+  }
+
+  /** Declared schema + the Hive partition columns the export layout adds. */
+  private def partitionedSchema(table: String) = {
+    val (base, _) = BeaconSchemas.tables(table)
+    base.add("block_date", org.apache.spark.sql.types.StringType, nullable = true)
+  }
+
+  /** Single-day replay (the reference's integration test,
+    * `README.md:105-117`): export a fixture day then load + verify it. */
+  def replayDay(spark: SparkSession, source: BeaconSource, ds: LocalDate,
+                workDir: String): Unit = {
+    dailyExport(spark, source, ds, s"$workDir/export")
+    load(spark, s"$workDir/export", s"$workDir/warehouse", ds)
+  }
+}

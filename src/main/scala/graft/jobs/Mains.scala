@@ -1,0 +1,48 @@
+package graft.jobs
+
+import java.time.LocalDate
+
+import graft.GraftSession
+
+/** E8 — runnable pipeline entry points (the analog of the reference's DAG
+  * factory instantiations, `/root/reference/dags/eth2_mainnet_hourly_export_dag.py:7-16`
+  * and `eth2_mainnet_hourly_load_dag.py:12-19`).
+  *
+  * Each main takes CLI args instead of Airflow Variables; the same settings
+  * resolve through [[PipelineConfig]] when driven from an environment.
+  */
+object Eth2ReplayJob {
+  /** args: <fixtureDir> <workDir> [yyyy-MM-dd] — generate-or-use fixture
+    * JSONL, run daily export → load → verify for the logical date.
+    * `--gen-fixtures` as fixtureDir writes synthetic fixtures into workDir. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Eth2ReplayJob <fixtureDir|--gen-fixtures> <workDir> [date]")
+    val workDir = args(1)
+    val ds = if (args.length > 2) LocalDate.parse(args(2)) else LocalDate.parse("2020-12-01")
+    val fixtureDir =
+      if (args(0) == "--gen-fixtures") {
+        val dir = s"$workDir/fixtures"
+        graft.BeaconFixtures.writeDay(dir, nSlots = 256, nValidators = 8)
+        dir
+      } else args(0)
+    val spark = GraftSession.local(cores = 4, appName = "eth2-replay")
+    try {
+      BeaconPipeline.replayDay(spark, new JsonlBeaconSource(fixtureDir), ds, workDir)
+      val n = spark.read.parquet(s"$workDir/warehouse/beacon_blocks").count()
+      println(s"""{"job":"replay","date":"$ds","blocks_loaded":$n,"verify":"pass"}""")
+    } finally spark.stop()
+  }
+}
+
+object Eth2HourlyExportJob {
+  /** args: <fixtureDir> <exportBase> <yyyy-MM-dd> <hour> */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4, "usage: Eth2HourlyExportJob <fixtureDir> <exportBase> <date> <hour>")
+    val spark = GraftSession.local(cores = 4, appName = "eth2-hourly-export")
+    try {
+      BeaconPipeline.hourlyExport(spark, new JsonlBeaconSource(args(0)),
+        LocalDate.parse(args(2)), args(3).toInt, args(1))
+      println(s"""{"job":"hourly_export","date":"${args(2)}","hour":${args(3)}}""")
+    } finally spark.stop()
+  }
+}

@@ -289,6 +289,51 @@ object RelationalQueries {
         .select("o_orderkey", "o_totalprice")
         .limit(100)),
 
+    // C20 — from_json with a declared schema (the structured twin of
+    // get_json_object).
+    "q_from_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          from_json(col("props"),
+            StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))),
+
+    // C21 — map construction + keys/values/lookup (minimal parity surface;
+    // no MAP columns exist in the reference schemas).
+    "q_map_funcs" -> ((s, d) => {
+      val m = map(col("event_type"), col("value"))
+      Tables.events(s, d)
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          map_keys(m).as("ks"), map_values(m).as("vs"),
+          element_at(m, lit("click")).as("click_v"))
+    }),
+
+    // C6 — array functions beyond size/element_at: distinct, flatten, sort.
+    "q_array_funcs2" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          size(array_distinct(col("embedding"))).as("n_distinct"),
+          size(flatten(array(col("embedding"), col("embedding")))).as("n_flat"),
+          element_at(array_sort(col("embedding")), 1).as("min_val"))),
+
+    // B10/B12 — conditional buckets (IF/CASE) feeding a grouped count.
+    "q_conditional" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(when(col("value") > 50, "hi").otherwise("lo").as("bucket"))
+        .agg(count(lit(1)).as("cnt"), max("value").as("max_value"),
+          min("value").as("min_value"))),
+
+    // C16 — explicit GROUPING SETS (beyond rollup/cube).
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    }),
+
     // C22 — approximate aggregates (no DuckDB oracle: sketch internals
     // differ by design; driver records rows-only).
     "q_approx_agg" -> ((s, d) =>
@@ -437,6 +482,29 @@ object RelationalQueries {
                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt
          FROM events WHERE event_id < 1000""",
     "q_sample_limit" ->
-      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100"""
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100""",
+    "q_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE event_id < 500""",
+    "q_map_funcs" ->
+      """SELECT event_id,
+                map_keys(map([event_type], [value])) AS ks,
+                map_values(map([event_type], [value])) AS vs,
+                CASE WHEN event_type = 'click' THEN value END AS click_v
+         FROM events WHERE event_id < 500""",
+    "q_array_funcs2" ->
+      """SELECT vec_id,
+                len(list_distinct(embedding)) AS n_distinct,
+                len(flatten([embedding, embedding])) AS n_flat,
+                list_sort(embedding)[1] AS min_val
+         FROM embeddings WHERE vec_id < 50""",
+    "q_conditional" ->
+      """SELECT CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS bucket,
+                COUNT(*) AS cnt, MAX(value) AS max_value, MIN(value) AS min_value
+         FROM events GROUP BY 1""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"""
   )
 }

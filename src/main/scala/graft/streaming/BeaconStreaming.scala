@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.io.BeaconIO
+
+/** Structured-Streaming re-expression of the reference's hourly micro-batch
+  * semantics (SURVEY.md §2-D).
+  *
+  * The reference approximates a stream with cron-fired hourly DAG runs and
+  * GCS-object sensors (`/root/reference/dags/eth2_mainnet_hourly_export_dag.py:11`,
+  * `build_hourly_load_dag.py:82-90`). Spark-native shape: a file source
+  * discovers newly-arrived exchange files (arrival IS the trigger — D3),
+  * `Trigger.AvailableNow` bounds each scheduled invocation, event-time
+  * tumbling windows give D1/D2, and `foreachBatch` drives the dual
+  * history+latest sink (D6).
+  */
+object BeaconStreaming {
+
+  /** D3 — availability-triggered source: schema-declared JSONL file stream.
+    * `maxFilesPerTrigger` bounds per-batch work at scale. */
+  def fileSource(spark: SparkSession, schema: StructType, path: String,
+                 maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("timestampFormat", BeaconIO.TimestampFormat)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** D1/D2 — tumbling event-time aggregation (1 hour / 1 day) with a
+    * watermark. The reference never drops late rows (stall-and-alert, D4) —
+    * a generous watermark plus the idempotent-overwrite sink reproduces
+    * that honestly while still bounding state. */
+  def tumblingCounts(df: DataFrame, tsCol: String, width: String,
+                     watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("w"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n_rows"))
+
+  /** D7 — stateful dedup across batches, keyed on the natural key, bounded
+    * by the watermark. */
+  def dedupAcrossBatches(df: DataFrame, tsCol: String, keys: Seq[String],
+                         watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** D6 — dual sink: every micro-batch appends the hourly history layout and
+    * overwrites the `latest` snapshot — `foreachBatch` is the streaming
+    * form of the reference's validators dual write
+    * (`build_hourly_export_dag.py:143-149`). */
+  def dualSink(df: DataFrame, tsCol: String, historyPath: String,
+               latestPath: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        BeaconIO.writeSnapshotWithLatest(batch, tsCol, historyPath, latestPath,
+          format = "parquet")
+      }
+
+  /** One bounded invocation (the cron-fired analog): process everything
+    * available now, then stop — D3's `AvailableNow`. */
+  def runAvailableNow(writer: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery =
+    writer.trigger(Trigger.AvailableNow()).start()
+}

@@ -1,0 +1,62 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+
+import graft.{BeaconFixtures, SparkTestBase}
+
+/** End-to-end single-day replay (SURVEY.md §5.2 item 4, mirroring the
+  * reference's bounded integration test `/root/reference/README.md:105-117`):
+  * fixture JSONL → daily export (partitioned JSONL) → load (parquet
+  * warehouse) → all four verify checks green. */
+class BeaconPipelineSpec extends SparkTestBase {
+
+  test("single-day replay: export → load → verify all green (E8)") {
+    val work = tmpDir("replay")
+    val fixtures = s"$work/fixtures"
+    BeaconFixtures.writeDay(fixtures, nSlots = 128, nValidators = 6)
+    val source = new JsonlBeaconSource(fixtures)
+
+    BeaconPipeline.replayDay(spark, source, BeaconFixtures.GenesisDay, work)
+
+    // warehouse tables exist, partitioned by block_date, and re-read clean
+    val blocks = spark.read.parquet(s"$work/warehouse/beacon_blocks")
+    assert(blocks.count() === 128L)
+    assert(blocks.columns.contains("block_date"))
+    val committees = spark.read.parquet(s"$work/warehouse/beacon_committees")
+    assert(committees.select(countDistinct(col("epoch"))).collect()(0).getLong(0) === 4L)
+    val validators = spark.read.parquet(s"$work/warehouse/beacon_validators")
+    // decimal NUMERIC balances survive the JSONL round-trip exactly
+    val bal = validators.agg(max("balance")).collect()(0).getDecimal(0)
+    assert(bal.toPlainString === "32000000000.500000000")
+  }
+
+  test("replay is idempotent: running the same day twice changes nothing (D5)") {
+    val work = tmpDir("replay2")
+    val fixtures = s"$work/fixtures"
+    BeaconFixtures.writeDay(fixtures, nSlots = 96, nValidators = 4)
+    val source = new JsonlBeaconSource(fixtures)
+
+    BeaconPipeline.replayDay(spark, source, BeaconFixtures.GenesisDay, work)
+    val first = spark.read.parquet(s"$work/warehouse/beacon_blocks").count()
+    BeaconPipeline.replayDay(spark, source, BeaconFixtures.GenesisDay, work)
+    val second = spark.read.parquet(s"$work/warehouse/beacon_blocks").count()
+    assert(first === second && first === 96L)
+  }
+
+  test("hourly export writes hour partitions and the validators latest sink") {
+    val work = tmpDir("hourly-exp")
+    val fixtures = s"$work/fixtures"
+    BeaconFixtures.writeDay(fixtures, nSlots = 3700, nValidators = 4) // spans 2 days
+    val source = new JsonlBeaconSource(fixtures)
+
+    BeaconPipeline.hourlyExport(spark, source, BeaconFixtures.GenesisDay, 12,
+      s"$work/export_hourly")
+    val blocks = spark.read.option("basePath", s"$work/export_hourly/beacon_blocks")
+      .json(s"$work/export_hourly/beacon_blocks")
+    assert(blocks.select(col("hour").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("12"))
+    // hour 12 of genesis day: first slot is genesis (12:00:23), last before 13:00
+    assert(blocks.count() === ((3600 - 23) / 12 + 1).toLong)
+    assert(new java.io.File(s"$work/export_hourly/beacon_validators_latest").exists())
+  }
+}
