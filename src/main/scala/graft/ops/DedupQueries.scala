@@ -41,7 +41,11 @@ object DedupQueries {
            i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
                        element_at(w, i + 2)))""")).as("sh"))
 
-  /** 4-hash MinHash signature per doc (seeded by prefixing the hash input). */
+  /** 4-hash MinHash signature per doc (seeded by prefixing the hash input).
+    * Built from the RAW shingle stream, not a pre-distinct'd set: min() is
+    * dedup-insensitive and partial-aggregates map-side, so the whole
+    * signature costs one narrow shuffle of 4 hashes per doc — measurably
+    * faster than forcing a distinct shuffle of every (doc, shingle) first. */
   private def minhashSig(s: SparkSession, d: String): DataFrame =
     shingles(s, d).groupBy("doc_id").agg(
       min(md5(concat(lit("0:"), col("sh")))).as("mh0"),
@@ -77,15 +81,18 @@ object DedupQueries {
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
 
     // n-gram Jaccard, verified only on LSH candidates (never all-pairs).
+    // The intersection join carries the shingle IN the equi-key
+    // ((doc_b, sh) both sides) — keying on doc_b alone would fan out
+    // |sh(a)|×|sh(b)| rows per pair before filtering, a plan that dies at
+    // scale (and measurably thrashed this bench at sf0.1).
     "q_jaccard_pairs" -> ((s, d) => {
       val ssh = shingles(s, d).distinct()
       val cnt = ssh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val cand = lshPairs(s, d).select("doc_a", "doc_b")
       val inter = cand
-        .join(ssh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-        .join(ssh.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
-          Seq("doc_b"))
-        .filter(col("sa") === col("sb"))
+        .join(ssh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(ssh.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("ni"))
       inter

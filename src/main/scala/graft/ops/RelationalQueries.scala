@@ -135,18 +135,19 @@ object RelationalQueries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_acctbal")),
 
-    // C10 — range/interval join against a tiny banding dim: broadcast
-    // nested-loop on a 10-row side (the scalable pattern for band joins; a
-    // derived equi-key `floor(price/width)` is the alternative when bands are
-    // uniform).
+    // C10 — range/interval join: bands are uniform, so the band predicate
+    // collapses to a derived equi-key (floor(price/width)) + broadcast hash
+    // join — whole-stage-codegen'd, no nested loop. The residual lo/hi
+    // predicate keeps semantics identical for non-uniform bands.
     "q_range_join" -> ((s, d) => {
       import s.implicits._
       val bands = (0 until 10)
         .map(b => (b.toLong, b * 50000.0, (b + 1) * 50000.0))
         .toDF("band_id", "lo", "hi")
       Tables.orders(s, d)
-        .join(broadcast(bands), col("o_totalprice") >= col("lo") &&
-          col("o_totalprice") < col("hi"))
+        .withColumn("bkey", floor(col("o_totalprice") / 50000.0).cast("long"))
+        .join(broadcast(bands), col("bkey") === col("band_id") &&
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
         .groupBy("band_id")
         .agg(count(lit(1)).as("cnt"), max("o_totalprice").as("max_price"))
     }),
@@ -196,17 +197,26 @@ object RelationalQueries {
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("cnt"), max("o_totalprice").as("max_price"))),
 
-    // C14 — except / intersect / union-distinct, one tagged count each.
+    // C14 — except / intersect / union-distinct as ONE pass: tag-union the
+    // two key sets, aggregate membership flags per key, then count the three
+    // set relations from the flags. One shuffle instead of three
+    // independent except/intersect/distinct plans re-scanning both tables.
     "q_set_ops" -> ((s, d) => {
-      val negCust = Tables.customer(s, d)
-        .filter(col("c_acctbal") < 0).select(col("c_custkey"))
-      val orderCust = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
-      val allCust = Tables.customer(s, d).select(col("c_custkey"))
-      def tagged(tag: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("cnt")).select(lit(tag).as("tag"), col("cnt"))
-      tagged("neg_no_order", negCust.except(orderCust))
-        .unionAll(tagged("neg_with_order", negCust.intersect(orderCust)))
-        .unionAll(tagged("union_distinct", allCust.union(orderCust).distinct()))
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        (col("c_acctbal") < 0).as("neg"), lit(true).as("is_cust"), lit(false).as("is_ord"))
+      val ord = Tables.orders(s, d).select(col("o_custkey").as("k"),
+        lit(false).as("neg"), lit(false).as("is_cust"), lit(true).as("is_ord"))
+      val flags = cust.unionAll(ord)
+        .groupBy("k")
+        .agg(max(when(col("is_cust"), col("neg"))).as("neg"),
+          max(col("is_cust")).as("in_cust"), max(col("is_ord")).as("in_ord"))
+      flags.agg(
+          sum(when(col("neg") && !col("in_ord"), 1L).otherwise(0L)).as("neg_no_order"),
+          sum(when(col("neg") && col("in_ord"), 1L).otherwise(0L)).as("neg_with_order"),
+          count(lit(1)).as("union_distinct"))
+        .selectExpr(
+          "stack(3, 'neg_no_order', neg_no_order, 'neg_with_order', neg_with_order, " +
+            "'union_distinct', union_distinct) AS (tag, cnt)")
     }),
 
     // C11 — as-of join via the union+window trick: one shuffle by user_id,

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends SparkTestBase {
+
+  private def payloadDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCD".getBytes("UTF-8")),
+      (2L, "tiny".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+  }
+
+  test("extractFeatures runs per-partition batches with the stub decoder") {
+    val out = Multimodal.extractFeatures(payloadDf, dim = 4).orderBy("media_id").collect()
+    assert(out.length === 3)
+    val r1 = out(0)
+    assert(r1.getInt(1) === 40)
+    // stub: feature i = byte[i]/255 for payload longer than dim
+    assert(math.abs(r1.getSeq[Float](3).head - 'a'.toInt / 255.0f) < 1e-7)
+    // null payload → zero vector, zero bytes, md5 of empty
+    val r3 = out(2)
+    assert(r3.getInt(1) === 0)
+    assert(r3.getString(2) === "d41d8cd98f00b204e9800998ecf8427e")
+    assert(r3.getSeq[Float](3).forall(_ === 0.0f))
+  }
+
+  test("resizePayload truncates but never pads or NPEs on null") {
+    val out = Multimodal.resizePayload(payloadDf, targetBytes = 8)
+      .select(col("media_id"), length(col("payload")).as("n"))
+      .orderBy("media_id").collect()
+    assert(out.map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq === Seq(8, 4, -1))
+  }
+
+  test("sampleFrames emits every k-th fixed-size chunk with ordinals") {
+    val out = Multimodal.sampleFrames(payloadDf, frameBytes = 8, everyK = 2)
+      .orderBy("media_id", "frame_no").collect()
+    // media 1: 40 bytes → 5 chunks → sampled 0,2,4 → 3 frames; media 2/3: none
+    assert(out.length === 3)
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L))
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    assert(new String(out(0).getAs[Array[Byte]](2), "UTF-8") === "abcdefgh")
+    assert(new String(out(1).getAs[Array[Byte]](2), "UTF-8") === "qrstuvwx")
+  }
+
+  test("fromDocuments builds the binary+metadata schema from testdata") {
+    val df = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    assert(df.schema("payload").dataType.typeName === "binary")
+    assert(df.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val r = df.orderBy("media_id").limit(1).collect()(0)
+    assert(r.getAs[Row]("meta").getAs[String]("media_type") === "image")
+  }
+}

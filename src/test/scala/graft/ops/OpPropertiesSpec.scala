@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Property tests for invariant-style operators (SURVEY.md §5.2 item 2):
+  * seeded random cases (deterministic across runs), 5 trials per property —
+  * each trial builds DataFrames, so trial counts stay small. */
+class OpPropertiesSpec extends SparkTestBase {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def forAll[A](gen: => A)(body: A => Unit): Unit =
+    (1 to 5).foreach(_ => body(gen))
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private def intLists: List[Int] = List.fill(40)(rnd.nextInt(16))
+
+  test("dedup is idempotent and bounded by distinct key count (C15)") {
+    forAll(intLists) { xs =>
+      whenever(xs.nonEmpty) {
+        import spark.implicits._
+        val df = xs.toDF("k")
+        val once = df.dropDuplicates("k")
+        assert(once.count() === xs.distinct.size.toLong)
+        assert(once.dropDuplicates("k").count() === once.count())
+      }
+    }
+  }
+
+  test("unionAll preserves counts; union-distinct equals set union (C14)") {
+    forAll((intLists, intLists)) { case (a, b) =>
+      import spark.implicits._
+      val da = a.toDF("k"); val db = b.toDF("k")
+      assert(da.unionAll(db).count() === (a.size + b.size).toLong)
+      assert(da.union(db).distinct().count() === (a.toSet ++ b.toSet).size.toLong)
+      assert(da.intersect(db).count() === (a.toSet & b.toSet).size.toLong)
+      assert(da.except(db).count() === (a.toSet -- b.toSet).size.toLong)
+    }
+  }
+
+  test("explode is the inverse of collect_list for non-empty groups (C3)") {
+    forAll(intLists) { xs =>
+      whenever(xs.nonEmpty) {
+        import spark.implicits._
+        val df = xs.zipWithIndex.map { case (v, i) => (i % 4, v) }.toDF("g", "v")
+        val rebuilt = df.groupBy("g").agg(collect_list("v").as("vs"))
+          .select(col("g"), explode(col("vs")).as("v"))
+        // multiset equality per group
+        val before = df.groupBy("g", "v").count().orderBy("g", "v").collect().toSeq
+        val after = rebuilt.groupBy("g", "v").count().orderBy("g", "v").collect().toSeq
+        assert(before === after)
+      }
+    }
+  }
+
+  test("as-of join result is the max qualifying timestamp (C11 monotonicity)") {
+    forAll(List.fill(20)((rnd.nextInt(4), rnd.nextLong(101)))) { pairs =>
+      whenever(pairs.nonEmpty) {
+        import spark.implicits._
+        // events: (user, t); every 3rd is a signup, rest purchases
+        val ev = pairs.zipWithIndex.map { case ((u, t), i) =>
+          (i.toLong, u, t, if (i % 3 == 0) "signup" else "purchase")
+        }.toDF("id", "u", "t", "kind")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("t"), col("id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val asof = ev
+          .withColumn("s_t", when(col("kind") === "signup", col("t")))
+          .withColumn("last_s", last("s_t", ignoreNulls = true).over(w))
+          .filter(col("kind") === "purchase")
+          .select("id", "u", "t", "last_s").collect()
+        // oracle: per purchase, max signup t' <= t (ties: window order by (t,id)
+        // means a same-t signup with a LOWER id is visible)
+        val signups = pairs.zipWithIndex.collect {
+          case ((u, t), i) if i % 3 == 0 => (u, t, i.toLong)
+        }
+        asof.foreach { r =>
+          val id = r.getLong(0); val u = r.getInt(1); val t = r.getLong(2)
+          val expect = signups.collect {
+            case (su, st, si) if su == u && (st < t || (st == t && si < id)) => st
+          }.maxOption
+          val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+          assert(got === expect, s"purchase id=$id u=$u t=$t")
+        }
+      }
+    }
+  }
+
+  test("MinHash signature equality ⇒ shared shingle; identical docs collide") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence with other words entirely"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents_fixture")
+    val sig = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+           i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                       element_at(w, i + 2)))""")).as("sh"))
+      .groupBy("doc_id").agg(min(md5(concat(lit("0:"), col("sh")))).as("mh0"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig(1L) === sig(2L), "identical docs must have identical signatures")
+    assert(sig(1L) !== sig(3L), "disjoint shingle sets should not collide on min-hash")
+  }
+}
