@@ -42,6 +42,17 @@ object BeaconStreaming {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("n_rows"))
 
+  /** D8 — session windows (gap-based grouping). Out of reference-parity
+    * scope (SURVEY.md §2-D D8: no session semantics exist in the reference)
+    * but part of the declared streaming surface. */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String, gap: String,
+                    watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_rows"))
+
   /** D7 — stateful dedup across batches, keyed on the natural key, bounded
     * by the watermark. */
   def dedupAcrossBatches(df: DataFrame, tsCol: String, keys: Seq[String],

@@ -83,6 +83,24 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/history").count() === 10L)
   }
 
+  test("session windows group by inactivity gap (D8)") {
+    val dir = tmpDir("stream-sess")
+    // two bursts of blocks separated by a >10 min gap: slots 0..9 then 60..69
+    val lines = BeaconFixtures.blockLines(70)
+    BeaconFixtures.write(s"$dir/in/b.json",
+      lines.take(10) ++ lines.drop(60))
+    val src = BeaconStreaming.fileSource(spark, BeaconSchemas.beaconBlocks, s"$dir/in")
+    val q = BeaconStreaming.sessionCounts(
+        src.withColumn("one", lit(1)), "block_timestamp", "one", "5 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("sess_out").orderBy("session_start").collect()
+    assert(rows.length === 2, "two activity bursts → two sessions")
+    assert(rows.map(_.getAs[Long]("n_rows")).toSeq === Seq(10L, 10L))
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches (D7)") {
     val dir = tmpDir("stream-dedup")
     val lines = BeaconFixtures.blockLines(32)
