@@ -21,6 +21,7 @@ object GraftSession {
 
   /** Mutate an existing builder with graft defaults (callers pick master). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over two `ARRAY<FLOAT>` columns.
+  *
+  * The composable form — `aggregate(zip_with(a, b, (x,y) -> x*y), 0D,
+  * (acc,p) -> acc+p)` — evaluates higher-order lambdas per element outside
+  * whole-stage codegen; at 100 TB of embeddings that interpreter overhead
+  * dominates the arithmetic. This expression generates a tight primitive
+  * loop instead (SURVEY.md §4.2 "custom Expression" rung of the preference
+  * ladder: compose built-ins first, drop to codegen only where measured).
+  *
+  * Arithmetic contract (bit-compatible with the HOF form and the DuckDB
+  * oracle): multiply in FLOAT, accumulate in DOUBLE, element order.
+  * Null array → null; any null element → null (matches zip_with+aggregate
+  * propagation); mismatched lengths → null (zip_with would null-pad and
+  * poison the sum to null anyway — and a silent prefix-dot would hide
+  * data corruption in fixed-dim embedding tables).
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // input typing is enforced by the registry builder, which wraps both
+  // arguments in Cast(_, ARRAY<FLOAT>) — analysis fails there on
+  // non-castable inputs (ExpectsInputTypes is sql-private in Spark 4)
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i) * y.getFloat(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getFloat($i) * $y.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vector_dot"
+}
+
+/** Registration: `vector_dot` lands in the session function registry so it
+  * is usable from `expr(...)`/SQL. Idempotent — call per session. */
+object GraftFunctions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vector_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vector_dot expects 2 arguments")
+        val at = ArrayType(FloatType, containsNull = true)
+        FloatVectorDot(Cast(args.head, at), Cast(args(1), at))
+      }))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}
+
+/** `spark.sql.extensions`-style injection for sessions built through
+  * [[graft.GraftSession]] (queries also call [[GraftFunctions.register]]
+  * defensively so driver-owned sessions work too). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}

@@ -18,17 +18,21 @@ import graft.tables.Tables
   *   survives — the per-bucket fan-out replaces the corpus scan per query.
   *
   * All arithmetic is float-multiply / double-accumulate **in element order**
-  * (`zip_with` then a left-fold `aggregate`), which is bit-identical to the
+  * (the native codegen'd [[graft.functions.FloatVectorDot]] expression),
+  * which is bit-identical to the
   * DuckDB oracle's `SUM(CAST(x*y AS DOUBLE))` over zipped UNNESTs — so even
   * the floating-point scores hash-match.
   */
 object SimilarityQueries {
 
-  /** dot(a,b) folded left in element order; float products, double sum. */
-  private def dotCol(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+  /** dot(a,b): float products, double accumulation, element order — via the
+    * native codegen'd [[graft.functions.FloatVectorDot]] (bit-identical to
+    * the `aggregate(zip_with(...))` HOF form it replaced, minus the
+    * per-element lambda interpretation). */
+  private def dotCol(a: String, b: String) = expr(s"vector_dot($a, $b)")
 
   private def cosineScored(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // driver-owned sessions too
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -51,11 +55,13 @@ object SimilarityQueries {
     }),
 
     // Per-vector L2 norm + dimension — the cheap full-corpus feature pass.
-    "q_vector_norms" -> ((s, d) =>
+    "q_vector_norms" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
         sqrt(dotCol("embedding", "embedding")).as("l2_norm"),
-        size(col("embedding")).as("dim"))),
+        size(col("embedding")).as("dim"))
+    }),
 
     // ANN via 8-bit random-hyperplane LSH: deterministic hyperplane signs
     // from md5(plane:dim) — precomputed ONCE on the driver and shipped as a
@@ -65,6 +71,7 @@ object SimilarityQueries {
     // engine-side design choice; driver records rows-only) — correctness of
     // the underlying scoring is covered by q_cosine_topk.
     "q_ann_lsh" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       // sign_p(v) = sign(Σ_i v[i] * h(p, i)), h ∈ {+1, -1} from md5 parity.
       val md = java.security.MessageDigest.getInstance("MD5")
