@@ -77,6 +77,34 @@ object Orchestration {
     ok
   }
 
+  /** A21 — cross-pipeline task gate (the `ExternalTaskSensor` analog,
+    * `/root/reference/dags/ethereum2etl_airflow/build_hourly_load_dag.py:70-80`:
+    * the load pipeline's `load_beacon_validators_latest` waits on the
+    * *export* pipeline's task of the same logical timestamp).
+    *
+    * Spark-era protocol: the upstream pipeline publishes a zero-byte
+    * completion marker `markerDir/taskId/logicalTs` when a task finishes;
+    * the downstream gate polls for it (reference cadence: poke 300 s,
+    * timeout 2 h, reschedule mode). Markers are per-(task, logical time),
+    * so replays of one logical hour gate independently of all others. */
+  def publishCompletion(markerDir: String, taskId: String, logicalTs: String): Unit = {
+    val dir = java.nio.file.Paths.get(markerDir, taskId)
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve(logicalTs)
+    if (!java.nio.file.Files.exists(marker)) java.nio.file.Files.createFile(marker)
+  }
+
+  /** A21 — wait for another pipeline's `(taskId, logicalTs)` completion
+    * marker. Returns false on timeout (caller fails the task → E4 retries). */
+  def awaitCompletion(markerDir: String, taskId: String, logicalTs: String,
+                      poke: FiniteDuration = 300.seconds,
+                      timeout: FiniteDuration = 2.hours,
+                      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Boolean =
+    waitFor(
+      () => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(markerDir, taskId, logicalTs)),
+      poke, timeout, sleep)
+
   /** A22 — plain file read util
     * (`/root/reference/dags/ethereum2etl_airflow/file_utils.py:1-4`). */
   def readFile(path: String): String =

@@ -63,6 +63,81 @@ object SimilarityQueries {
         size(col("embedding")).as("dim"))
     }),
 
+    // Embedding-cosine near-dup: candidate pairs come from a BLOCKING key
+    // (here `label`; in production the LSH band key of q_ann_lsh plays the
+    // same role), then exact cosine keeps pairs above a threshold (0.4 —
+    // the synthetic corpus is random vectors, so a real-dup threshold like
+    // 0.99 would be vacuously empty; the arithmetic is what the oracle
+    // verifies). The equi-join on the blocking key is what makes this
+    // survive 100 TB — per-block pairing instead of a corpus cross join.
+    // Output: the duplicate edge list (keep-lowest-id, id_a < id_b).
+    "q_embed_neardup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("label"), col("id_a"), col("id_b"),
+          (expr("vector_dot(ea, eb)") /
+            (sqrt(expr("vector_dot(ea, ea)")) * sqrt(expr("vector_dot(eb, eb)"))))
+            .as("cos"))
+        .filter(col("cos") >= 0.4)
+    }),
+
+    // IVF-style ANN: a deterministic coarse quantizer (the first 16 vectors
+    // act as centroids — production would k-means; the plan shape is
+    // identical) assigns every vector to its nearest cell; each query
+    // probes its nprobe=2 nearest cells and re-ranks exactly ONLY within
+    // them. At 100 TB the cell assignment is one broadcast pass over the
+    // corpus and the search is an equi-join on cell id — the inverted-file
+    // alternative to q_ann_lsh's hyperplane buckets.
+    "q_ann_ivf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      def cos(x: String, y: String) =
+        expr(s"vector_dot($x, $y)") /
+          (sqrt(expr(s"vector_dot($x, $x)")) * sqrt(expr(s"vector_dot($y, $y)")))
+      // corpus → nearest cell (argmax cosine; ties broken by cent_id)
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cent_id").asc)
+      val assigned = e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          cos("embedding", "ce").as("csim"))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      // queries → top-2 probe cells
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("csim").desc, col("cent_id").asc)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .join(broadcast(cents))
+        .select(col("q_id"), col("qe"), col("cent_id"),
+          cos("qe", "ce").as("csim"))
+        .withColumn("prnk", row_number().over(wProbe))
+        .filter(col("prnk") <= 2)
+        .select(col("q_id"), col("qe"), col("cent_id").as("cell"))
+      // search only the probed cells; exact top-3 per query
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      assigned.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("emb"), col("cell"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("q_id"))
+        .select(col("q_id"), col("neighbor_id"), col("cell"),
+          cos("emb", "qe").as("score"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "cell", "rnk", "score")
+    }),
+
     // ANN via 8-bit random-hyperplane LSH: deterministic hyperplane signs
     // from md5(plane:dim) — precomputed ONCE on the driver and shipped as a
     // literal matrix (they are row-independent; evaluating 8×dim md5s per
@@ -138,6 +213,62 @@ object SimilarityQueries {
            SELECT vec_id, label, SUM(CAST(x * x AS DOUBLE)) AS nx,
                   COUNT(*) AS dim
            FROM (SELECT vec_id, label, UNNEST(embedding) AS x FROM embeddings) t
-           GROUP BY vec_id, label) s"""
+           GROUP BY vec_id, label) s""",
+    "q_embed_neardup" ->
+      """WITH p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                           a.embedding AS ea, b.embedding AS eb
+                    FROM embeddings a JOIN embeddings b
+                      ON a.label = b.label AND a.vec_id < b.vec_id),
+          t AS (SELECT label, id_a, id_b, UNNEST(ea) AS x, UNNEST(eb) AS y
+                FROM p),
+          sc AS (SELECT label, id_a, id_b,
+                        SUM(CAST(x * y AS DOUBLE)) AS dot,
+                        SUM(CAST(x * x AS DOUBLE)) AS nx,
+                        SUM(CAST(y * y AS DOUBLE)) AS ny
+                 FROM t GROUP BY 1, 2, 3)
+          SELECT label, id_a, id_b, dot / (sqrt(nx) * sqrt(ny)) AS cos
+          FROM sc WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.4""",
+    "q_ann_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce
+                        FROM embeddings WHERE vec_id < 16),
+          pc AS (SELECT e.vec_id, c.cent_id, e.embedding AS v, c.ce
+                 FROM embeddings e CROSS JOIN cents c),
+          tc AS (SELECT vec_id, cent_id, UNNEST(v) AS x, UNNEST(ce) AS y
+                 FROM pc),
+          sim AS (SELECT vec_id, cent_id,
+                         SUM(CAST(x * y AS DOUBLE)) /
+                           (sqrt(SUM(CAST(x * x AS DOUBLE))) *
+                            sqrt(SUM(CAST(y * y AS DOUBLE)))) AS csim
+                  FROM tc GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM (
+                         SELECT vec_id, cent_id AS cell,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id) AS rnk
+                         FROM sim) s WHERE rnk = 1),
+          probes AS (SELECT q_id, cell FROM (
+                       SELECT vec_id AS q_id, cent_id AS cell,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cent_id) AS prnk
+                       FROM sim WHERE vec_id < 5) s WHERE prnk <= 2),
+          cand AS (SELECT p.q_id, a.vec_id AS neighbor_id, a.cell
+                   FROM probes p JOIN assigned a ON a.cell = p.cell
+                   WHERE a.vec_id <> p.q_id),
+          pq AS (SELECT cand.q_id, cand.neighbor_id, cand.cell,
+                        e1.embedding AS emb, e2.embedding AS qe
+                 FROM cand
+                 JOIN embeddings e1 ON e1.vec_id = cand.neighbor_id
+                 JOIN embeddings e2 ON e2.vec_id = cand.q_id),
+          ts AS (SELECT q_id, neighbor_id, cell,
+                        UNNEST(emb) AS x, UNNEST(qe) AS y FROM pq),
+          scs AS (SELECT q_id, neighbor_id, cell,
+                         SUM(CAST(x * y AS DOUBLE)) /
+                           (sqrt(SUM(CAST(x * x AS DOUBLE))) *
+                            sqrt(SUM(CAST(y * y AS DOUBLE)))) AS score
+                  FROM ts GROUP BY 1, 2, 3),
+          r AS (SELECT q_id, neighbor_id, cell, score,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, neighbor_id) AS rnk
+                FROM scs)
+          SELECT q_id, neighbor_id, cell, rnk, score FROM r WHERE rnk <= 3"""
   )
 }

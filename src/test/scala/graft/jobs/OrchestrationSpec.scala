@@ -54,6 +54,22 @@ class OrchestrationSpec extends AnyFunSuite {
       sleep = d => Thread.sleep(d.toMillis)))
   }
 
+  test("cross-pipeline gate sees the marker for its own logical time only (A21)") {
+    val dir = java.nio.file.Files.createTempDirectory("markers").toString
+    // downstream waits; upstream hasn't published → poll till timeout
+    assert(!awaitCompletion(dir, "export_beacon_validators_hourly",
+      "2020-12-01T05", poke = 1.milli, timeout = 10.millis, sleep = noSleep))
+    // upstream publishes a DIFFERENT hour — still gated
+    publishCompletion(dir, "export_beacon_validators_hourly", "2020-12-01T04")
+    assert(!awaitCompletion(dir, "export_beacon_validators_hourly",
+      "2020-12-01T05", poke = 1.milli, timeout = 10.millis, sleep = noSleep))
+    // the matching logical hour unblocks; publish is idempotent (replay-safe)
+    publishCompletion(dir, "export_beacon_validators_hourly", "2020-12-01T05")
+    publishCompletion(dir, "export_beacon_validators_hourly", "2020-12-01T05")
+    assert(awaitCompletion(dir, "export_beacon_validators_hourly",
+      "2020-12-01T05", poke = 1.milli, timeout = 1.second, sleep = noSleep))
+  }
+
   test("task graph runs in dependency order with fan-in (E1/E2)") {
     var order = Vector.empty[String]
     def t(id: String, deps: String*) = Task(id, deps)(() => order :+= id)
