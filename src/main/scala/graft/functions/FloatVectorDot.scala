@@ -97,10 +97,13 @@ object GraftFunctions {
 
 /** `spark.sql.extensions`-style injection for sessions built through
   * [[graft.GraftSession]] (queries also call [[GraftFunctions.register]]
-  * defensively so driver-owned sessions work too). */
+  * defensively so driver-owned sessions work too). Also installs the
+  * [[graft.plans.PartitionDateRewrite]] optimizer rule. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.PartitionDateRewrite)
+  }
 }

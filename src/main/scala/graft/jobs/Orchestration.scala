@@ -105,6 +105,44 @@ object Orchestration {
         java.nio.file.Paths.get(markerDir, taskId, logicalTs)),
       poke, timeout, sleep)
 
+  /** Token-bucket limiter for the ingestion client — the reference's
+    * optional `export_rate_limit`
+    * (`/root/reference/dags/ethereum2etl_airflow/variables.py:20-21`,
+    * plumbed into every export command at `build_export_dag.py:25,82,96,115`).
+    * `permitsPerSecond` tokens accrue continuously up to `burst`;
+    * [[RateLimiter.acquire]] blocks until one is available. Used around
+    * per-request client calls (driver or executor side — each fetch task
+    * holds its own limiter, so the aggregate rate is `tasks × rate`, the
+    * same semantics as the reference's per-worker limit). Clock and sleep
+    * injectable for deterministic tests. */
+  final class RateLimiter(permitsPerSecond: Double, burst: Int = 1,
+                          nanoTime: () => Long = () => System.nanoTime(),
+                          sleep: Long => Unit = ns =>
+                            Thread.sleep(ns / 1000000L, (ns % 1000000L).toInt)) {
+    require(permitsPerSecond > 0 && burst >= 1)
+    private val intervalNanos = (1e9 / permitsPerSecond).toLong
+    private var available = burst.toDouble // guarded by this
+    private var last = nanoTime()
+
+    def acquire(): Unit = synchronized {
+      refill()
+      while (available < 1.0) {
+        sleep(((1.0 - available) * intervalNanos).toLong)
+        refill()
+      }
+      available -= 1.0
+    }
+
+    def throttled[A](f: => A): A = { acquire(); f }
+
+    private def refill(): Unit = {
+      val now = nanoTime()
+      available = math.min(burst.toDouble,
+        available + (now - last).toDouble / intervalNanos)
+      last = now
+    }
+  }
+
   /** A22 — plain file read util
     * (`/root/reference/dags/ethereum2etl_airflow/file_utils.py:1-4`). */
   def readFile(path: String): String =

@@ -70,6 +70,23 @@ class OrchestrationSpec extends AnyFunSuite {
       "2020-12-01T05", poke = 1.milli, timeout = 1.second, sleep = noSleep))
   }
 
+  test("rate limiter enforces the configured request rate (token bucket)") {
+    var now = 0L // fake nanos
+    var slept = 0L
+    val rl = new RateLimiter(permitsPerSecond = 2, burst = 2,
+      nanoTime = () => now, sleep = ns => { slept += ns; now += ns })
+    rl.acquire(); rl.acquire() // burst drains free
+    assert(slept === 0L)
+    rl.acquire() // third must wait ~one 500ms interval
+    assert(slept === 500L * 1000000L)
+    now += 2000L * 1000000L // 2 s idle refills up to burst, never beyond
+    val before = slept
+    rl.acquire(); rl.acquire()
+    assert(slept === before)
+    var calls = 0
+    assert(rl.throttled { calls += 1; 7 } === 7 && calls === 1)
+  }
+
   test("task graph runs in dependency order with fan-in (E1/E2)") {
     var order = Vector.empty[String]
     def t(id: String, deps: String*) = Task(id, deps)(() => order :+= id)
