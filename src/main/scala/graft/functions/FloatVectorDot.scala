@@ -87,6 +87,18 @@ object GraftFunctions {
         require(args.length == 2, "vector_dot expects 2 arguments")
         val at = ArrayType(FloatType, containsNull = true)
         FloatVectorDot(Cast(args.head, at), Cast(args(1), at))
+      }),
+    (new FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sketch expects (token, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sketch k must be an integer literal, got $other")
+        }
+        MinHashSketch(Cast(args.head, org.apache.spark.sql.types.StringType), k)
+          .toAggregateExpression()
       }))
 
   def register(spark: SparkSession): Unit =

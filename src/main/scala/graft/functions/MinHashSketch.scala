@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `minhash_sketch(token, k)` — native k-permutation MinHash aggregate.
+  *
+  * The SQL-composable form ([[graft.ops.DedupQueries]] `q_minhash_sig`:
+  * `min(md5(concat(seed, sh)))` × k) re-hashes every token k times with a
+  * cryptographic hash and carries k separate aggregate expressions; fine
+  * for the 4-hash oracle demo, but a production 128-permutation signature
+  * over 100 TB of shingles wants ONE aggregate walking the tokens once —
+  * the `TypedImperativeAggregate` slot SURVEY.md §4.2 reserves for the
+  * north-star sketches.
+  *
+  * Buffer = `Array[Long](k)` of current minima. Per token, one xxhash64
+  * base hash; the k "permutations" derive from it as
+  * `h_i = base * A_i + B_i` (the standard linear-permutation family —
+  * universal-hash mixing, no per-permutation re-hash of the bytes; A odd so
+  * the map is a bijection on Z_2^64). Update is k fused multiply-adds per
+  * token; merge is the element-wise min, so map-side partial aggregation
+  * does the heavy lifting and only `k` longs per group cross the shuffle —
+  * the same partial/final shape Catalyst gives built-in aggregates.
+  *
+  * Estimate Jaccard(a, b) as `array size of (sig_a ∩_position sig_b) / k`
+  * (fraction of positions where the signatures agree).
+  */
+case class MinHashSketch(child: Expression, k: Int,
+                         override val mutableAggBufferOffset: Int = 0,
+                         override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(k >= 1 && k <= 1024, s"minhash_sketch k must be in [1, 1024], got $k")
+
+  // input typing enforced by the registry builder (Cast to STRING) —
+  // ExpectsInputTypes/AbstractDataType are sql-private in Spark 4
+  override def children: Seq[Expression] = Seq(child)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      val base = XxHash64Function.hash(s, StringType, 42L)
+      var i = 0
+      while (i < k) {
+        // odd multiplier => bijective mixing per permutation
+        val h = base * MinHashSketch.oddA(i) + MinHashSketch.addB(i)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * k)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MinHashSketch =
+    copy(mutableAggBufferOffset = o)
+
+  override def withNewInputAggBufferOffset(o: Int): MinHashSketch =
+    copy(inputAggBufferOffset = o)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MinHashSketch =
+    copy(child = c.head)
+
+  override def prettyName: String = "minhash_sketch"
+}
+
+object MinHashSketch {
+  /** Deterministic permutation constants (splitmix64 stream — public-domain
+    * constants; same values on driver and every executor). */
+  private val consts: Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(2048) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+  def oddA(i: Int): Long = consts(2 * i) | 1L
+  def addB(i: Int): Long = consts(2 * i + 1)
+}

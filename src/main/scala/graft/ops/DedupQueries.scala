@@ -78,6 +78,19 @@ object DedupQueries {
 
     "q_minhash_sig" -> ((s, d) => minhashSig(s, d)),
 
+    // Production-grade signature: ONE native TypedImperativeAggregate
+    // ([[graft.functions.MinHashSketch]]) walks the shingle stream once and
+    // emits a 64-permutation signature — vs 64 separate min(md5(...))
+    // aggregate columns. No oracle (xxhash64 + linear permutations are not
+    // reproducible in DuckDB SQL; driver records rows-only) — the
+    // sketch's statistical behavior is spec-tested in MinHashSketchSpec
+    // and the 4-hash md5 variant above stays the oracle-checked twin.
+    "q_minhash_native" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      shingles(s, d).groupBy("doc_id")
+        .agg(expr("minhash_sketch(sh, 64)").as("sig"))
+    }),
+
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
 
     // n-gram Jaccard, verified only on LSH candidates (never all-pairs).

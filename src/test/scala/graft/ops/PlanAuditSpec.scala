@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Enforces the PERF.md plan-audit invariants over EVERY registered query —
+  * the properties that decide whether a plan survives 100 TB. A regression
+  * that reintroduces a cartesian product or an unexpected nested-loop join
+  * fails CI, not the next bench read-through.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose ONE BroadcastNestedLoopJoin is intentional and linear:
+    * a tiny broadcast side (5 query vectors / 16 centroids) streamed
+    * against the corpus — the correct brute-force/assignment shape. */
+  private val allowedBnlj = Set("q_cosine_topk", "q_ann_ivf")
+
+  private def physical(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  test("no registered query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      physical(name).exists(_.isInstanceOf[CartesianProductExec])
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin appears only where it is the designed shape") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowedBnlj)
+      .filter { name =>
+        physical(name).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+      }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("filtered parquet scans push their predicates down") {
+    // every query that filters the lineitem scan must show PushedFilters
+    val q = SparkEntry.queries("q_scan_filter")(spark, sfDir)
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata("PushedFilters") != "[]"),
+      scans.map(_.metadata("PushedFilters")).mkString("; "))
+  }
+
+  test("projected scans prune their read schema") {
+    val q = SparkEntry.queries("q_scan_filter")(spark, sfDir)
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    // lineitem has 16 columns; the query projects a handful
+    assert(scan.requiredSchema.fields.length < 8,
+      scan.requiredSchema.fieldNames.mkString(","))
+  }
+}
