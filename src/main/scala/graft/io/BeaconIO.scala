@@ -100,6 +100,37 @@ object BeaconIO {
     spark.read.option("basePath", basePath).parquet(basePath)
       .filter(col("block_date") === lit(date.toString))
 
+  /** A4/A5 — range-metadata sidecar: the reference materializes a date's
+    * resolved block/epoch range as a `"start,end"` text file
+    * (`blocks_meta.txt`/`epochs_meta.txt`) and uploads it NEXT TO the data
+    * (`/root/reference/dags/ethereum2etl_airflow/build_export_dag.py:76-102,121-123`)
+    * so downstream consumers can learn the range without scanning. Written
+    * through the Hadoop FS connector — works against any scheme. */
+  def writeRangeMeta(basePath: String, date: LocalDate, name: String,
+                     range: (Long, Long)): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$basePath/block_date=$date/$name")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(s"${range._1},${range._2}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read back a `"start,end"` sidecar (`get_block_range` parse —
+    * `build_export_dag.py:83-88`). */
+  def readRangeMeta(basePath: String, date: LocalDate, name: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$basePath/block_date=$date/$name")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    text.split(",") match {
+      case Array(a, b) => (a.toLong, b.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"malformed range meta at $p: '$text'")
+    }
+  }
+
   // ---- catalog utilities (A15/A17–A19) ----
 
   /** A15: namespace creation (`bigquery_utils.py:10-21` analog). */

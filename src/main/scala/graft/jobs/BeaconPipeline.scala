@@ -71,6 +71,10 @@ object BeaconPipeline {
       s"$exportBase/beacon_validators")
     BeaconIO.writeDaily(source.committees(spark, epochs), "epoch_timestamp",
       s"$exportBase/beacon_committees")
+    // A4/A5 — publish the resolved ranges as sidecars next to the data
+    // (`build_export_dag.py:121-123` uploads blocks_meta.txt/epochs_meta.txt)
+    BeaconIO.writeRangeMeta(s"$exportBase/beacon_blocks", ds, "blocks_meta.txt", slots)
+    BeaconIO.writeRangeMeta(s"$exportBase/beacon_committees", ds, "epochs_meta.txt", epochs)
   }
 
   /** Hourly export (`build_hourly_export_dag.py`): hour-clamped ranges
@@ -91,17 +95,34 @@ object BeaconPipeline {
   /** Load stage (`build_load_dag.py:76-96`): JSONL exchange files → managed
     * parquet tables partitioned by the materialized date column, then the
     * verify gate (E9). Dynamic partition overwrite keeps replays idempotent
-    * (D5) — semantically WRITE_TRUNCATE per logical date. */
+    * (D5) — semantically WRITE_TRUNCATE per logical date.
+    *
+    * `onlyLastDate` tables reproduce the reference's validators semantics
+    * (`build_load_dag.py:82,88-91,127`): read ONLY the logical date's
+    * partition (input-path pruning, not a full-tree scan) and fully
+    * truncate-replace the destination — the table is always exactly the
+    * latest day's snapshot. */
   def load(spark: SparkSession, exportBase: String, warehouseBase: String,
-           ds: LocalDate, verify: Boolean = true): Unit = {
+           ds: LocalDate, verify: Boolean = true,
+           onlyLastDate: Set[String] = Set("beacon_validators")): Unit = {
     for ((table, (_, tsCol)) <- BeaconSchemas.tables) {
+      val srcPath =
+        if (onlyLastDate(table)) s"$exportBase/$table/block_date=$ds"
+        else s"$exportBase/$table"
       val df = spark.read.option("basePath", s"$exportBase/$table")
         .schema(partitionedSchema(table))
         .option("timestampFormat", BeaconIO.TimestampFormat)
-        .json(s"$exportBase/$table")
-      df.drop("block_date", "hour")
+        // the reference loads `gs://…/{task}/*.json` (`build_load_dag.py:92`)
+        // — the glob is what keeps the A4/A5 meta sidecars out of the rows
+        .option("pathGlobFilter", "*.json")
+        .json(srcPath)
+      val writer = df.drop("block_date", "hour")
         .transform(BeaconIO.withBlockDate(_, tsCol))
         .write.mode("overwrite").partitionBy("block_date")
+      // static overwrite = WRITE_TRUNCATE (whole table replaced); the
+      // session default (dynamic) only replaces the partitions present
+      (if (onlyLastDate(table)) writer.option("partitionOverwriteMode", "static")
+       else writer)
         .parquet(s"$warehouseBase/$table")
       // read back with the declared schema: robust to an empty partition set
       // (an empty-but-valid logical hour must not crash the load)

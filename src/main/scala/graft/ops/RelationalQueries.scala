@@ -256,7 +256,13 @@ object RelationalQueries {
           upper(col("lang")).as("lang_uc"),
           substring(col("text"), 1, 12).as("prefix"),
           length(col("text")).as("text_len"),
-          concat(col("source"), lit(":"), col("lang")).as("src_lang"))),
+          concat(col("source"), lit(":"), col("lang")).as("src_lang"),
+          // graffiti-decode shape (C17): hex string → bytes → UTF-8 text
+          // (`beacon_blocks.json:48-50` graffiti is hex; unhex+decode is the
+          // read path). Round-trip through hex() here since testdata has no
+          // native hex column.
+          decode(unhex(hex(substring(col("text"), 1, 8))), "UTF-8")
+            .as("graffiti_text"))),
 
     // C17 — regexp extraction.
     "q_regexp" -> ((s, d) =>
@@ -472,7 +478,8 @@ object RelationalQueries {
          FROM embeddings""",
     "q_string_funcs" ->
       """SELECT doc_id, upper(lang) AS lang_uc, substr(text, 1, 12) AS prefix,
-                length(text) AS text_len, source || ':' || lang AS src_lang
+                length(text) AS text_len, source || ':' || lang AS src_lang,
+                decode(unhex(hex(substr(text, 1, 8)))) AS graffiti_text
          FROM documents WHERE text LIKE '%join%'""",
     "q_regexp" ->
       """SELECT doc_id, regexp_extract(source, '([0-9]+)', 1) AS src_num

@@ -43,6 +43,43 @@ class BeaconPipelineSpec extends SparkTestBase {
     assert(first === second && first === 96L)
   }
 
+  test("range-meta sidecars are published next to the data and parse back (A4/A5)") {
+    val work = tmpDir("meta")
+    BeaconFixtures.writeDay(s"$work/fixtures", nSlots = 64, nValidators = 3)
+    val source = new JsonlBeaconSource(s"$work/fixtures")
+    val ds = BeaconFixtures.GenesisDay
+    BeaconPipeline.dailyExport(spark, source, ds, s"$work/export")
+    assert(graft.io.BeaconIO.readRangeMeta(
+      s"$work/export/beacon_blocks", ds, "blocks_meta.txt")
+      === graft.model.BeaconFunctions.slotRangeForDate(ds))
+    assert(graft.io.BeaconIO.readRangeMeta(
+      s"$work/export/beacon_committees", ds, "epochs_meta.txt")
+      === graft.model.BeaconFunctions.epochRangeForDate(ds))
+  }
+
+  test("validators load truncates stale snapshots; event tables keep history (only_last_date)") {
+    val work = tmpDir("trunc")
+    BeaconFixtures.writeDay(s"$work/fixtures", nSlots = 64, nValidators = 3)
+    val source = new JsonlBeaconSource(s"$work/fixtures")
+    val ds = BeaconFixtures.GenesisDay
+    BeaconPipeline.replayDay(spark, source, ds, work)
+    // plant a stale prior-day partition in both warehouse tables
+    for (t <- Seq("beacon_validators", "beacon_blocks")) {
+      assert(graft.io.FsTransfer.copyTree(
+        s"$work/warehouse/$t/block_date=$ds",
+        s"$work/warehouse/$t/block_date=2020-11-30"))
+    }
+    BeaconPipeline.load(spark, s"$work/export", s"$work/warehouse", ds, verify = false)
+    def dates(t: String): Set[String] =
+      spark.read.parquet(s"$work/warehouse/$t")
+        .select(col("block_date").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+    // WRITE_TRUNCATE semantics: the snapshot table holds ONLY the logical date
+    assert(dates("beacon_validators") === Set(ds.toString))
+    // dynamic overwrite: event history outside the replayed date is retained
+    assert(dates("beacon_blocks") === Set(ds.toString, "2020-11-30"))
+  }
+
   test("hourly export writes hour partitions and the validators latest sink") {
     val work = tmpDir("hourly-exp")
     val fixtures = s"$work/fixtures"
