@@ -132,11 +132,58 @@ object BeaconPipeline {
     if (verify) Checks.runAll(spark, ds.toString)
   }
 
+  /** Hourly load (`build_hourly_load_dag.py:92-152`): per logical hour,
+    * load each entity's hour partition (input-path pruned — never the full
+    * tree), append validators to the hourly-history table AND overwrite the
+    * `latest` table (A10/D6, `:138-152`), then run the hourly verify set
+    * (blocks_count + blocks_have_latest — `:151-152`; the committees/
+    * validators checks are commented out in the reference's hourly DAG). */
+  def hourlyLoad(spark: SparkSession, exportBase: String, warehouseBase: String,
+                 ds: LocalDate, hour: Int, verify: Boolean = true): Unit = {
+    val hh = f"$hour%02d"
+    def readHour(table: String): org.apache.spark.sql.DataFrame =
+      spark.read.option("basePath", s"$exportBase/$table")
+        .schema(hourlySchema(table))
+        .option("timestampFormat", BeaconIO.TimestampFormat)
+        .option("pathGlobFilter", "*.json")
+        .json(s"$exportBase/$table/block_date=$ds/hour=$hh")
+    def publish(df: org.apache.spark.sql.DataFrame, tsCol: String, dest: String): Unit =
+      df.drop("block_date", "hour")
+        .transform(BeaconIO.withBlockDateHour(_, tsCol))
+        .write.mode("overwrite").partitionBy("block_date", "hour")
+        .parquet(s"$warehouseBase/$dest")
+
+    publish(readHour("beacon_blocks"), "block_timestamp", "beacon_blocks")
+    publish(readHour("beacon_committees"), "epoch_timestamp", "beacon_committees")
+    // validators: every hour's snapshot accumulates in the history table…
+    publish(readHour("beacon_validators"), "timestamp", "beacon_validators_hourly")
+    // …and the flat latest export overwrites the latest table (WRITE_TRUNCATE)
+    val (vSchema, _) = BeaconSchemas.tables("beacon_validators")
+    spark.read.schema(vSchema)
+      .option("timestampFormat", BeaconIO.TimestampFormat)
+      .option("pathGlobFilter", "*.json")
+      .json(s"$exportBase/beacon_validators_latest")
+      .write.mode("overwrite").parquet(s"$warehouseBase/beacon_validators_latest")
+
+    if (verify) {
+      spark.read.schema(hourlySchema("beacon_blocks"))
+        .parquet(s"$warehouseBase/beacon_blocks")
+        .createOrReplaceTempView("beacon_blocks")
+      Checks.blocksCount(spark, ds.toString)
+      Checks.blocksHaveLatest(spark, ds.toString)
+    }
+  }
+
   /** Declared schema + the Hive partition columns the export layout adds. */
   private def partitionedSchema(table: String) = {
     val (base, _) = BeaconSchemas.tables(table)
     base.add("block_date", org.apache.spark.sql.types.StringType, nullable = true)
   }
+
+  /** Hourly layout adds an `hour` partition column too. */
+  private def hourlySchema(table: String) =
+    partitionedSchema(table)
+      .add("hour", org.apache.spark.sql.types.StringType, nullable = true)
 
   /** Single-day replay (the reference's integration test,
     * `README.md:105-117`): export a fixture day then load + verify it. */

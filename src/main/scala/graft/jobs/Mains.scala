@@ -46,3 +46,17 @@ object Eth2HourlyExportJob {
     } finally spark.stop()
   }
 }
+
+object Eth2HourlyLoadJob {
+  /** args: <exportBase> <warehouseBase> <yyyy-MM-dd> <hour> — the analog of
+    * `eth2_mainnet_hourly_load_dag.py:12-19`. */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4, "usage: Eth2HourlyLoadJob <exportBase> <warehouseBase> <date> <hour>")
+    val spark = GraftSession.local(cores = 4, appName = "eth2-hourly-load")
+    try {
+      BeaconPipeline.hourlyLoad(spark, args(0), args(1),
+        LocalDate.parse(args(2)), args(3).toInt)
+      println(s"""{"job":"hourly_load","date":"${args(2)}","hour":${args(3)},"verify":"pass"}""")
+    } finally spark.stop()
+  }
+}

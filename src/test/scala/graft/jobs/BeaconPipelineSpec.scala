@@ -80,6 +80,27 @@ class BeaconPipelineSpec extends SparkTestBase {
     assert(dates("beacon_blocks") === Set(ds.toString, "2020-11-30"))
   }
 
+  test("hourly load: hour partitions, validators history + latest, verify green") {
+    val work = tmpDir("hourly-load")
+    BeaconFixtures.writeDay(s"$work/fixtures", nSlots = 3700, nValidators = 4)
+    val source = new JsonlBeaconSource(s"$work/fixtures")
+    val ds = BeaconFixtures.GenesisDay
+    BeaconPipeline.hourlyExport(spark, source, ds, 12, s"$work/export_hourly")
+    BeaconPipeline.hourlyLoad(spark, s"$work/export_hourly", s"$work/warehouse", ds, 12)
+    val blocks = spark.read.parquet(s"$work/warehouse/beacon_blocks")
+    // genesis is 12:00:23, so hour 12 holds slots 0..floor((3600-23-1)/12)
+    assert(blocks.count() === ((3600 - 23) / 12 + 1).toLong)
+    assert(blocks.columns.contains("hour"))
+    assert(spark.read.parquet(s"$work/warehouse/beacon_validators_hourly").count() > 0)
+    // latest = the full current snapshot, WRITE_TRUNCATE overwritten hourly
+    assert(spark.read.parquet(s"$work/warehouse/beacon_validators_latest")
+      .select("validator_index").distinct().count() === 4L)
+    // idempotent replay of the same hour
+    BeaconPipeline.hourlyLoad(spark, s"$work/export_hourly", s"$work/warehouse", ds, 12)
+    assert(spark.read.parquet(s"$work/warehouse/beacon_blocks").count()
+      === ((3600 - 23) / 12 + 1).toLong)
+  }
+
   test("hourly export writes hour partitions and the validators latest sink") {
     val work = tmpDir("hourly-exp")
     val fixtures = s"$work/fixtures"
