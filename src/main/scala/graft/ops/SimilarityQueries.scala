@@ -97,42 +97,46 @@ object SimilarityQueries {
     // alternative to q_ann_lsh's hyperplane buckets.
     "q_ann_ivf" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // norms are computed ONCE per side and threaded through the joins —
+      // cosine against 16 centroids then costs 16 dots + 1 norm per row,
+      // not 16 dots + 32 norms (bit-identical: same sqrt(Σx²) value, the
+      // expression tree divides by the same two factors)
       val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(expr("vector_dot(embedding, embedding)")).as("nv"))
       val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      def cos(x: String, y: String) =
-        expr(s"vector_dot($x, $y)") /
-          (sqrt(expr(s"vector_dot($x, $x)")) * sqrt(expr(s"vector_dot($y, $y)")))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+          col("nv").as("nc"))
       // corpus → nearest cell (argmax cosine; ties broken by cent_id)
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("csim").desc, col("cent_id").asc)
-      val assigned = e.select(col("vec_id"), col("embedding"))
+      val assigned = e
         .join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          cos("embedding", "ce").as("csim"))
+        .select(col("vec_id"), col("embedding"), col("nv"), col("cent_id"),
+          (expr("vector_dot(embedding, ce)") / (col("nv") * col("nc"))).as("csim"))
         .withColumn("rnk", row_number().over(wAssign))
         .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        .select(col("vec_id"), col("embedding"), col("nv"), col("cent_id").as("cell"))
       // queries → top-2 probe cells
       val wProbe = Window.partitionBy("q_id")
         .orderBy(col("csim").desc, col("cent_id").asc)
       val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nv").as("nq"))
         .join(broadcast(cents))
-        .select(col("q_id"), col("qe"), col("cent_id"),
-          cos("qe", "ce").as("csim"))
+        .select(col("q_id"), col("qe"), col("nq"), col("cent_id"),
+          (expr("vector_dot(qe, ce)") / (col("nq") * col("nc"))).as("csim"))
         .withColumn("prnk", row_number().over(wProbe))
         .filter(col("prnk") <= 2)
-        .select(col("q_id"), col("qe"), col("cent_id").as("cell"))
+        .select(col("q_id"), col("qe"), col("nq"), col("cent_id").as("cell"))
       // search only the probed cells; exact top-3 per query
       val wTop = Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("neighbor_id").asc)
       assigned.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("emb"), col("cell"))
+          col("embedding").as("emb"), col("nv").as("nn"), col("cell"))
         .join(broadcast(probes), Seq("cell"))
         .filter(col("neighbor_id") =!= col("q_id"))
         .select(col("q_id"), col("neighbor_id"), col("cell"),
-          cos("emb", "qe").as("score"))
+          (expr("vector_dot(emb, qe)") / (col("nn") * col("nq"))).as("score"))
         .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 3)
         .select("q_id", "neighbor_id", "cell", "rnk", "score")
