@@ -33,14 +33,18 @@ object SimilarityQueries {
 
   private def cosineScored(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // driver-owned sessions too
+    // norms once per side, not per pair: each corpus row then costs one dot
+    // + one own-norm against ALL queries (bit-identical scores — same
+    // sqrt(Σx²) factors, same division)
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        sqrt(dotCol("embedding", "embedding")).as("nq"))
+    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb"),
+        sqrt(dotCol("embedding", "embedding")).as("nn"))
       .join(broadcast(q), col("neighbor_id") =!= col("q_id"))
       .select(col("q_id"), col("neighbor_id"),
-        (dotCol("emb", "qe") /
-          (sqrt(dotCol("emb", "emb")) * sqrt(dotCol("qe", "qe")))).as("score"))
+        (dotCol("emb", "qe") / (col("nn") * col("nq"))).as("score"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -73,18 +77,20 @@ object SimilarityQueries {
     // Output: the duplicate edge list (keep-lowest-id, id_a < id_b).
     "q_embed_neardup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // norm once per ROW before the pair join — per pair only the cross
+      // dot remains (the norm recompute would otherwise scale with pair
+      // count, which is quadratic per block)
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          sqrt(expr("vector_dot(embedding, embedding)")).as("n"))
       val a = e.select(col("label"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"))
+        col("embedding").as("ea"), col("n").as("na"))
       val b = e.select(col("label"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"))
+        col("embedding").as("eb"), col("n").as("nb"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
         .select(col("label"), col("id_a"), col("id_b"),
-          (expr("vector_dot(ea, eb)") /
-            (sqrt(expr("vector_dot(ea, ea)")) * sqrt(expr("vector_dot(eb, eb)"))))
-            .as("cos"))
+          (expr("vector_dot(ea, eb)") / (col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= 0.4)
     }),
 
@@ -171,21 +177,21 @@ object SimilarityQueries {
                THEN 1 ELSE 0 END, p) AS INT))""")
       val bucketed = e
         .withColumn("hplanes", typedLit(planes))
-        .select(col("vec_id"), col("embedding"), sigExpr.as("bucket"))
+        .select(col("vec_id"), col("embedding"), sigExpr.as("bucket"),
+          sqrt(dotCol("embedding", "embedding")).as("n"))
       val q = bucketed.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("bucket"))
+          col("bucket"), col("n").as("nq"))
       val cand = bucketed
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb"),
-          col("bucket"))
+          col("bucket"), col("n").as("nn"))
         .join(broadcast(q), Seq("bucket"))
         .filter(col("neighbor_id") =!= col("q_id"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("neighbor_id").asc)
       cand
         .select(col("q_id"), col("neighbor_id"), col("bucket"),
-          (dotCol("emb", "qe") /
-            (sqrt(dotCol("emb", "emb")) * sqrt(dotCol("qe", "qe")))).as("score"))
+          (dotCol("emb", "qe") / (col("nn") * col("nq"))).as("score"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select("q_id", "neighbor_id", "bucket", "rnk", "score")
