@@ -62,6 +62,39 @@ object TextQueries {
         col("doc_id"),
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))),
 
+    // Winnowing fingerprint (the rolling-hash fingerprint of the brief, à
+    // la MOSS): polynomial hash of every 8-char gram of the normalized
+    // text, then the minimum per 4-gram window, distinct. Near-identical
+    // documents share most fingerprints even at different offsets — the
+    // property whole-document hashing (q_fingerprint) lacks. Per-row
+    // expression work + one distinct; integer-exact, so the DuckDB twin
+    // hash-matches.
+    "q_fingerprint_rolling" -> ((s, d) => {
+      // one char-explode + two window passes over the SAME (doc, pos) sort:
+      // gram hash = Σ lead(code, j) * 31^(7-j) (8 codegen'd leads — no
+      // interpreted higher-order lambdas; an aggregate(sequence(...))
+      // formulation measured 10× slower), then the winnowing min over the
+      // next 4 gram positions. One shuffle+sort total.
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val pows = (0 to 7).map(j => math.pow(31, 7 - j).toLong)
+      val gramHash = (0 to 7).map(j =>
+        (if (j == 0) col("code") else lead(col("code"), j).over(win)) * lit(pows(j)))
+        .reduce(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+        .filter(length(col("t")) >= 8 + 3) // at least one full window
+        .withColumn("ng", (length(col("t")) - 7).cast("long"))
+        .select(col("doc_id"), col("ng"),
+          posexplode(split(col("t"), "")).as(Seq("pos", "ch")))
+        .withColumn("code", ascii(col("ch")).cast("long"))
+        .withColumn("gh", gramHash)
+        .withColumn("fp", min("gh").over(win.rowsBetween(0, 3)))
+        .filter(col("pos") <= col("ng") - 4) // full windows only
+        .select(col("doc_id"), col("fp")).distinct()
+    }),
+
     // Multimodal metadata pass: text treated as an opaque payload — byte
     // length + content hash, the same schema shape used for image/audio
     // binary columns (see graft.ops.Multimodal for the binary pipeline).
@@ -104,6 +137,25 @@ object TextQueries {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 md5(text) AS content_hash, n_chars
-         FROM documents"""
+         FROM documents""",
+    "q_fingerprint_rolling" ->
+      """WITH norm AS (SELECT doc_id,
+                             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+                      FROM documents),
+          ok AS (SELECT doc_id, t, length(t) - 7 AS ng FROM norm
+                 WHERE length(t) >= 11),
+          pos AS (SELECT doc_id, ng, t,
+                         UNNEST(range(1, CAST(ng + 1 AS BIGINT))) AS i
+                  FROM ok),
+          grams AS (SELECT doc_id, ng, i,
+                           list_sum(list_transform(range(8), j ->
+                             CAST(unicode(substr(t, CAST(i + j AS INT), 1)) AS BIGINT) *
+                             CAST(power(31, 7 - j) AS BIGINT))) AS gh
+                    FROM pos),
+          win AS (SELECT doc_id, i, ng,
+                         MIN(gh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                  FROM grams)
+          SELECT DISTINCT doc_id, fp FROM win WHERE i <= ng - 3"""
   )
 }
