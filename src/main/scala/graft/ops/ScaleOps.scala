@@ -51,4 +51,30 @@ object ScaleOps {
     * let the reader skip row groups. */
   def sortedLayout(df: DataFrame, cols: Column*): DataFrame =
     df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+
+  /** Interval join without a nested loop (C10 as a reusable shape): match
+    * `probe.value ∈ [build.lo, build.hi)` by overlapping each interval onto
+    * fixed-width bands, equi-joining on the band key, and re-checking the
+    * exact bounds as a residual predicate. `BroadcastNestedLoopJoin` over
+    * intervals is O(probe × build); this is O(probe + build × spanned
+    * bands) and hash-joins — the only shape that survives when both sides
+    * are large. `bandWidth` trades replication (wide intervals span more
+    * bands) against band-key selectivity. */
+  def bandedIntervalJoin(probe: DataFrame, build: DataFrame, valueCol: String,
+                         loCol: String, hiCol: String, bandWidth: Double,
+                         joinType: String = "inner"): DataFrame = {
+    require(bandWidth > 0)
+    val p = probe.withColumn("__band",
+      floor(col(valueCol) / bandWidth).cast("long"))
+    // hi is exclusive: an interval ending exactly on a band edge does not
+    // reach into that band
+    val hiBand = (floor(col(hiCol) / bandWidth) -
+      when(pmod(col(hiCol), lit(bandWidth)) === 0.0, 1).otherwise(0)).cast("long")
+    val b = build.filter(col(loCol) < col(hiCol)) // empty intervals match nothing
+      .withColumn("__band",
+        explode(sequence(floor(col(loCol) / bandWidth).cast("long"), hiBand)))
+    p.join(b, p("__band") === b("__band") &&
+        col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol), joinType)
+      .drop("__band")
+  }
 }

@@ -64,6 +64,32 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(parts.forall(identity))
   }
 
+  test("banded interval join equals the nested-loop join and hash-joins (C10)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val probe = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 1000))
+      .toDF("id", "value")
+    // intervals of varied width, some spanning many bands, some empty,
+    // some ending exactly on band edges
+    val build = Seq(
+      (1L, 0.0, 100.0), (2L, 95.0, 405.0), (3L, 200.0, 200.0), // empty
+      (4L, 400.0, 1000.0), (5L, 50.0, 50.0000001), (6L, 999.0, 2000.0))
+      .toDF("iv_id", "lo", "hi")
+    val banded = ScaleOps.bandedIntervalJoin(probe, build, "value", "lo", "hi",
+      bandWidth = 100.0)
+    val nested = probe.join(build,
+      col("value") >= col("lo") && col("value") < col("hi"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+    assert(canon(banded) === canon(nested))
+    assert(banded.count() > 0)
+    // the point: a hash join on the band key, not a nested loop
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("three-part table names resolve through the session catalog (B1)") {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS crypto_ethereum2")
