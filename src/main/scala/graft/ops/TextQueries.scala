@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -18,6 +18,14 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "an", "of", "to", "and")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Highest-frequency character bigrams per language (public corpus
+    * statistics; chosen with distinct characters so non-overlapping
+    * replace-counting is exact). */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "de" -> Seq("ch", "ei", "nd", "ie", "sc"),
+    "fr" -> Seq("es", "le", "de", "re", "ou"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish lowercase-run count.
@@ -55,6 +63,28 @@ object TextQueries {
           expr(s"size(filter(w, x -> x IN ($stopList)))").as("en_votes"))
         .withColumn("guess",
           when(col("en_votes") >= 2, "en").otherwise("other"))),
+
+    // Language-ID, character-n-gram profile variant: per language, count
+    // occurrences of its 5 highest-frequency bigrams (non-overlapping count
+    // via length-delta of replace — identical semantics in the oracle) and
+    // pick the argmax with a deterministic tiebreak. Pure per-row string
+    // expressions — codegen'd, partition-local.
+    "q_lang_ngram" -> ((s, d) => {
+      def hits(t: Column, grams: Seq[String]): Column =
+        grams.map(g => (length(t) - length(regexp_replace(t, g, ""))) / 2)
+          .reduce(_ + _)
+      val t = lower(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          hits(t, LangProfiles("en")).as("en_hits"),
+          hits(t, LangProfiles("de")).as("de_hits"),
+          hits(t, LangProfiles("fr")).as("fr_hits"))
+        .withColumn("guess",
+          when(col("en_hits") >= col("de_hits") &&
+               col("en_hits") >= col("fr_hits"), "en")
+            .when(col("de_hits") >= col("fr_hits"), "de")
+            .otherwise("fr"))
+    }),
 
     // Document fingerprint: md5 over whitespace-normalized lowercase text.
     "q_fingerprint" -> ((s, d) =>
@@ -134,6 +164,19 @@ object TextQueries {
       """SELECT doc_id,
                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          FROM documents""",
+    "q_lang_ngram" -> {
+      def hits(lang: String) = LangProfiles(lang)
+        .map(g => s"(length(t) - length(replace(t, '$g', ''))) / 2")
+        .mkString(" + ")
+      s"""SELECT doc_id, en_hits, de_hits, fr_hits,
+                 CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                      WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS guess
+          FROM (SELECT doc_id,
+                       ${hits("en")} AS en_hits,
+                       ${hits("de")} AS de_hits,
+                       ${hits("fr")} AS fr_hits
+                FROM (SELECT doc_id, lower(text) AS t FROM documents) n) h"""
+    },
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 md5(text) AS content_hash, n_chars
