@@ -25,10 +25,14 @@ class PartitionDateRewriteSpec extends SparkTestBase {
     dir
   }
 
-  private def scanOf(df: DataFrame): FileSourceScanExec =
-    df.queryExecution.executedPlan.collectFirst {
-      case s: FileSourceScanExec => s
-    }.get
+  private def scanOf(df: DataFrame): FileSourceScanExec = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // pre-execution: the initial physical plan
+      case p => p
+    }
+    plan.collectFirst { case s: FileSourceScanExec => s }.get
+  }
 
   private def read() = spark.read.parquet(base)
 
@@ -66,6 +70,14 @@ class PartitionDateRewriteSpec extends SparkTestBase {
         .selectedPartitions.partitionCount === 3) // no pruning without the rule
       assert(withRule === without)
     } finally spark.conf.set("spark.graft.partitionDateRewrite.enabled", "true")
+  }
+
+  test("the reference's verbatim verify predicate prunes via spark.sql (B2/E9)") {
+    spark.read.parquet(base).createOrReplaceTempView("beacon_blocks_pdr")
+    val df = spark.sql(
+      "SELECT COUNT(*) AS cnt FROM beacon_blocks_pdr WHERE DATE(block_timestamp) <= '2020-12-02'")
+    assert(scanOf(df).selectedPartitions.partitionCount === 2)
+    assert(df.collect()(0).getLong(0) === 4L)
   }
 
   test("never fires across a join (block_date and ts from different tables)") {
