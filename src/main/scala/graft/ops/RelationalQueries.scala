@@ -233,6 +233,20 @@ object RelationalQueries {
         .select("event_id", "user_id", "last_signup_ts")
     }),
 
+    // D8 — session windows as a BATCH query: per-user sessions closed by a
+    // 30-minute inactivity gap (`session_window` is the same operator the
+    // streaming layer uses — graft.streaming.BeaconStreaming.sessionCounts).
+    // The oracle is the classic gaps-and-islands rewrite (lag + running
+    // sum), proving the semantics, not just the row count. Values sum as
+    // DECIMAL so both engines aggregate exactly.
+    "q_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_value"))),
+
     // C3/C4 — UNNEST of a repeated scalar column.
     "q_explode" -> ((s, d) =>
       Tables.embeddings(s, d)
@@ -470,6 +484,22 @@ object RelationalQueries {
            AND s.event_type = 'signup' AND s.ts <= p.ts
          WHERE p.event_type = 'purchase'
          GROUP BY p.event_id, p.user_id""",
+    "q_session_window" ->
+      """WITH g AS (SELECT user_id, ts, value,
+                          CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS new_sess
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT user_id, ts, value,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM g)
+          SELECT user_id, MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                 COUNT(*) AS n_events,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+          FROM s GROUP BY user_id, sess_id""",
     "q_explode" ->
       """SELECT vec_id, UNNEST(embedding) AS val FROM embeddings WHERE vec_id < 10""",
     "q_array_funcs" ->
