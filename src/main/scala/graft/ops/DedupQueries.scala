@@ -85,10 +85,13 @@ object DedupQueries {
     // reproducible in DuckDB SQL; driver records rows-only) — the
     // sketch's statistical behavior is spec-tested in MinHashSketchSpec
     // and the 4-hash md5 variant above stays the oracle-checked twin.
+    // The signature serializes to JSON (integer contents — engine-neutral):
+    // a raw array column crashes the driver's pandas sorter even for the
+    // rows-only check.
     "q_minhash_native" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       shingles(s, d).groupBy("doc_id")
-        .agg(expr("minhash_sketch(sh, 64)").as("sig"))
+        .agg(to_json(expr("minhash_sketch(sh, 64)")).as("sig"))
     }),
 
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
@@ -193,8 +196,9 @@ object DedupQueries {
                           SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS sgn
                    FROM bits GROUP BY doc_id, i)
           SELECT doc_id,
-                 SUM(CASE WHEN sgn >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
-                          ELSE 0 END) AS simhash
+                 CAST(SUM(CASE WHEN sgn >= 0
+                               THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+                               ELSE 0 END) AS BIGINT) AS simhash
           FROM sgns GROUP BY doc_id"""
   )
 }

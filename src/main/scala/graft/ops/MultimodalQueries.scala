@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Features are presented as a scaled-integer JSON string: raw float
+    // arrays crash the driver's pandas sorter and float→string formatting
+    // differs across engines; floor(x*1e6) on the identical IEEE float is
+    // exact both sides.
     "q_multimodal_decode" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.fromDocuments(s, d), dim = 4)),
+      Multimodal.extractFeatures(Multimodal.fromDocuments(s, d), dim = 4)
+        .withColumn("features", to_json(expr(
+          "transform(features, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")))),
 
     "q_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.fromDocuments(s, d),
@@ -30,10 +36,12 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id,
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 md5(text) AS content_hash,
-                list_transform(range(4), i ->
-                  CAST(CASE WHEN length(text) = 0 THEN 0
-                            ELSE ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))
-                       END AS FLOAT) / CAST(255 AS FLOAT)) AS features
+                CAST(to_json(list_transform(range(4), i ->
+                  CAST(floor(CAST(
+                    CAST(CASE WHEN length(text) = 0 THEN 0
+                              ELSE ord(substr(text, CAST(i % length(text) AS INT) + 1, 1))
+                         END AS FLOAT) / CAST(255 AS FLOAT)
+                  AS DOUBLE) * 1000000) AS BIGINT))) AS VARCHAR) AS features
          FROM documents""",
     "q_frame_sample" ->
       """WITH chunks AS (

@@ -46,12 +46,14 @@ object RelationalQueries {
 
     // C7/C8/B4/B5 — grouped agg with exact decimal sums (doubles summed as
     // decimal so the result is order-independent → safe on any cluster).
+    // The SUM stays decimal-exact; only the final value is presented as
+    // DOUBLE (both engines), so the driver's hasher sees one numeric dtype.
     "q_agg_sum_group" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec("l_quantity", 12, 2)).as("sum_qty"),
-          sum(dec("l_extendedprice", 14, 2)).as("sum_price"),
+          sum(dec("l_quantity", 12, 2)).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice", 14, 2)).cast("double").as("sum_price"),
           count(lit(1)).as("cnt"))),
 
     // B4/B5 — ungrouped MAX/MIN/COUNT(*): partial agg per partition, single
@@ -110,14 +112,16 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, d)),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(count(lit(1)).as("n_cust"), sum(dec("c_acctbal", 12, 2)).as("sum_bal"))),
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec("c_acctbal", 12, 2)).cast("double").as("sum_bal"))),
 
     // C9 — big⋈big: sort-merge on the shuffle key, partial agg after.
     "q_join_large" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), sum(dec("l_extendedprice", 14, 2)).as("sum_price"))),
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec("l_extendedprice", 14, 2)).cast("double").as("sum_price"))),
 
     // C9 — left-semi: existence probe, never multiplies rows.
     "q_semi_join" -> ((s, d) => {
@@ -182,7 +186,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          sum(dec("value", 12, 2)).over(w).as("run_sum"))
+          sum(dec("value", 12, 2)).over(w).cast("double").as("run_sum"))
     }),
 
     // C16 — rollup.
@@ -243,7 +247,7 @@ object RelationalQueries {
       Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"), col("sum_value"))),
 
@@ -253,13 +257,19 @@ object RelationalQueries {
         .filter(col("vec_id") < 10)
         .select(col("vec_id"), explode(col("embedding")).as("val"))),
 
-    // C6 — array scalar functions.
+    // C6 — array scalar functions. The sliced array is presented as a
+    // scaled-integer JSON string: raw float-array columns crash the driver's
+    // pandas sorter, and float→string formatting is not identical across
+    // engines — floor(x * 1e6) is exact integer arithmetic on the same IEEE
+    // float both sides, so the serialized form hash-matches.
     "q_array_funcs" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_val"),
-        slice(col("embedding"), 1, 3).as("head3"))),
+        to_json(expr(
+          "transform(slice(embedding, 1, 3), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as("head3"))),
 
     // C17 — string functions + LIKE pushdown.
     "q_string_funcs" -> ((s, d) =>
@@ -330,13 +340,17 @@ object RelationalQueries {
             .getField("k").as("k"))),
 
     // C21 — map construction + keys/values/lookup (minimal parity surface;
-    // no MAP columns exist in the reference schemas).
+    // no MAP columns exist in the reference schemas). Keys serialize via
+    // to_json (string contents — engine-neutral); values surface as the
+    // scalar first element so the column stays a plain numeric dtype for
+    // the driver's hasher.
     "q_map_funcs" -> ((s, d) => {
       val m = map(col("event_type"), col("value"))
       Tables.events(s, d)
         .filter(col("event_id") < 500)
         .select(col("event_id"),
-          map_keys(m).as("ks"), map_values(m).as("vs"),
+          to_json(map_keys(m)).as("ks"),
+          element_at(map_values(m), 1).as("v0"),
           element_at(m, lit("click")).as("click_v"))
     }),
 
@@ -385,8 +399,8 @@ object RelationalQueries {
            AND NOT (l_quantity < 5)""",
     "q_agg_sum_group" ->
       """SELECT l_returnflag, l_linestatus,
-                SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-                SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
                 COUNT(*) AS cnt
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q_agg_ungrouped" ->
@@ -414,14 +428,14 @@ object RelationalQueries {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q_join_broadcast" ->
       """SELECT r_name, COUNT(*) AS n_cust,
-                SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
     "q_join_large" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
-                SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
     "q_semi_join" ->
@@ -446,17 +460,17 @@ object RelationalQueries {
          WHERE rn = 1""",
     "q_window_lag" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS max_eid,
-                SUM(CASE WHEN prev_id IS NULL THEN 0
-                         ELSE event_id - prev_id END) AS sum_gaps
+                CAST(SUM(CASE WHEN prev_id IS NULL THEN 0
+                              ELSE event_id - prev_id END) AS BIGINT) AS sum_gaps
          FROM (SELECT user_id, event_id,
                       LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id
                FROM events) t
          GROUP BY user_id""",
     "q_window_frame" ->
       """SELECT event_id, user_id,
-                SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
                   PARTITION BY user_id ORDER BY event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
          FROM events""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
@@ -498,13 +512,14 @@ object RelationalQueries {
           SELECT user_id, MIN(ts) AS session_start,
                  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                  COUNT(*) AS n_events,
-                 SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           FROM s GROUP BY user_id, sess_id""",
     "q_explode" ->
       """SELECT vec_id, UNNEST(embedding) AS val FROM embeddings WHERE vec_id < 10""",
     "q_array_funcs" ->
       """SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_val,
-                embedding[1:3] AS head3
+                CAST(to_json(list_transform(embedding[1:3],
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS VARCHAR) AS head3
          FROM embeddings""",
     "q_string_funcs" ->
       """SELECT doc_id, upper(lang) AS lang_uc, substr(text, 1, 12) AS prefix,
@@ -535,8 +550,8 @@ object RelationalQueries {
          FROM events WHERE event_id < 500""",
     "q_map_funcs" ->
       """SELECT event_id,
-                map_keys(map([event_type], [value])) AS ks,
-                map_values(map([event_type], [value])) AS vs,
+                CAST(to_json(map_keys(map([event_type], [value]))) AS VARCHAR) AS ks,
+                map_values(map([event_type], [value]))[1] AS v0,
                 CASE WHEN event_type = 'click' THEN value END AS click_v
          FROM events WHERE event_id < 500""",
     "q_array_funcs2" ->

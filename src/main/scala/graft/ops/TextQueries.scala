@@ -191,9 +191,9 @@ object TextQueries {
                          UNNEST(range(1, CAST(ng + 1 AS BIGINT))) AS i
                   FROM ok),
           grams AS (SELECT doc_id, ng, i,
-                           list_sum(list_transform(range(8), j ->
+                           CAST(list_sum(list_transform(range(8), j ->
                              CAST(unicode(substr(t, CAST(i + j AS INT), 1)) AS BIGINT) *
-                             CAST(power(31, 7 - j) AS BIGINT))) AS gh
+                             CAST(power(31, 7 - j) AS BIGINT))) AS BIGINT) AS gh
                     FROM pos),
           win AS (SELECT doc_id, i, ng,
                          MIN(gh) OVER (PARTITION BY doc_id ORDER BY i

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Strict replica of the driver's pandas-based hash gate.
+
+The driver reads Spark's parquet dump with pandas, runs the oracle SQL in
+DuckDB to a pandas frame, sorts columns by name, sorts rows, and hashes the
+values. That pipeline is representation-sensitive in ways a value-level
+compare is not: DuckDB HUGEINT arrives as float64, Spark parquet decimals
+arrive as Decimal objects, list columns crash pandas sort_values. This tool
+reproduces those failure modes locally:
+
+  1. sortability  — sort_values over every column must not raise;
+  2. dtype parity — both frames must present the same pandas dtypes;
+  3. repr parity  — row-sorted values must be identical under repr().
+
+Usage: python3 tools/check_driver_repr.py <verify_out_dir> <sf_dir>
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_spark(path):
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def normalize(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            sdf = load_spark(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark parquet unreadable by pandas: {e}")
+            n_bad += 1
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_bad += 1
+            continue
+        try:
+            sdf = normalize(sdf)
+        except Exception as e:
+            print(f"FAIL {name}: spark frame not sortable: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        try:
+            odf = normalize(odf)
+        except Exception as e:
+            print(f"FAIL {name}: oracle frame not sortable: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        if list(sdf.columns) != list(odf.columns):
+            print(f"FAIL {name}: columns differ: spark={list(sdf.columns)} oracle={list(odf.columns)}")
+            n_bad += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: row counts differ: spark={len(sdf)} oracle={len(odf)}")
+            n_bad += 1
+            continue
+        dt_mismatch = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                       for c in sdf.columns if sdf[c].dtype != odf[c].dtype]
+        srep = sdf.astype(object).map(repr)
+        orep = odf.astype(object).map(repr)
+        neq = (srep != orep)
+        if neq.any().any():
+            col = [c for c in sdf.columns if neq[c].any()][0]
+            i = neq[col].idxmax()
+            print(f"FAIL {name}: values differ (col={col}): "
+                  f"spark={srep[col][i]} oracle={orep[col][i]}"
+                  + (f"  [dtypes: {dt_mismatch}]" if dt_mismatch else ""))
+            n_bad += 1
+        elif dt_mismatch:
+            # identical reprs but different dtypes — timestamps units etc.;
+            # surfaced as a warning because the driver MAY hash these equal
+            print(f"warn {name}: dtypes differ but reprs equal: {dt_mismatch}")
+            n_ok += 1
+        else:
+            print(f"ok   {name} ({len(odf)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
