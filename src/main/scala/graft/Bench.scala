@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. A failed query reports -1.0 (never a fake timing)
   * and its error lands on stderr — VERDICT r1 flagged silent swallowing.
-  * Each query runs twice; the min is reported (steady-state, post-JIT). */
+  * Each query runs three times; the MEDIAN is reported — the driver runs
+  * this adjacent to other load, and a median absorbs one contended rep
+  * where min-of-2 did not (VERDICT r2). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,7 +20,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // full materialization of every output row (InternalRow scan) —
+      // a bare .count() lets Catalyst prune unreferenced per-row
+      // expressions on projection-only queries, timing a plan that never
+      // ran its md5/regexp work (VERDICT r2)
+      fn(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
@@ -30,8 +36,10 @@ object Bench {
       // isn't billed to this query's timing
       System.gc()
       val t =
-        try math.min(timeOnce(fn), timeOnce(fn))
-        catch {
+        try {
+          val reps = Seq.fill(3)(timeOnce(fn)).sorted
+          reps(1)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0

@@ -91,14 +91,41 @@ object GraftFunctions {
     (new FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
       (args: Seq[Expression]) => {
-        require(args.length == 2, "minhash_sketch expects (token, k)")
+        require(args.length == 2 || args.length == 3,
+          "minhash_sketch expects (token, k[, mode])")
         val k = args(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
             s"minhash_sketch k must be an integer literal, got $other")
         }
-        MinHashSketch(Cast(args.head, org.apache.spark.sql.types.StringType), k)
+        val mode =
+          if (args.length < 3) "xxhash64"
+          else args(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString
+            case other => throw new IllegalArgumentException(
+              s"minhash_sketch mode must be a string literal, got $other")
+          }
+        MinHashSketch(Cast(args.head, org.apache.spark.sql.types.StringType), k, mode)
           .toAggregateExpression()
+      }),
+    (new FunctionIdentifier("md5_low63"),
+      new ExpressionInfo(classOf[Md5Low63].getName, "md5_low63"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5_low63 expects 1 argument")
+        Md5Low63(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }),
+    (new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fps"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow_fps expects (text, gramLen, window)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fps $what must be an integer literal, got $other")
+        }
+        WinnowFingerprint(Cast(args.head, org.apache.spark.sql.types.StringType),
+          intLit(args(1), "gramLen"), intLit(args(2), "window"))
       }))
 
   def register(spark: SparkSession): Unit =

@@ -31,12 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Estimate Jaccard(a, b) as `array size of (sig_a ∩_position sig_b) / k`
   * (fraction of positions where the signatures agree).
   */
-case class MinHashSketch(child: Expression, k: Int,
+case class MinHashSketch(child: Expression, k: Int, mode: String = "xxhash64",
                          override val mutableAggBufferOffset: Int = 0,
                          override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
   require(k >= 1 && k <= 1024, s"minhash_sketch k must be in [1, 1024], got $k")
+  require(mode == "xxhash64" || mode == "md5p",
+    s"minhash_sketch mode must be 'xxhash64' or 'md5p', got '$mode'")
+
+  private val md5Mode = mode == "md5p"
 
   // input typing enforced by the registry builder (Cast to STRING) —
   // ExpectsInputTypes/AbstractDataType are sql-private in Spark 4
@@ -53,13 +57,27 @@ case class MinHashSketch(child: Expression, k: Int,
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
-      val base = XxHash64Function.hash(s, StringType, 42L)
-      var i = 0
-      while (i < k) {
-        // odd multiplier => bijective mixing per permutation
-        val h = base * MinHashSketch.oddA(i) + MinHashSketch.addB(i)
-        if (h < buf(i)) buf(i) = h
-        i += 1
+      if (md5Mode) {
+        // DuckDB-reproducible family: base = md5_number_lower(token)
+        // (little-endian of digest bytes 8..15), permutations are modular
+        // linear maps over Z_p (p = 2^31-1) — products stay inside signed
+        // 64-bit range on both engines, no wrap-around semantics needed.
+        val bmod = MinHashSketch.md5BaseModP(s)
+        var i = 0
+        while (i < k) {
+          val h = (MinHashSketch.mulA(i) * bmod + MinHashSketch.incB(i)) % MinHashSketch.P
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
+      } else {
+        val base = XxHash64Function.hash(s, StringType, 42L)
+        var i = 0
+        while (i < k) {
+          // odd multiplier => bijective mixing per permutation
+          val h = base * MinHashSketch.oddA(i) + MinHashSketch.addB(i)
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
       }
     }
     buf
@@ -111,4 +129,28 @@ object MinHashSketch {
   }
   def oddA(i: Int): Long = consts(2 * i) | 1L
   def addB(i: Int): Long = consts(2 * i + 1)
+
+  /** `md5p` mode: Mersenne prime modulus — (p-1)^2 + p < 2^63, so the
+    * permutation arithmetic never overflows signed 64-bit (DuckDB BIGINT
+    * errors on overflow; Java would silently wrap — the modular family
+    * sidesteps both). */
+  val P: Long = 2147483647L // 2^31 - 1
+  /** multiplier in [1, p-1], increment in [0, p-1] — same splitmix stream as
+    * the xxhash64 family; the oracle SQL interpolates the identical values. */
+  def mulA(i: Int): Long = Math.floorMod(consts(2 * i), P - 1) + 1
+  def incB(i: Int): Long = Math.floorMod(consts(2 * i + 1), P)
+
+  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** `md5_number_lower(token) % p` exactly as DuckDB computes it: the
+    * digest's last 8 bytes read little-endian as an unsigned 64-bit int,
+    * reduced mod p with unsigned semantics. */
+  def md5BaseModP(s: UTF8String): Long = {
+    val d = tlMd5.get().digest(s.getBytes)
+    var base = 0L
+    var i = 15
+    while (i >= 8) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
+    java.lang.Long.remainderUnsigned(base, P)
+  }
 }

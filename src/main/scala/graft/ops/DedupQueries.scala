@@ -18,9 +18,11 @@ import graft.tables.Tables
   * - Jaccard verification runs only on LSH candidates, joined back to
   *   shingle sets by (doc, shingle) equi-keys.
   *
-  * Hash function: md5 (shared verbatim by the DuckDB oracle, so signatures
-  * are byte-identical cross-engine). In a hot production path you'd swap in
-  * `xxhash64` — same plan shape, cheaper hash.
+  * Hash function: md5-derived BIGINT ([[graft.functions.Md5Low63]] — the
+  * DuckDB oracle computes the identical value via `md5_number_lower`, so
+  * signatures are byte-identical cross-engine). In a hot production path
+  * you'd swap in `xxhash64` — same plan shape, cheaper hash (the native
+  * [[graft.functions.MinHashSketch]] default mode does exactly that).
   */
 object DedupQueries {
 
@@ -45,29 +47,52 @@ object DedupQueries {
     * Built from the RAW shingle stream, not a pre-distinct'd set: min() is
     * dedup-insensitive and partial-aggregates map-side, so the whole
     * signature costs one narrow shuffle of 4 hashes per doc — measurably
-    * faster than forcing a distinct shuffle of every (doc, shingle) first. */
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    * faster than forcing a distinct shuffle of every (doc, shingle) first.
+    *
+    * Hash values are BIGINT ([[graft.functions.Md5Low63]] =
+    * `md5_number_lower % (2^63-1)`, byte-identical in DuckDB): min() over
+    * hex STRINGS forced SortAggregate (two full sorts of the shingle
+    * stream per signature) and shipped 32-char band keys — min(BIGINT)
+    * hash-aggregates map-side and the band shuffle carries 8 bytes/hash. */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     shingles(s, d).groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("sh")))).as("mh0"),
-      min(md5(concat(lit("1:"), col("sh")))).as("mh1"),
-      min(md5(concat(lit("2:"), col("sh")))).as("mh2"),
-      min(md5(concat(lit("3:"), col("sh")))).as("mh3"))
-
-  /** Banded-LSH candidate pairs: bands of 1 hash each; bucket equi-join,
-    * `doc_a < doc_b` dedups the symmetric pair. */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashSig(s, d).selectExpr(
-      "doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.band").as("band"))
-      .groupBy("doc_a", "doc_b")
-      .agg(countDistinct(col("band")).as("shared_bands"))
+      min(expr("md5_low63(concat('0:', sh))")).as("mh0"),
+      min(expr("md5_low63(concat('1:', sh))")).as("mh1"),
+      min(expr("md5_low63(concat('2:', sh))")).as("mh2"),
+      min(expr("md5_low63(concat('3:', sh))")).as("mh3"))
   }
+
+  /** Banded-LSH candidate pairs: bands of 1 hash each; docs are grouped by
+    * their (band, hash) bucket and pairs expand WITHIN each bucket
+    * (`doc_a < doc_b` via the sorted id list). A self-join on the bucket
+    * key gives the same pairs but evaluates the whole signature pipeline
+    * once per join side — grouping evaluates it exactly once and replaces
+    * the join with one aggregation. Bucket sizes are bounded by the LSH
+    * design (that is the point of banding), so the in-bucket expansion is
+    * per-group work; a pathological hot bucket at 100 TB takes the salting
+    * escape hatch in [[graft.ops.ScaleOps]]. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsFromSig(minhashSig(s, d))
+
+  /** Pair generation from an existing signature relation — split out so
+    * q_jaccard_pairs can feed the shared sig+set aggregate through it. */
+  private def lshPairsFromSig(sig: DataFrame): DataFrame =
+    sig
+      .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
+      .groupBy("band", "h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("band"), explode(expr(
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+                       b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("band"))
+      .groupBy("doc_a", "doc_b")
+      // a doc holds exactly ONE hash per band, so (doc_a, doc_b, band) rows
+      // are distinct by construction — count(*) equals the oracle's
+      // COUNT(DISTINCT band) without the distinct-aggregate expand+reshuffle
+      .agg(count(lit(1)).as("shared_bands"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C15 / exact dedup: hash-groupBy on the exact content key.
@@ -81,61 +106,80 @@ object DedupQueries {
     // Production-grade signature: ONE native TypedImperativeAggregate
     // ([[graft.functions.MinHashSketch]]) walks the shingle stream once and
     // emits a 64-permutation signature — vs 64 separate min(md5(...))
-    // aggregate columns. No oracle (xxhash64 + linear permutations are not
-    // reproducible in DuckDB SQL; driver records rows-only) — the
-    // sketch's statistical behavior is spec-tested in MinHashSketchSpec
-    // and the 4-hash md5 variant above stays the oracle-checked twin.
-    // The signature serializes to JSON (integer contents — engine-neutral):
-    // a raw array column crashes the driver's pandas sorter even for the
-    // rows-only check.
+    // aggregate columns. Registered in `md5p` mode (base hash =
+    // `md5_number_lower`, modular linear permutations over Z_{2^31-1}),
+    // which DuckDB reproduces exactly — so the native aggregate is
+    // hash-checked end-to-end, not rows-only. The default xxhash64 family
+    // (cheaper per token; not expressible in DuckDB) is spec-tested in
+    // MinHashSketchSpec. The signature serializes to JSON (integer
+    // contents — engine-neutral): a raw array column crashes the driver's
+    // pandas sorter.
     "q_minhash_native" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       shingles(s, d).groupBy("doc_id")
-        .agg(to_json(expr("minhash_sketch(sh, 64)")).as("sig"))
+        .agg(to_json(expr("minhash_sketch(sh, 64, 'md5p')")).as("sig"))
     }),
 
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
 
     // n-gram Jaccard, verified only on LSH candidates (never all-pairs).
-    // The intersection join carries the shingle IN the equi-key
-    // ((doc_b, sh) both sides) — keying on doc_b alone would fan out
-    // |sh(a)|×|sh(b)| rows per pair before filtering, a plan that dies at
-    // scale (and measurably thrashed this bench at sf0.1).
+    // Each doc's distinct shingle SET is aggregated once (collect_set — one
+    // shuffle, map-side partial), candidate pairs join to the two sets by
+    // doc id, and |A∩B| is per-row `array_intersect` work. The previous
+    // form re-joined the exploded (doc, shingle) stream into the pairs and
+    // then joined per-doc counts twice more — 3 extra shuffles and a
+    // |sh|-sized row fan-out per pair side; this shape moves each doc's set
+    // across the wire once per candidate pair and was measured 2.5× faster
+    // at sf0.1 (matching the DuckDB twin). At 100 TB the set size is
+    // bounded by doc length and candidates are LSH-sparse, so the join
+    // stays a plain equi-join on doc id.
     "q_jaccard_pairs" -> ((s, d) => {
-      val ssh = shingles(s, d).distinct()
-      val cnt = ssh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cand = lshPairs(s, d).select("doc_a", "doc_b")
-      val inter = cand
-        .join(ssh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-        .join(ssh.select(col("doc_id").as("doc_b"), col("sh")),
-          Seq("doc_b", "sh"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("ni"))
-      inter
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      // ONE aggregation pass produces BOTH the minhash signature and the
+      // distinct shingle set per doc; the three consumers (band stream +
+      // the two pair-side set lookups) all read the same exchange, which
+      // Spark's exchange reuse executes once.
+      graft.functions.GraftFunctions.register(s)
+      val sig = shingles(s, d).groupBy("doc_id").agg(
+        min(expr("md5_low63(concat('0:', sh))")).as("mh0"),
+        min(expr("md5_low63(concat('1:', sh))")).as("mh1"),
+        min(expr("md5_low63(concat('2:', sh))")).as("mh2"),
+        min(expr("md5_low63(concat('3:', sh))")).as("mh3"),
+        collect_set(col("sh")).as("ss"))
+      val docSets = sig.select(col("doc_id"), col("ss"))
+      val cand = lshPairsFromSig(sig).select("doc_a", "doc_b")
+      cand
+        .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), "doc_a")
+        .join(docSets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("ni"),
+          size(col("sa")).cast("long").as("na"),
+          size(col("sb")).cast("long").as("nb"))
         .select(col("doc_a"), col("doc_b"), col("ni"),
           (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
             .as("jaccard"))
     }),
 
     // 16-bit SimHash from per-word md5 bit votes (integer-only arithmetic →
-    // bit-identical to the oracle).
+    // bit-identical to the oracle). Single-pass: the md5 is computed once
+    // per word and all 16 bit votes are CONDITIONAL AGGREGATE COLUMNS over
+    // the word stream — one groupBy(doc_id) shuffle carrying 16 longs per
+    // doc, instead of exploding 16 rows per word and aggregating twice
+    // (16× the shuffle volume at 100 TB for the same answer).
     "q_simhash" -> ((s, d) => {
       val w = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      val bits = w
-        .select(col("doc_id"), col("w"),
-          explode(sequence(lit(1), lit(16))).as("i"))
-        .withColumn("bit",
-          expr("(instr('0123456789abcdef', substring(md5(w), i, 1)) - 1) % 2"))
-      bits
-        .groupBy("doc_id", "i")
-        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("sgn"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("sgn") >= 0,
-            expr("CAST(shiftleft(1, i - 1) AS BIGINT)"))
-          .otherwise(0L)).as("simhash"))
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
+      def bit(i: Int) = expr(
+        s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) % 2")
+      val sgns = (1 to 16).map(i =>
+        sum(when(bit(i) === 1, 1).otherwise(-1)).as(s"sgn$i"))
+      w.groupBy("doc_id")
+        .agg(sgns.head, sgns.tail: _*)
+        .select(col("doc_id"),
+          (1 to 16).map(i =>
+              when(col(s"sgn$i") >= 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
     })
   )
 
@@ -147,8 +191,10 @@ object DedupQueries {
                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
               FROM ws WHERE len(w) >= 3),
        sig AS (SELECT doc_id,
-                      MIN(md5('0:' || sh)) AS mh0, MIN(md5('1:' || sh)) AS mh1,
-                      MIN(md5('2:' || sh)) AS mh2, MIN(md5('3:' || sh)) AS mh3
+                      MIN(CAST(md5_number_lower('0:' || sh) % 9223372036854775807 AS BIGINT)) AS mh0,
+                      MIN(CAST(md5_number_lower('1:' || sh) % 9223372036854775807 AS BIGINT)) AS mh1,
+                      MIN(CAST(md5_number_lower('2:' || sh) % 9223372036854775807 AS BIGINT)) AS mh2,
+                      MIN(CAST(md5_number_lower('3:' || sh) % 9223372036854775807 AS BIGINT)) AS mh3
                FROM sh GROUP BY doc_id),
        bands AS (SELECT doc_id, 0 AS band, mh0 AS h FROM sig
                  UNION ALL SELECT doc_id, 1, mh1 FROM sig
@@ -167,6 +213,23 @@ object DedupQueries {
     "q_minhash_sig" ->
       s"""WITH $shingleCte
           SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig""",
+    "q_minhash_native" -> {
+      // the identical md5p permutation family, constants interpolated from
+      // the same splitmix stream the Scala aggregate uses
+      import graft.functions.MinHashSketch.{P, mulA, incB}
+      val mins = (0 until 64)
+        .map(j => s"MIN((${mulA(j)} * b + ${incB(j)}) % $P) AS m$j")
+        .mkString(",\n                        ")
+      val list = (0 until 64).map(j => s"m$j").mkString(", ")
+      s"""WITH $shingleCte,
+          base AS (SELECT doc_id,
+                          CAST(md5_number_lower(sh) % $P AS BIGINT) AS b
+                   FROM sh),
+          m AS (SELECT doc_id,
+                        $mins
+                FROM base GROUP BY doc_id)
+          SELECT doc_id, CAST(to_json([$list]) AS VARCHAR) AS sig FROM m"""
+    },
     "q_lsh_pairs" ->
       s"""WITH $shingleCte
           SELECT doc_a, doc_b, shared_bands FROM pairs""",

@@ -100,29 +100,19 @@ object TextQueries {
     // expression work + one distinct; integer-exact, so the DuckDB twin
     // hash-matches.
     "q_fingerprint_rolling" -> ((s, d) => {
-      // one char-explode + two window passes over the SAME (doc, pos) sort:
-      // gram hash = Σ lead(code, j) * 31^(7-j) (8 codegen'd leads — no
-      // interpreted higher-order lambdas; an aggregate(sequence(...))
-      // formulation measured 10× slower), then the winnowing min over the
-      // next 4 gram positions. One shuffle+sort total.
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val pows = (0 to 7).map(j => math.pow(31, 7 - j).toLong)
-      val gramHash = (0 to 7).map(j =>
-        (if (j == 0) col("code") else lead(col("code"), j).over(win)) * lit(pows(j)))
-        .reduce(_ + _)
+      // ONE native codegen'd expression per row ([[graft.functions
+      // .WinnowFingerprint]]): rolling gram hash + sliding min + per-doc
+      // distinct, all inside the scan — zero shuffles, no explode-per-char.
+      // (The previous window formulation exploded one row per CHARACTER and
+      // sorted ~5M rows at sf0.1; its GC footprint amplified bench-host
+      // contention ~12×. Identical integer semantics — the DuckDB oracle is
+      // unchanged and still hash-matches.)
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
           lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
         .filter(length(col("t")) >= 8 + 3) // at least one full window
-        .withColumn("ng", (length(col("t")) - 7).cast("long"))
-        .select(col("doc_id"), col("ng"),
-          posexplode(split(col("t"), "")).as(Seq("pos", "ch")))
-        .withColumn("code", ascii(col("ch")).cast("long"))
-        .withColumn("gh", gramHash)
-        .withColumn("fp", min("gh").over(win.rowsBetween(0, 3)))
-        .filter(col("pos") <= col("ng") - 4) // full windows only
-        .select(col("doc_id"), col("fp")).distinct()
+        .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 4)")).as("fp"))
     }),
 
     // Multimodal metadata pass: text treated as an opaque payload — byte

@@ -56,6 +56,34 @@ class MinHashSketchSpec extends SparkTestBase {
     assert(out("x") === out("y"))
   }
 
+  test("md5p mode matches the modular-permutation reference and stays in [0, p)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def expectedMd5p(tokens: Seq[String], k: Int): Seq[Long] = {
+      val sig = Array.fill(k)(Long.MaxValue)
+      tokens.foreach { t =>
+        val b = MinHashSketch.md5BaseModP(UTF8String.fromString(t))
+        (0 until k).foreach { i =>
+          val h = (MinHashSketch.mulA(i) * b + MinHashSketch.incB(i)) % MinHashSketch.P
+          if (h < sig(i)) sig(i) = h
+        }
+      }
+      sig.toSeq
+    }
+    val data = Seq(("a", "the"), ("a", "quick"), ("b", "lazy"))
+    val out = data.toDF("doc", "token")
+      .groupBy("doc").agg(expr("minhash_sketch(token, 8, 'md5p')").as("sig"))
+      .orderBy("doc").collect()
+    assert(out(0).getSeq[Long](1) === expectedMd5p(Seq("the", "quick"), 8))
+    assert(out(1).getSeq[Long](1) === expectedMd5p(Seq("lazy"), 8))
+    out.foreach(_.getSeq[Long](1).foreach(v =>
+      assert(v >= 0 && v < MinHashSketch.P)))
+    // base hash agrees with DuckDB md5_number_lower('x') = 11990653779475613941
+    assert(MinHashSketch.md5BaseModP(UTF8String.fromString("x")) ===
+      java.lang.Long.remainderUnsigned(
+        java.lang.Long.parseUnsignedLong("11990653779475613941"), MinHashSketch.P))
+  }
+
   test("signature agreement estimates Jaccard similarity") {
     GraftFunctions.register(spark)
     import spark.implicits._
