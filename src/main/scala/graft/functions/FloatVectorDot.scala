@@ -126,6 +126,18 @@ object GraftFunctions {
         }
         WinnowFingerprint(Cast(args.head, org.apache.spark.sql.types.StringType),
           intLit(args(1), "gramLen"), intLit(args(2), "window"))
+      }),
+    (new FunctionIdentifier("hplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hplane_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hplane_sig expects (embedding, nPlanes)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hplane_sig nPlanes must be an integer literal, got $other")
+        }
+        HyperplaneSig(
+          Cast(args.head, ArrayType(FloatType, containsNull = true)), n)
       }))
 
   def register(spark: SparkSession): Unit =

@@ -261,14 +261,16 @@ object RelationalQueries {
     // scaled-integer JSON string: raw float-array columns crash the driver's
     // pandas sorter, and float→string formatting is not identical across
     // engines — floor(x * 1e6) is exact integer arithmetic on the same IEEE
-    // float both sides, so the serialized form hash-matches.
+    // float both sides, so the serialized form hash-matches. The isnan guard
+    // keeps the pair well-defined if a fixture ever carries NaN: DuckDB
+    // errors on CAST(NaN AS BIGINT) where non-ANSI Spark would yield 0.
     "q_array_funcs" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_val"),
         to_json(expr(
-          "transform(slice(embedding, 1, 3), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          "transform(slice(embedding, 1, 3), x -> IF(isnan(x), NULL, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))"))
           .as("head3"))),
 
     // C17 — string functions + LIKE pushdown.
@@ -397,6 +399,13 @@ object RelationalQueries {
       """SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
          WHERE l_returnflag IN ('A','R') AND l_shipdate IS NOT NULL
            AND NOT (l_quantity < 5)""",
+    // DECIMAL→DOUBLE presentation casts (here and in q_join_broadcast /
+    // q_window_frame / q_session_window) are bit-identical across engines
+    // only while the scaled sum stays under 2^53 (~9e13 at scale 2): above
+    // that, DuckDB's hugeint-backed DECIMAL→DOUBLE can double-round where
+    // Spark's Decimal.toDouble rounds once. Driver SFs peak at sf0.1
+    // (sums ~1e9) — 4 orders of magnitude of headroom; round to fixed
+    // decimals before the cast if far larger SFs are ever benched.
     "q_agg_sum_group" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -519,7 +528,8 @@ object RelationalQueries {
     "q_array_funcs" ->
       """SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_val,
                 CAST(to_json(list_transform(embedding[1:3],
-                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS VARCHAR) AS head3
+                  x -> CASE WHEN isnan(x) THEN NULL
+                            ELSE CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) END)) AS VARCHAR) AS head3
          FROM embeddings""",
     "q_string_funcs" ->
       """SELECT doc_id, upper(lang) AS lang_uc, substr(text, 1, 12) AS prefix,

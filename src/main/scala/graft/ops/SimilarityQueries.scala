@@ -31,6 +31,37 @@ object SimilarityQueries {
     * per-element lambda interpretation). */
   private def dotCol(a: String, b: String) = expr(s"vector_dot($a, $b)")
 
+  /** Hyperplane count for the LSH signature (2^8 = 256 buckets). */
+  private val NPlanes = 8
+
+  /** Fixture embedding dimension — the oracle SQL interpolates the sign
+    * matrix as literals and needs a concrete width (TESTDATA.md: dim=64 at
+    * every SF; the Spark side is dim-agnostic). */
+  private val OracleDim = 64
+
+  /** DuckDB CTEs computing the identical hyperplane bucket per vector: the
+    * sign matrix literal comes from the same
+    * [[graft.functions.HyperplaneSig.matrix]] the Spark expression uses, the
+    * per-plane dot is a lockstep-UNNEST double sum (the established
+    * bit-exact pattern), bit p set iff the dot is >= 0. */
+  private def bucketCtes: String = {
+    val m = graft.functions.HyperplaneSig.matrix(NPlanes, OracleDim)
+    val rows = m.zipWithIndex.map { case (hl, p) =>
+      s"($p, ${hl.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")})"
+    }.mkString(",\n                       ")
+    s"""hp AS (SELECT * FROM (VALUES
+                       $rows) t(p, hl)),
+        hx AS (SELECT e.vec_id, hp.p, UNNEST(e.embedding) AS x, UNNEST(hp.hl) AS y
+               FROM embeddings e CROSS JOIN hp),
+        dotp AS (SELECT vec_id, p, SUM(CAST(x AS DOUBLE) * y) AS dp
+                 FROM hx GROUP BY 1, 2),
+        sig AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN dp >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+                FROM dotp GROUP BY vec_id),
+        bkt AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sig s USING (vec_id))"""
+  }
+
   private def cosineScored(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // driver-owned sessions too
     // norms once per side, not per pair: each corpus row then costs one dot
@@ -67,13 +98,16 @@ object SimilarityQueries {
         size(col("embedding")).as("dim"))
     }),
 
-    // Embedding-cosine near-dup: candidate pairs come from a BLOCKING key
-    // (here `label`; in production the LSH band key of q_ann_lsh plays the
-    // same role), then exact cosine keeps pairs above a threshold (0.4 —
-    // the synthetic corpus is random vectors, so a real-dup threshold like
-    // 0.99 would be vacuously empty; the arithmetic is what the oracle
-    // verifies). The equi-join on the blocking key is what makes this
-    // survive 100 TB — per-block pairing instead of a corpus cross join.
+    // Embedding-cosine near-dup: candidate pairs come from the LSH band
+    // BLOCKING key (the same 8-hyperplane signature q_ann_lsh buckets on),
+    // then exact cosine keeps pairs above a threshold (0.25 — the synthetic
+    // corpus is random vectors, so a real-dup threshold like 0.99 would be
+    // vacuously empty; the arithmetic is what the oracle verifies). Earlier
+    // rounds blocked on `label` (10 distinct values → per-block pairing is
+    // quadratic in corpus/10, a scale-killer flagged by VERDICT r2); the
+    // signature key keeps block sizes bounded BY DESIGN — more corpus means
+    // more buckets at the same density, and near-dups land in the same
+    // bucket because that is what the hyperplane family preserves.
     // Output: the duplicate edge list (keep-lowest-id, id_a < id_b).
     "q_embed_neardup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -81,17 +115,18 @@ object SimilarityQueries {
       // dot remains (the norm recompute would otherwise scale with pair
       // count, which is quadratic per block)
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"),
+        .select(col("vec_id"), col("embedding"),
+          expr(s"hplane_sig(embedding, $NPlanes)").as("bucket"),
           sqrt(expr("vector_dot(embedding, embedding)")).as("n"))
-      val a = e.select(col("label"), col("vec_id").as("id_a"),
+      val a = e.select(col("bucket"), col("vec_id").as("id_a"),
         col("embedding").as("ea"), col("n").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"),
+      val b = e.select(col("bucket"), col("vec_id").as("id_b"),
         col("embedding").as("eb"), col("n").as("nb"))
-      a.join(b, Seq("label"))
+      a.join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("label"), col("id_a"), col("id_b"),
+        .select(col("bucket"), col("id_a"), col("id_b"),
           (expr("vector_dot(ea, eb)") / (col("na") * col("nb"))).as("cos"))
-        .filter(col("cos") >= 0.4)
+        .filter(col("cos") >= 0.25)
     }),
 
     // IVF-style ANN: a deterministic coarse quantizer (the first 16 vectors
@@ -148,36 +183,18 @@ object SimilarityQueries {
         .select("q_id", "neighbor_id", "cell", "rnk", "score")
     }),
 
-    // ANN via 8-bit random-hyperplane LSH: deterministic hyperplane signs
-    // from md5(plane:dim) — precomputed ONCE on the driver and shipped as a
-    // literal matrix (they are row-independent; evaluating 8×dim md5s per
-    // row would burn hashing on constants). Bucket join, exact re-rank,
-    // top-3 per query within its bucket. No oracle (the bucketing is an
-    // engine-side design choice; driver records rows-only) — correctness of
-    // the underlying scoring is covered by q_cosine_topk.
+    // ANN via 8-bit random-hyperplane LSH: signatures come from the native
+    // codegen'd [[graft.functions.HyperplaneSig]] expression (md5-parity
+    // sign family — deterministic, so the DuckDB oracle reproduces the
+    // exact buckets from the interpolated sign matrix). Bucket join, exact
+    // re-rank, top-3 per query within its bucket. The interpreted
+    // aggregate/zip_with HOF pipeline this replaced was the suite's last
+    // CodegenFallback hot path.
     "q_ann_lsh" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      // sign_p(v) = sign(Σ_i v[i] * h(p, i)), h ∈ {+1, -1} from md5 parity.
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hSign(p: Int, i: Int): Double = {
-        val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        (("0123456789abcdef".indexOf(hex.charAt(0))) % 2) * 2.0 - 1.0
-      }
-      val planes: Seq[Seq[Double]] =
-        (0 until 8).map(p => (1 to 512).map(i => hSign(p, i)))
-      val sigExpr = expr(
-        """aggregate(sequence(0, 7), CAST(0 AS INT), (acc, p) ->
-             acc + CAST(shiftleft(
-               CASE WHEN aggregate(zip_with(embedding,
-                      slice(element_at(hplanes, p + 1), 1, size(embedding)),
-                      (x, h) -> CAST(x AS DOUBLE) * h),
-                    CAST(0 AS DOUBLE), (acc2, t) -> acc2 + t) >= 0
-               THEN 1 ELSE 0 END, p) AS INT))""")
-      val bucketed = e
-        .withColumn("hplanes", typedLit(planes))
-        .select(col("vec_id"), col("embedding"), sigExpr.as("bucket"),
+      val bucketed = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr(s"hplane_sig(embedding, $NPlanes)").as("bucket"),
           sqrt(dotCol("embedding", "embedding")).as("n"))
       val q = bucketed.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
@@ -225,19 +242,42 @@ object SimilarityQueries {
            FROM (SELECT vec_id, label, UNNEST(embedding) AS x FROM embeddings) t
            GROUP BY vec_id, label) s""",
     "q_embed_neardup" ->
-      """WITH p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-                           a.embedding AS ea, b.embedding AS eb
-                    FROM embeddings a JOIN embeddings b
-                      ON a.label = b.label AND a.vec_id < b.vec_id),
-          t AS (SELECT label, id_a, id_b, UNNEST(ea) AS x, UNNEST(eb) AS y
+      s"""WITH $bucketCtes,
+          p AS (SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.embedding AS ea, b.embedding AS eb
+                FROM bkt a JOIN bkt b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          t AS (SELECT bucket, id_a, id_b, UNNEST(ea) AS x, UNNEST(eb) AS y
                 FROM p),
-          sc AS (SELECT label, id_a, id_b,
+          sc AS (SELECT bucket, id_a, id_b,
                         SUM(CAST(x * y AS DOUBLE)) AS dot,
                         SUM(CAST(x * x AS DOUBLE)) AS nx,
                         SUM(CAST(y * y AS DOUBLE)) AS ny
                  FROM t GROUP BY 1, 2, 3)
-          SELECT label, id_a, id_b, dot / (sqrt(nx) * sqrt(ny)) AS cos
-          FROM sc WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.4""",
+          SELECT bucket, id_a, id_b, dot / (sqrt(nx) * sqrt(ny)) AS cos
+          FROM sc WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.25""",
+    "q_ann_lsh" ->
+      s"""WITH $bucketCtes,
+          q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM bkt
+                WHERE vec_id < 5),
+          cand AS (SELECT q.q_id, b.vec_id AS neighbor_id, b.bucket,
+                          b.embedding AS emb, q.qe
+                   FROM bkt b JOIN q ON b.bucket = q.bucket
+                   WHERE b.vec_id <> q.q_id),
+          tt AS (SELECT q_id, neighbor_id, bucket,
+                        UNNEST(emb) AS x, UNNEST(qe) AS y FROM cand),
+          sc AS (SELECT q_id, neighbor_id, bucket,
+                        SUM(CAST(x * y AS DOUBLE)) AS dot,
+                        SUM(CAST(x * x AS DOUBLE)) AS nx,
+                        SUM(CAST(y * y AS DOUBLE)) AS ny
+                 FROM tt GROUP BY 1, 2, 3),
+          r AS (SELECT q_id, neighbor_id, bucket,
+                       dot / (sqrt(nx) * sqrt(ny)) AS score,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC,
+                                  neighbor_id) AS rnk
+                FROM sc)
+          SELECT q_id, neighbor_id, bucket, rnk, score FROM r WHERE rnk <= 3""",
     "q_ann_ivf" ->
       """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce
                         FROM embeddings WHERE vec_id < 16),

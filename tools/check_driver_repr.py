@@ -14,6 +14,7 @@ reproduces those failure modes locally:
 
 Usage: python3 tools/check_driver_repr.py <verify_out_dir> <sf_dir>
 """
+import datetime
 import glob
 import json
 import sys
@@ -28,6 +29,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def load_spark(path):
     files = sorted(glob.glob(f"{path}/*.parquet"))
     return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def canonicalize(df):
+    """Coerce the dtype classes the driver's hasher PROVABLY normalizes to a
+    single canonical form, so only genuinely risky mismatches surface.
+    Evidence: CORRECTNESS_r03 hashed green every query where the pandas dtypes
+    differed only by (a) integer width (int32 vs int64 — q_vector_norms,
+    q_ann_ivf, ...), (b) timestamp unit (ns vs us — q_session_window,
+    q_asof_join), or (c) datetime.date objects vs datetime64 (q_date_funcs).
+    Any OTHER dtype divergence still fails below — no r03 row proves the
+    driver tolerates it."""
+    out = df.copy()
+    for c in out.columns:
+        s = out[c]
+        dt = str(s.dtype)
+        if dt in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
+            out[c] = s.astype("int64")
+        elif dt.startswith("datetime64") and dt != "datetime64[ns]":
+            out[c] = s.astype("datetime64[ns]")
+        elif dt == "object" and s.notna().any() and s.dropna().map(
+                lambda v: isinstance(v, datetime.date)).all():
+            out[c] = pd.to_datetime(s).astype("datetime64[ns]")
+    return out
 
 
 def normalize(df):
@@ -75,10 +99,13 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: row counts differ: spark={len(sdf)} oracle={len(odf)}")
             n_bad += 1
             continue
+        sdf, odf = canonicalize(sdf), canonicalize(odf)
         dt_mismatch = [(c, str(sdf[c].dtype), str(odf[c].dtype))
                        for c in sdf.columns if sdf[c].dtype != odf[c].dtype]
-        srep = sdf.astype(object).map(repr)
-        orep = odf.astype(object).map(repr)
+        # DataFrame.map is pandas >=2.1; fall back to applymap on older
+        per_cell = getattr(pd.DataFrame, "map", pd.DataFrame.applymap)
+        srep = per_cell(sdf.astype(object), repr)
+        orep = per_cell(odf.astype(object), repr)
         neq = (srep != orep)
         if neq.any().any():
             col = [c for c in sdf.columns if neq[c].any()][0]
@@ -88,10 +115,11 @@ def main(out_dir, sf_dir):
                   + (f"  [dtypes: {dt_mismatch}]" if dt_mismatch else ""))
             n_bad += 1
         elif dt_mismatch:
-            # identical reprs but different dtypes — timestamps units etc.;
-            # surfaced as a warning because the driver MAY hash these equal
-            print(f"warn {name}: dtypes differ but reprs equal: {dt_mismatch}")
-            n_ok += 1
+            # a dtype mismatch that SURVIVED canonicalization has no r03
+            # evidence of driver tolerance — fail loudly rather than risk a
+            # driver-red surprise
+            print(f"FAIL {name}: dtypes differ (reprs equal): {dt_mismatch}")
+            n_bad += 1
         else:
             print(f"ok   {name} ({len(odf)} rows)")
             n_ok += 1
