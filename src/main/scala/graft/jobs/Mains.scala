@@ -34,13 +34,46 @@ object Eth2ReplayJob {
   }
 }
 
-object Eth2HourlyExportJob {
-  /** args: <fixtureDir> <exportBase> <yyyy-MM-dd> <hour> */
+/** Source dispatch shared by the export mains: an `http(s)://…[,fallback…]`
+  * spec selects the real beacon-node client ([[graft.sources.HttpBeaconSource]])
+  * with E3 provider fallback; anything else is a fixture JSONL directory.
+  * Rate limit / worker count resolve through [[PipelineConfig.Vars]] from the
+  * environment (`EXPORT_RATE_LIMIT`, `EXPORT_MAX_WORKERS` — the reference's
+  * `export_rate_limit`/`export_max_workers` Airflow Variables,
+  * `/root/reference/dags/ethereum2etl_airflow/variables.py:15-21`). */
+private[jobs] object SourceDispatch {
+  def sourceFor(spec: String): BeaconSource =
+    if (spec.startsWith("http://") || spec.startsWith("https://")) {
+      val vars = PipelineConfig.Vars("EXPORT_", name => sys.env.get(name.toUpperCase))
+      new graft.sources.HttpBeaconSource(graft.sources.BeaconApiConfig(
+        providerUris = spec.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+        ratePerSecond = vars.get("RATE_LIMIT").map(_.toDouble),
+        fetchTasks = vars.int("MAX_WORKERS", 8)))
+    } else new JsonlBeaconSource(spec)
+}
+
+object Eth2DailyExportJob {
+  /** args: <providerUrisOrFixtureDir> <exportBase> <yyyy-MM-dd> — the daily
+    * export stage alone (`build_export_dag.py`), runnable against a live
+    * beacon node URI list or a fixture directory. */
   def main(args: Array[String]): Unit = {
-    require(args.length == 4, "usage: Eth2HourlyExportJob <fixtureDir> <exportBase> <date> <hour>")
+    require(args.length == 3, "usage: Eth2DailyExportJob <providerUris|fixtureDir> <exportBase> <date>")
+    val spark = GraftSession.local(cores = 4, appName = "eth2-daily-export")
+    try {
+      BeaconPipeline.dailyExport(spark, SourceDispatch.sourceFor(args(0)),
+        LocalDate.parse(args(2)), args(1))
+      println(s"""{"job":"daily_export","date":"${args(2)}"}""")
+    } finally spark.stop()
+  }
+}
+
+object Eth2HourlyExportJob {
+  /** args: <providerUrisOrFixtureDir> <exportBase> <yyyy-MM-dd> <hour> */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4, "usage: Eth2HourlyExportJob <providerUris|fixtureDir> <exportBase> <date> <hour>")
     val spark = GraftSession.local(cores = 4, appName = "eth2-hourly-export")
     try {
-      BeaconPipeline.hourlyExport(spark, new JsonlBeaconSource(args(0)),
+      BeaconPipeline.hourlyExport(spark, SourceDispatch.sourceFor(args(0)),
         LocalDate.parse(args(2)), args(3).toInt, args(1))
       println(s"""{"job":"hourly_export","date":"${args(2)}","hour":${args(3)}}""")
     } finally spark.stop()
