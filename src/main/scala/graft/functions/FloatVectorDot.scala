@@ -115,6 +115,12 @@ object GraftFunctions {
         require(args.length == 1, "md5_low63 expects 1 argument")
         Md5Low63(Cast(args.head, org.apache.spark.sql.types.StringType))
       }),
+    (new FunctionIdentifier("md5_high63"),
+      new ExpressionInfo(classOf[Md5High63].getName, "md5_high63"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5_high63 expects 1 argument")
+        Md5High63(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }),
     (new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fps"),
       (args: Seq[Expression]) => {

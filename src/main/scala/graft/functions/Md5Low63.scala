@@ -39,11 +39,52 @@ case class Md5Low63(child: Expression) extends UnaryExpression {
   override def prettyName: String = "md5_low63"
 }
 
+/** `md5_high63(str)` — the OTHER 8 bytes of the same digest
+  * (`md5_number_upper(str) % (2^63-1)` in DuckDB). One md5 yields two
+  * independent 63-bit hash lanes, so a k-lane MinHash signature needs
+  * ⌈k/2⌉ digests instead of k — half the hashing and half the seeded-string
+  * concat allocations on the hot shingle stream. */
+case class Md5High63(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Low63.computeUpper(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Low63.computeUpper($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5High63 =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_high63"
+}
+
 object Md5Low63 {
   val M: Long = Long.MaxValue // 2^63 - 1
 
-  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
-    java.security.MessageDigest.getInstance("MD5"))
+  /** Per-thread digest + one-entry memo of the LAST (input, digest).
+    * `md5_low63(x)` and `md5_high63(x)` of the same value evaluate
+    * back-to-back in the same generated row loop, so the memo halves the
+    * digest work when both lanes of one seeded string are used. Keyed by
+    * byte CONTENT (Arrays.equals), so it is correctness-neutral no matter
+    * how the planner orders the calls. */
+  private final class Hasher {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var lastInput: Array[Byte] = null
+    var lastDigest: Array[Byte] = null
+    def digest(b: Array[Byte]): Array[Byte] = {
+      if (lastInput == null || !java.util.Arrays.equals(lastInput, b)) {
+        lastInput = b
+        lastDigest = md.digest(b)
+      }
+      lastDigest
+    }
+  }
+
+  private val tlMd5 = ThreadLocal.withInitial[Hasher](() => new Hasher)
 
   /** Static (callable from generated Java): md5_number_lower(s) % (2^63-1)
     * with unsigned remainder — always in [0, 2^63-1). */
@@ -52,6 +93,16 @@ object Md5Low63 {
     var base = 0L
     var i = 15
     while (i >= 8) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
+    java.lang.Long.remainderUnsigned(base, M)
+  }
+
+  /** md5_number_upper(s) % (2^63-1): bytes 0..7 little-endian (verified
+    * byte-for-byte against DuckDB). */
+  def computeUpper(s: UTF8String): Long = {
+    val d = tlMd5.get().digest(s.getBytes)
+    var base = 0L
+    var i = 7
+    while (i >= 0) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
     java.lang.Long.remainderUnsigned(base, M)
   }
 }

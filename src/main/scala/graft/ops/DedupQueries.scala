@@ -27,9 +27,13 @@ import graft.tables.Tables
 object DedupQueries {
 
   /** doc_id + word array (docs shorter than one 3-shingle are dropped —
-    * mirrors `len(w) >= 3` in the oracle). */
+    * mirrors `len(w) >= 3` in the oracle). [[ScaleOps.spread]] first:
+    * everything downstream hashes every shingle 4×, and a single-row-group
+    * source would fuse all of it into one scan task (round-robin, so the
+    * groupBy(doc_id) keeps its own exchange as the shared reuse boundary —
+    * see the spread scaladoc). */
   private def words(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    ScaleOps.spread(Tables.documents(s, d))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
 
@@ -56,11 +60,15 @@ object DedupQueries {
     * hash-aggregates map-side and the band shuffle carries 8 bytes/hash. */
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // 4 hash lanes from TWO digests: each md5 yields two independent 63-bit
+    // halves ([[graft.functions.Md5High63]]), so the hot shingle stream is
+    // hashed twice, not four times — same statistical family, half the
+    // digest + seeded-concat work
     shingles(s, d).groupBy("doc_id").agg(
       min(expr("md5_low63(concat('0:', sh))")).as("mh0"),
-      min(expr("md5_low63(concat('1:', sh))")).as("mh1"),
-      min(expr("md5_low63(concat('2:', sh))")).as("mh2"),
-      min(expr("md5_low63(concat('3:', sh))")).as("mh3"))
+      min(expr("md5_high63(concat('0:', sh))")).as("mh1"),
+      min(expr("md5_low63(concat('1:', sh))")).as("mh2"),
+      min(expr("md5_high63(concat('1:', sh))")).as("mh3"))
   }
 
   /** Banded-LSH candidate pairs: bands of 1 hash each; docs are grouped by
@@ -138,13 +146,22 @@ object DedupQueries {
       // distinct shingle set per doc; the three consumers (band stream +
       // the two pair-side set lookups) all read the same exchange, which
       // Spark's exchange reuse executes once.
+      //
+      // The per-doc set holds the band-0 HASH (8-byte long), not the
+      // shingle string: the value is already computed for mh0, the
+      // collect_set shuffle then carries longs instead of ~20-char strings,
+      // and array_intersect compares primitives. |A∩B| over distinct hashes
+      // equals |A∩B| over distinct shingles up to md5 collisions, which the
+      // oracle reproduces exactly (same hash, same collisions).
       graft.functions.GraftFunctions.register(s)
-      val sig = shingles(s, d).groupBy("doc_id").agg(
-        min(expr("md5_low63(concat('0:', sh))")).as("mh0"),
-        min(expr("md5_low63(concat('1:', sh))")).as("mh1"),
-        min(expr("md5_low63(concat('2:', sh))")).as("mh2"),
-        min(expr("md5_low63(concat('3:', sh))")).as("mh3"),
-        collect_set(col("sh")).as("ss"))
+      val sig = shingles(s, d)
+        .withColumn("h0", expr("md5_low63(concat('0:', sh))"))
+        .groupBy("doc_id").agg(
+          min(col("h0")).as("mh0"),
+          min(expr("md5_high63(concat('0:', sh))")).as("mh1"),
+          min(expr("md5_low63(concat('1:', sh))")).as("mh2"),
+          min(expr("md5_high63(concat('1:', sh))")).as("mh3"),
+          collect_set(col("h0")).as("ss"))
       val docSets = sig.select(col("doc_id"), col("ss"))
       val cand = lshPairsFromSig(sig).select("doc_a", "doc_b")
       cand
@@ -166,7 +183,7 @@ object DedupQueries {
     // doc, instead of exploding 16 rows per word and aggregating twice
     // (16× the shuffle volume at 100 TB for the same answer).
     "q_simhash" -> ((s, d) => {
-      val w = Tables.documents(s, d)
+      val w = ScaleOps.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
@@ -192,9 +209,9 @@ object DedupQueries {
               FROM ws WHERE len(w) >= 3),
        sig AS (SELECT doc_id,
                       MIN(CAST(md5_number_lower('0:' || sh) % 9223372036854775807 AS BIGINT)) AS mh0,
-                      MIN(CAST(md5_number_lower('1:' || sh) % 9223372036854775807 AS BIGINT)) AS mh1,
-                      MIN(CAST(md5_number_lower('2:' || sh) % 9223372036854775807 AS BIGINT)) AS mh2,
-                      MIN(CAST(md5_number_lower('3:' || sh) % 9223372036854775807 AS BIGINT)) AS mh3
+                      MIN(CAST(md5_number_upper('0:' || sh) % 9223372036854775807 AS BIGINT)) AS mh1,
+                      MIN(CAST(md5_number_lower('1:' || sh) % 9223372036854775807 AS BIGINT)) AS mh2,
+                      MIN(CAST(md5_number_upper('1:' || sh) % 9223372036854775807 AS BIGINT)) AS mh3
                FROM sh GROUP BY doc_id),
        bands AS (SELECT doc_id, 0 AS band, mh0 AS h FROM sig
                  UNION ALL SELECT doc_id, 1, mh1 FROM sig
@@ -235,7 +252,10 @@ object DedupQueries {
           SELECT doc_a, doc_b, shared_bands FROM pairs""",
     "q_jaccard_pairs" ->
       s"""WITH $shingleCte,
-          ssh AS (SELECT DISTINCT doc_id, sh FROM sh),
+          ssh AS (SELECT DISTINCT doc_id,
+                         CAST(md5_number_lower('0:' || sh)
+                              % 9223372036854775807 AS BIGINT) AS sh
+                  FROM sh),
           cnt AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
           inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
                     FROM pairs p

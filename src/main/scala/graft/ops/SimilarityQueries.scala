@@ -67,7 +67,8 @@ object SimilarityQueries {
     // norms once per side, not per pair: each corpus row then costs one dot
     // + one own-norm against ALL queries (bit-identical scores — same
     // sqrt(Σx²) factors, same division)
-    val e = Tables.embeddings(s, d)
+    // per-row dot work against every query — spread a one-row-group scan
+    val e = ScaleOps.spread(Tables.embeddings(s, d))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         sqrt(dotCol("embedding", "embedding")).as("nq"))
@@ -114,7 +115,7 @@ object SimilarityQueries {
       // norm once per ROW before the pair join — per pair only the cross
       // dot remains (the norm recompute would otherwise scale with pair
       // count, which is quadratic per block)
-      val e = Tables.embeddings(s, d)
+      val e = ScaleOps.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           expr(s"hplane_sig(embedding, $NPlanes)").as("bucket"),
           sqrt(expr("vector_dot(embedding, embedding)")).as("n"))
@@ -142,7 +143,7 @@ object SimilarityQueries {
       // cosine against 16 centroids then costs 16 dots + 1 norm per row,
       // not 16 dots + 32 norms (bit-identical: same sqrt(Σx²) value, the
       // expression tree divides by the same two factors)
-      val e = Tables.embeddings(s, d)
+      val e = ScaleOps.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           sqrt(expr("vector_dot(embedding, embedding)")).as("nv"))
       val cents = e.filter(col("vec_id") < 16)
@@ -192,7 +193,7 @@ object SimilarityQueries {
     // CodegenFallback hot path.
     "q_ann_lsh" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val bucketed = Tables.embeddings(s, d)
+      val bucketed = ScaleOps.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           expr(s"hplane_sig(embedding, $NPlanes)").as("bucket"),
           sqrt(dotCol("embedding", "embedding")).as("n"))

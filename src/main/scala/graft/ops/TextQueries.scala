@@ -74,7 +74,8 @@ object TextQueries {
         grams.map(g => (length(t) - length(regexp_replace(t, g, ""))) / 2)
           .reduce(_ + _)
       val t = lower(col("text"))
-      Tables.documents(s, d)
+      // ~15 regexp passes per row — spread an under-partitioned scan first
+      ScaleOps.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           hits(t, LangProfiles("en")).as("en_hits"),
           hits(t, LangProfiles("de")).as("de_hits"),
@@ -108,7 +109,7 @@ object TextQueries {
       // contention ~12×. Identical integer semantics — the DuckDB oracle is
       // unchanged and still hash-matches.)
       graft.functions.GraftFunctions.register(s)
-      Tables.documents(s, d)
+      ScaleOps.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
         .filter(length(col("t")) >= 8 + 3) // at least one full window
