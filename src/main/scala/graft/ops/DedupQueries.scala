@@ -154,6 +154,12 @@ object DedupQueries {
       // equals |A∩B| over distinct shingles up to md5 collisions, which the
       // oracle reproduces exactly (same hash, same collisions).
       graft.functions.GraftFunctions.register(s)
+      // the trailing repartition puts an EXCHANGE above the aggregate:
+      // exchange reuse otherwise only caches the partial-agg side, so each
+      // of the three consumers would re-run the final collect_set merge
+      // (and at cluster scale re-read the same shuffle files three times);
+      // materializing the 1-row-per-doc aggregate once costs one narrow
+      // shuffle
       val sig = shingles(s, d)
         .withColumn("h0", expr("md5_low63(concat('0:', sh))"))
         .groupBy("doc_id").agg(
@@ -162,6 +168,7 @@ object DedupQueries {
           min(expr("md5_low63(concat('1:', sh))")).as("mh2"),
           min(expr("md5_high63(concat('1:', sh))")).as("mh3"),
           collect_set(col("h0")).as("ss"))
+        .repartition(col("doc_id"))
       val docSets = sig.select(col("doc_id"), col("ss"))
       val cand = lshPairsFromSig(sig).select("doc_a", "doc_b")
       cand
