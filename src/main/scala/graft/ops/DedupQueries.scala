@@ -183,6 +183,39 @@ object DedupQueries {
             .as("jaccard"))
     }),
 
+    // Near-dup CLUSTERS: connected components over the LSH candidate graph,
+    // labelled by each component's minimum doc_id — the step a production
+    // dedup pipeline runs after pair generation (keep one doc per cluster).
+    // Min-label propagation to the FIXED POINT: each iteration is one
+    // edges⋈labels equi-join + a min() aggregate, i.e. diameter-many narrow
+    // shuffles. Near-dup components are clique-like (diameter 1–2), so the
+    // loop converges in a handful of rounds even at 100 TB; a pathological
+    // long-chain graph would call for the large-star/small-star variant
+    // (same join-agg building blocks). `localCheckpoint` truncates the
+    // growing lineage each round — without it the plan doubles per
+    // iteration and re-executes the whole history.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val e = lshPairs(s, d).select("doc_a", "doc_b")
+      val sym = e.union(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint(true) // the edge list is re-read every iteration
+      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+        .localCheckpoint(true)
+      var converged = false
+      while (!converged) {
+        val prop = sym.join(labels, sym("doc_b") === labels("doc_id"))
+          .select(sym("doc_a").as("doc_id"), col("cluster"))
+        val next = labels.union(prop)
+          .groupBy("doc_id").agg(min("cluster").as("cluster"))
+          .localCheckpoint(true)
+        // labels only ever decrease, so "no label got smaller" = fixed point
+        converged = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+          .filter(col("cluster") < col("prev")).isEmpty
+        labels = next
+      }
+      labels
+    }),
+
     // 16-bit SimHash from per-word md5 bit votes (integer-only arithmetic →
     // bit-identical to the oracle). Single-pass: the md5 is computed once
     // per word and all 16 bit votes are CONDITIONAL AGGREGATE COLUMNS over
@@ -257,6 +290,18 @@ object DedupQueries {
     "q_lsh_pairs" ->
       s"""WITH $shingleCte
           SELECT doc_a, doc_b, shared_bands FROM pairs""",
+    // transitive closure (recursive CTE) reaches the same fixed point the
+    // Spark propagation loop converges to: min reachable doc_id
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+          sym AS (SELECT doc_a, doc_b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          reach(doc_id, cluster) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.doc_a, r.cluster
+            FROM sym s JOIN reach r ON r.doc_id = s.doc_b)
+          SELECT doc_id, MIN(cluster) AS cluster FROM reach GROUP BY doc_id""",
     "q_jaccard_pairs" ->
       s"""WITH $shingleCte,
           ssh AS (SELECT DISTINCT doc_id,

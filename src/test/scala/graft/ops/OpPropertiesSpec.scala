@@ -110,4 +110,26 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(sig(1L) === sig(2L), "identical docs must have identical signatures")
     assert(sig(1L) !== sig(3L), "disjoint shingle sets should not collide on min-hash")
   }
+
+  test("near-dup clustering is a valid connected-components labelling") {
+    val sfDir = "/root/testdata/sf0.001"
+    val labels = DedupQueries.queries("q_dedup_clusters")(spark, sfDir)
+    val docs = graft.tables.Tables.documents(spark, sfDir).select("doc_id")
+    // total labelling: exactly one cluster per document
+    assert(labels.count() === docs.count())
+    val edges = DedupQueries.queries("q_lsh_pairs")(spark, sfDir)
+      .select("doc_a", "doc_b")
+    // every candidate edge's endpoints share a cluster (fixed point reached)
+    val la = labels.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("cluster", "ca")
+    val lb = labels.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("cluster", "cb")
+    assert(edges.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("ca") =!= col("cb")).isEmpty)
+    // the representative is a member of its own cluster with its own label
+    assert(labels.filter(col("doc_id") === col("cluster")).count() ===
+      labels.select("cluster").distinct().count())
+    // labels point at the minimum member: no member is smaller than its label
+    assert(labels.filter(col("doc_id") < col("cluster")).isEmpty)
+  }
 }
