@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{DedupQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.ops.{CorpusQueries, DedupQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, LSH bucketing)
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ CorpusQueries.oracle
 }

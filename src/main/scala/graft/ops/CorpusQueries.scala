@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** The end-to-end training-corpus curation pipeline, composed from the
+  * operator library: quality gate → language gate → exact dedup → near-dup
+  * clustering → keep-one-per-cluster. This is the flow a 100 TB pretraining
+  * corpus actually runs; every stage here is one of the already-verified
+  * building blocks ([[TextQueries]] quality expressions,
+  * [[DedupQueries.lshPairsOf]], [[DedupQueries.clusterLabels]]) applied to
+  * the SURVIVORS of the previous stage — filtering before signature
+  * computation, so dropped rows never cost a hash.
+  *
+  * Stage order matters at scale: the cheap per-row gates (token count,
+  * character density, language) run inside the scan and cut the corpus
+  * before anything shuffles; exact dedup is one hash shuffle on the content
+  * key; only then does the (more expensive) MinHash/LSH machinery run, on
+  * the smallest possible input.
+  */
+object CorpusQueries {
+
+  /** Quality + language gate — thresholds chosen to bite on the synthetic
+    * corpus (token count ≥ 20 drops the short tail, density ≥ 0.8 the
+    * whitespace-heavy rows, language set keeps latin-script docs). */
+  private[ops] def qualityGate(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          length(col("text"))).as("density"))
+      .filter(col("n_tokens") >= 20 && col("density") >= 0.8 &&
+        col("lang").isin("en", "de", "fr"))
+
+  /** Exact dedup among survivors: keep the minimum doc_id per identical
+    * text (window min — no row is lost before the comparison, unlike a
+    * groupBy that would have to carry every column through the aggregate). */
+  private[ops] def exactKeep(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("text")))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("keeper")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The curated keep-list: for every surviving document its language and
+    // token count — the rows a downstream tokenizer would actually read.
+    "q_corpus_keep" -> ((s, d) => {
+      val surv = exactKeep(qualityGate(Tables.documents(s, d)))
+      val labels = DedupQueries.clusterLabels(
+        surv.select("doc_id"),
+        DedupQueries.lshPairsOf(surv).select("doc_a", "doc_b"))
+      // keep exactly the cluster representatives (label == own id)
+      surv.join(labels, "doc_id")
+        .filter(col("doc_id") === col("cluster"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_corpus_keep" -> {
+      val qual =
+        """qual AS (SELECT doc_id, text, lang,
+                           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                    FROM documents
+                    WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+                      AND CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                            / length(text) >= 0.8
+                      AND lang IN ('en', 'de', 'fr')),
+           surv AS (SELECT doc_id, text, lang, n_tokens FROM (
+                      SELECT q.*, MIN(doc_id) OVER (PARTITION BY text) AS keeper
+                      FROM qual q) t
+                    WHERE doc_id = keeper)"""
+      s"""WITH RECURSIVE $qual,
+          ${DedupQueries.shingleCteFrom("surv")},
+          sym AS (SELECT doc_a, doc_b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          reach(doc_id, cluster) AS (
+            SELECT doc_id, doc_id FROM surv
+            UNION
+            SELECT s.doc_a, r.cluster
+            FROM sym s JOIN reach r ON r.doc_id = s.doc_b),
+          labels AS (SELECT doc_id, MIN(cluster) AS cluster
+                     FROM reach GROUP BY doc_id)
+          SELECT s.doc_id, s.lang, s.n_tokens
+          FROM surv s JOIN labels l USING (doc_id)
+          WHERE l.cluster = s.doc_id"""
+    }
+  )
+}

@@ -31,21 +31,29 @@ object DedupQueries {
     * everything downstream hashes every shingle 4×, and a single-row-group
     * source would fuse all of it into one scan task (round-robin, so the
     * groupBy(doc_id) keeps its own exchange as the shared reuse boundary —
-    * see the spread scaladoc). */
-  private def words(s: SparkSession, d: String): DataFrame =
-    ScaleOps.spread(Tables.documents(s, d))
+    * see the spread scaladoc). Parameterized by the docs relation so
+    * pipeline stages (e.g. [[CorpusQueries]]) can dedup a FILTERED corpus
+    * without recomputing signatures for dropped rows. */
+  private[ops] def wordsOf(docs: DataFrame): DataFrame =
+    ScaleOps.spread(docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
 
+  private def words(s: SparkSession, d: String): DataFrame =
+    wordsOf(Tables.documents(s, d))
+
   /** Exploded 3-word shingles: `transform` over an index sequence keeps the
     * shingle build inside whole-stage codegen (no UDF). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    words(s, d).select(
+  private[ops] def shinglesOf(docs: DataFrame): DataFrame =
+    wordsOf(docs).select(
       col("doc_id"),
       explode(expr(
         """transform(sequence(1, size(w) - 2),
            i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
                        element_at(w, i + 2)))""")).as("sh"))
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
 
   /** 4-hash MinHash signature per doc (seeded by prefixing the hash input).
     * Built from the RAW shingle stream, not a pre-distinct'd set: min() is
@@ -58,18 +66,21 @@ object DedupQueries {
     * hex STRINGS forced SortAggregate (two full sorts of the shingle
     * stream per signature) and shipped 32-char band keys — min(BIGINT)
     * hash-aggregates map-side and the band shuffle carries 8 bytes/hash. */
-  private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  private[ops] def minhashSigOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // 4 hash lanes from TWO digests: each md5 yields two independent 63-bit
     // halves ([[graft.functions.Md5High63]]), so the hot shingle stream is
     // hashed twice, not four times — same statistical family, half the
     // digest + seeded-concat work
-    shingles(s, d).groupBy("doc_id").agg(
+    shinglesOf(docs).groupBy("doc_id").agg(
       min(expr("md5_low63(concat('0:', sh))")).as("mh0"),
       min(expr("md5_high63(concat('0:', sh))")).as("mh1"),
       min(expr("md5_low63(concat('1:', sh))")).as("mh2"),
       min(expr("md5_high63(concat('1:', sh))")).as("mh3"))
   }
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigOf(Tables.documents(s, d))
 
   /** Banded-LSH candidate pairs: bands of 1 hash each; docs are grouped by
     * their (band, hash) bucket and pairs expand WITHIN each bucket
@@ -80,8 +91,41 @@ object DedupQueries {
     * design (that is the point of banding), so the in-bucket expansion is
     * per-group work; a pathological hot bucket at 100 TB takes the salting
     * escape hatch in [[graft.ops.ScaleOps]]. */
+  private[ops] def lshPairsOf(docs: DataFrame): DataFrame =
+    lshPairsFromSig(minhashSigOf(docs))
+
+  /** Connected-component labels over `(doc_a, doc_b)` edges: every id in
+    * `universe` gets its component's minimum id. Min-label propagation to
+    * the FIXED POINT — each round is one edges⋈labels equi-join + a min()
+    * aggregate (diameter-many narrow shuffles; near-dup components are
+    * clique-like so a handful of rounds converge even at 100 TB; a
+    * pathological long-chain graph would call for the large-star/small-star
+    * variant, same building blocks). `localCheckpoint` truncates the
+    * growing lineage each round — without it the plan doubles per iteration
+    * and re-executes the whole history. */
+  private[ops] def clusterLabels(universe: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true) // the edge list is re-read every iteration
+    var labels = universe.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val prop = sym.join(labels, sym("doc_b") === labels("doc_id"))
+        .select(sym("doc_a").as("doc_id"), col("cluster"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so "no label got smaller" = fixed point
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") < col("prev")).isEmpty
+      labels = next
+    }
+    labels
+  }
+
   private def lshPairs(s: SparkSession, d: String): DataFrame =
-    lshPairsFromSig(minhashSig(s, d))
+    lshPairsOf(Tables.documents(s, d))
 
   /** Pair generation from an existing signature relation — split out so
     * q_jaccard_pairs can feed the shared sig+set aggregate through it. */
@@ -195,25 +239,9 @@ object DedupQueries {
     // growing lineage each round — without it the plan doubles per
     // iteration and re-executes the whole history.
     "q_dedup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"))
-      val e = lshPairs(s, d).select("doc_a", "doc_b")
-      val sym = e.union(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint(true) // the edge list is re-read every iteration
-      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
-        .localCheckpoint(true)
-      var converged = false
-      while (!converged) {
-        val prop = sym.join(labels, sym("doc_b") === labels("doc_id"))
-          .select(sym("doc_a").as("doc_id"), col("cluster"))
-        val next = labels.union(prop)
-          .groupBy("doc_id").agg(min("cluster").as("cluster"))
-          .localCheckpoint(true)
-        // labels only ever decrease, so "no label got smaller" = fixed point
-        converged = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-          .filter(col("cluster") < col("prev")).isEmpty
-        labels = next
-      }
-      labels
+      val docs = Tables.documents(s, d)
+      clusterLabels(docs.select("doc_id"),
+        lshPairsOf(docs).select("doc_a", "doc_b"))
     }),
 
     // 16-bit SimHash from per-word md5 bit votes (integer-only arithmetic →
@@ -240,9 +268,18 @@ object DedupQueries {
     })
   )
 
+  /** The shared shingle→signature→bands→pairs CTE chain, parameterized by
+    * the source relation so pipeline oracles ([[CorpusQueries]]) can run it
+    * over a filtered corpus. */
+  private[ops] def shingleCteFrom(src: String): String =
+    s"""ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM $src),""" + shingleCteTail
+
   private val shingleCte =
     """ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-              FROM documents),
+              FROM documents),""" + shingleCteTail
+
+  private lazy val shingleCteTail = """
        sh AS (SELECT doc_id,
                      UNNEST(list_transform(generate_series(1, len(w) - 2),
                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
