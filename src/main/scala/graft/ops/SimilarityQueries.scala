@@ -184,6 +184,28 @@ object SimilarityQueries {
         .select("q_id", "neighbor_id", "cell", "rnk", "score")
     }),
 
+    // Symmetric int8 quantization of the embedding column — the storage
+    // path for vectors at 100 TB (4× smaller than float32, dot products
+    // stay integer until the final rescale). Per-row arithmetic only:
+    // scale = max|x|/127 (max is order-independent — no cross-element FP
+    // accumulation anywhere), q_i = clamp(round(x_i/scale)). round() is
+    // half-away-from-zero on BOTH engines, and the div/round sequence is
+    // the same IEEE ops, so the quantized bytes hash-match exactly.
+    "q_embed_quantize" -> ((s, d) =>
+      ScaleOps.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+            .as("amax"))
+        .select(col("vec_id"), (col("amax") / 127.0).as("scale"),
+          expr("""transform(embedding, x ->
+                    IF(amax = 0, 0,
+                       LEAST(127, GREATEST(-127,
+                         CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS INT)))))""")
+            .as("q"))
+        .select(col("vec_id"), col("scale"),
+          to_json(col("q")).as("qvec"),
+          expr("size(filter(q, v -> abs(v) = 127))").as("n_sat"))),
+
     // Distributed k-means training for the IVF quantizer — the production
     // answer to q_ann_ivf's "first 16 vectors as centroids" seed. One Lloyd
     // round (assign → recompute means → reassign), every step a DataFrame
@@ -325,6 +347,21 @@ object SimilarityQueries {
                                   neighbor_id) AS rnk
                 FROM sc)
           SELECT q_id, neighbor_id, bucket, rnk, score FROM r WHERE rnk <= 3""",
+    "q_embed_quantize" ->
+      """SELECT vec_id, amax / 127.0 AS scale,
+                CAST(to_json(list_transform(embedding, x ->
+                  CASE WHEN amax = 0 THEN 0
+                       ELSE LEAST(127, GREATEST(-127,
+                         CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS INT)))
+                  END)) AS VARCHAR) AS qvec,
+                len(list_filter(list_transform(embedding, x ->
+                  CASE WHEN amax = 0 THEN 0
+                       ELSE LEAST(127, GREATEST(-127,
+                         CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS INT)))
+                  END), v -> abs(v) = 127)) AS n_sat
+         FROM (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+               FROM embeddings) t""",
     // the k-means twin unrolls ONE Lloyd round with the same arithmetic
     // contract: lockstep-UNNEST double dots, argmax of dot - |c|²/2 with
     // (score DESC, cent_id) tiebreak, scaled-BIGINT means divided once,
