@@ -48,7 +48,11 @@ object CorpusQueries {
     // The curated keep-list: for every surviving document its language and
     // token count — the rows a downstream tokenizer would actually read.
     "q_corpus_keep" -> ((s, d) => {
+      // surv feeds THREE consumers (cluster universe, the LSH signature
+      // pipeline, and the final keep join) — checkpoint the scan+window
+      // once instead of re-running it per consumer
       val surv = exactKeep(qualityGate(Tables.documents(s, d)))
+        .localCheckpoint(true)
       val labels = DedupQueries.clusterLabels(
         surv.select("doc_id"),
         DedupQueries.lshPairsOf(surv).select("doc_a", "doc_b"))
