@@ -26,7 +26,16 @@ object Bench {
       // expressions on projection-only queries, timing a plan that never
       // ran its md5/regexp work (VERDICT r2)
       fn(spark, sfDir).queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // block hygiene OUTSIDE the timed window: iterative queries
+      // (clusterLabels / corpus_keep) return frames backed by eager
+      // localCheckpoint blocks; each rep re-invokes the builder, so without
+      // this the 5 reps × every such query pile blocks into the
+      // BlockManager for the rest of the run — the r4 recorded bench
+      // amplified 16–22× under host memory pressure from exactly that.
+      // Blocking removal: the next rep must not race the cleanup.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      t
     }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

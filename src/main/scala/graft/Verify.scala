@@ -25,6 +25,11 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // drop localCheckpoint blocks the iterative queries leave behind —
+        // they are dead once the dump is written, and letting 60 queries
+        // accumulate them degrades every later query under memory pressure
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -77,7 +77,10 @@ object Md5Low63 {
     var lastDigest: Array[Byte] = null
     def digest(b: Array[Byte]): Array[Byte] = {
       if (lastInput == null || !java.util.Arrays.equals(lastInput, b)) {
-        lastInput = b
+        // defensive copy: UTF8String.getBytes can return the BACKING array
+        // un-copied; memoizing that live reference would return a stale
+        // digest if a reader mutates the buffer in place between calls
+        lastInput = java.util.Arrays.copyOf(b, b.length)
         lastDigest = md.digest(b)
       }
       lastDigest

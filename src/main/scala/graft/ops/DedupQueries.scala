@@ -135,8 +135,13 @@ object DedupQueries {
         .localCheckpoint(true)
       // labels only ever decrease, so "no label got smaller" = fixed point
       converged = next.filter(col("cluster") < col("prev")).isEmpty
+      // `next` is materialized — the previous round's checkpoint blocks can
+      // never be read again; drop them NOW or rounds accumulate blocks for
+      // the session's lifetime (the r4 recorded-bench 16–22× amplification)
+      ScaleOps.freeBlocks(labels)
       labels = next.select("doc_id", "cluster")
     }
+    ScaleOps.freeBlocks(sym) // the loop was the edge list's only reader
     labels
   }
 

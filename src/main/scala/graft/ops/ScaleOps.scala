@@ -71,6 +71,24 @@ object ScaleOps {
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
+  /** Release the storage blocks behind an eagerly `localCheckpoint`ed
+    * DataFrame once no consumer will read it again. Iterative operators
+    * ([[graft.ops.DedupQueries.clusterLabels]]) checkpoint per round to
+    * truncate lineage; without an explicit unpersist the superseded rounds'
+    * blocks accumulate in the BlockManager for the life of the session —
+    * harmless at fixture scale, but under host memory pressure the GC tail
+    * lands on them and amplifies every later query (measured 16–22× on the
+    * round-4 recorded bench). Walks the narrow dependency chain to the
+    * persisted RDD, so it also works on a projection OF a checkpointed
+    * frame. Non-blocking: the loop should not stall on block removal. */
+  def freeBlocks(df: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+        r.unpersist(blocking = false)
+      } else r.dependencies.foreach(d => walk(d.rdd))
+    walk(df.rdd)
+  }
+
   /** Repartition to a target in-memory partition size using a driver-side
     * size estimate (catalyst stats). `targetBytes` defaults to 128 MB — the
     * spill-safe sweet spot for 4 GB executors. */
