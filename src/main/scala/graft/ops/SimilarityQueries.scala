@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,20 @@ object SimilarityQueries {
     * the `aggregate(zip_with(...))` HOF form it replaced, minus the
     * per-element lambda interpretation). */
   private def dotCol(a: String, b: String) = expr(s"vector_dot($a, $b)")
+
+  /** Driver-side replica of [[graft.functions.FloatVectorDot]]'s arithmetic
+    * contract — float multiply, double accumulate, element order. Both are
+    * the same IEEE-754 op sequence, so a norm or probe score computed here
+    * is bit-identical to the one the Spark expression (and therefore the
+    * DuckDB oracle) produces. Used for the k·dim driver state of the IVF
+    * quantizer, where a Spark job per 16-row arithmetic step is pure
+    * overhead. */
+  private[ops] def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
 
   /** Hyperplane count for the LSH signature (2^8 = 256 buckets). */
   private val NPlanes = 8
@@ -138,53 +152,57 @@ object SimilarityQueries {
     // scan and the search is an equi-join on cell id — the inverted-file
     // alternative to q_ann_lsh's hyperplane buckets.
     "q_ann_ivf" -> ((s, d) => {
+      import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      // norms are computed ONCE per side and threaded through — cosine
-      // against 16 centroids then costs 16 dots + 1 norm per row, not
-      // 16 dots + 32 norms (bit-identical: same sqrt(Σx²) value, the
-      // expression tree divides by the same two factors)
-      val e = ScaleOps.spread(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding"),
-          sqrt(expr("vector_dot(embedding, embedding)")).as("nv"))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-          col("nv").as("nc"))
-      // The coarse quantizer is DRIVER state — k·dim floats (KBs even at
-      // k=2^16), exactly how every IVF system holds it. Norms come back
-      // from the same Spark expression that computed them before, so the
-      // double bits are unchanged.
-      val centRows = cents.collect().sortBy(_.getAs[Long]("cent_id"))
+      // The coarse quantizer AND the probe selection are DRIVER state —
+      // k·dim floats and nq·k scores (KBs even at k=2^16), exactly how
+      // every IVF system holds them: probe selection happens client-side
+      // before the index is touched. One 16-row collect (filter pushed to
+      // the parquet scan — NOT behind a corpus repartition), then a single
+      // distributed job. All driver arithmetic replicates FloatVectorDot's
+      // op sequence (dotLocal), so cells, probes, and scores stay
+      // bit-identical to the all-Spark form and the DuckDB oracle.
+      val head = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+        .sortBy(_._1)
+      val cents = head.map { case (id, ce) =>
+        (id, ce, math.sqrt(dotLocal(ce, ce))) }
+      // queries → top-2 probe cells (csim DESC, cent_id ASC), in the driver
+      val probeRows = head.filter(_._1 < 5).flatMap { case (qid, qe) =>
+        val nq = math.sqrt(dotLocal(qe, qe))
+        cents.map { case (cid, ce, nc) =>
+          (qid, qe, nq, cid, dotLocal(qe, ce) / (nq * nc)) }
+          .sortBy { case (_, _, _, cid, csim) => (-csim, cid) }
+          .take(2)
+      }
+      val probes = s.createDataset(probeRows.toSeq
+        .map { case (qid, qe, nq, cid, _) => (qid, qe, nq, cid) })
+        .toDF("q_id", "qe", "nq", "cell")
       // corpus → nearest cell (argmax cosine; ties broken by cent_id) as a
       // PER-ROW expression over centroid literals: greatest(struct(csim,
       // -cent_id)) reproduces ORDER BY csim DESC, cent_id ASC. Zero
-      // shuffle, zero sort — the previous Window.partitionBy(vec_id) form
-      // fanned the corpus ×16 through a full shuffle+sort (the r4 verdict's
-      // one genuine scale-killer).
-      val assignCand = centRows.map { r =>
-        val ce = typedLit(r.getAs[scala.collection.Seq[Float]]("ce").toArray)
+      // shuffle, zero sort — the r4 Window.partitionBy(vec_id) form fanned
+      // the corpus ×16 through a full shuffle+sort (the r4 verdict's one
+      // genuine scale-killer). The corpus-row norm stays a Spark
+      // expression; it divides the same dot it rode in with.
+      val assignCand = cents.map { case (cid, ce, nc) =>
         struct(
-          (call_function("vector_dot", col("embedding"), ce) /
-            (col("nv") * lit(r.getAs[Double]("nc")))).as("s"),
-          lit(-r.getAs[Long]("cent_id")).as("n"))
+          (call_function("vector_dot", col("embedding"), typedLit(ce)) /
+            (col("nv") * lit(nc))).as("s"),
+          lit(-cid).as("n"))
       }
-      val assigned = e.select(col("vec_id"), col("embedding"), col("nv"),
-        negate(greatest(assignCand: _*).getField("n")).as("cell"))
-      // queries → top-2 probe cells
-      val wProbe = Window.partitionBy("q_id")
-        .orderBy(col("csim").desc, col("cent_id").asc)
-      val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nv").as("nq"))
-        .join(broadcast(cents))
-        .select(col("q_id"), col("qe"), col("nq"), col("cent_id"),
-          (expr("vector_dot(qe, ce)") / (col("nq") * col("nc"))).as("csim"))
-        .withColumn("prnk", row_number().over(wProbe))
-        .filter(col("prnk") <= 2)
-        .select(col("q_id"), col("qe"), col("nq"), col("cent_id").as("cell"))
+      val assigned = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(expr("vector_dot(embedding, embedding)")).as("nv"))
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb"),
+          col("nv").as("nn"),
+          negate(greatest(assignCand: _*).getField("n")).as("cell"))
       // search only the probed cells; exact top-3 per query
       val wTop = Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("neighbor_id").asc)
-      assigned.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("emb"), col("nv").as("nn"), col("cell"))
+      assigned
         .join(broadcast(probes), Seq("cell"))
         .filter(col("neighbor_id") =!= col("q_id"))
         .select(col("q_id"), col("neighbor_id"), col("cell"),
@@ -235,24 +253,20 @@ object SimilarityQueries {
     "q_ivf_kmeans" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val k = 16
-      val e = ScaleOps.spread(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding"))
-      val c0 = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cent_id"),
-          expr("transform(embedding, x -> CAST(x AS FLOAT))").as("ce"))
-      // |c|² is computed by the SAME Spark expression as the broadcast form
-      // used, then collected — identical double bits ride into the literal
-      def collectCents(c: DataFrame): Array[(Long, Array[Float], Double)] =
-        c.withColumn("nc2", expr("vector_dot(ce, ce)")).collect()
-          .map(r => (r.getAs[Long]("cent_id"),
-            r.getAs[scala.collection.Seq[Float]]("ce").toArray,
-            r.getAs[Double]("nc2")))
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // seed centroids: one 16-row collect with the filter pushed to the
+      // parquet scan (earlier rounds filtered BEHIND a corpus repartition,
+      // paying a full-corpus shuffle for 16 rows)
+      val c0: Array[(Long, Array[Float])] =
+        e.filter(col("vec_id") < k).collect()
+          .map(r => (r.getAs[Long]("vec_id"),
+            r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
           .sortBy(_._1)
-      def assign(cents: Array[(Long, Array[Float], Double)]): DataFrame = {
-        val cand = cents.map { case (id, ce, nc2) =>
+      def assign(cents: Array[(Long, Array[Float])]): DataFrame = {
+        val cand = cents.map { case (id, ce) =>
           struct(
             (call_function("vector_dot", col("embedding"), typedLit(ce)) -
-              lit(nc2) / 2).as("s"),
+              lit(dotLocal(ce, ce)) / 2).as("s"),
             lit(-id).as("n"))
         }
         // greatest(struct(score, -cent_id)) = ORDER BY score DESC, cent_id
@@ -260,17 +274,24 @@ object SimilarityQueries {
         e.select(col("vec_id"), col("embedding"),
           negate(greatest(cand: _*).getField("n")).as("cent_id"))
       }
-      def update(asg: DataFrame): DataFrame =
+      // new means come back as k·dim (cell, pos, mean) rows — a narrow
+      // partial-agg shuffle of 16·64 longs, assembled into the next round's
+      // driver-state centroids here (CAST(c AS FLOAT) ≡ Double.toFloat,
+      // IEEE round-to-nearest on both engines)
+      def update(asg: DataFrame): Array[(Long, Array[Float])] =
         asg
           .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy("cent_id", "pos")
           .agg((sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
             .cast("double") / (count(lit(1)) * 1000000.0)).as("c"))
-          .groupBy("cent_id")
-          .agg(expr(
-            "transform(array_sort(collect_list(struct(pos, c))), t -> CAST(t.c AS FLOAT))")
-            .as("ce"))
-      assign(collectCents(update(assign(collectCents(c0)))))
+          .collect()
+          .map(r => (r.getAs[Long]("cent_id"), r.getAs[Int]("pos"),
+            r.getAs[Double]("c")))
+          .groupBy(_._1).toArray
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_._2).map(_._3.toFloat)) }
+          .sortBy(_._1)
+      assign(update(assign(c0)))
         .select(col("vec_id"), col("cent_id").as("cell"))
     }),
 
