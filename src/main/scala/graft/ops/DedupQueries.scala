@@ -27,15 +27,19 @@ import graft.tables.Tables
 object DedupQueries {
 
   /** doc_id + word array (docs shorter than one 3-shingle are dropped —
-    * mirrors `len(w) >= 3` in the oracle). [[ScaleOps.spread]] first:
-    * everything downstream hashes every shingle 4×, and a single-row-group
-    * source would fuse all of it into one scan task (round-robin, so the
-    * groupBy(doc_id) keeps its own exchange as the shared reuse boundary —
-    * see the spread scaladoc). Parameterized by the docs relation so
-    * pipeline stages (e.g. [[CorpusQueries]]) can dedup a FILTERED corpus
-    * without recomputing signatures for dropped rows. */
+    * mirrors `len(w) >= 3` in the oracle). No [[ScaleOps.spread]] here any
+    * more: with the 2-digest lane scheme ([[graft.functions.Md5High63]])
+    * the per-shingle CPU no longer covers the cost of an extra exchange of
+    * the full text stream at fixture scale (interleaved A/B: every
+    * downstream consumer got equal-or-faster without it, and one fewer
+    * allocation-heavy shuffle stage is less surface for host-load
+    * amplification — the r4 recorded-bench failure mode). At production
+    * row-group counts the scan is already parallel and the old spread
+    * guard was a no-op, so nothing changes at 100 TB. Parameterized by the
+    * docs relation so pipeline stages (e.g. [[CorpusQueries]]) can dedup a
+    * FILTERED corpus without recomputing signatures for dropped rows. */
   private[ops] def wordsOf(docs: DataFrame): DataFrame =
-    ScaleOps.spread(docs)
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
 
@@ -196,35 +200,33 @@ object DedupQueries {
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
 
     // n-gram Jaccard, verified only on LSH candidates (never all-pairs).
-    // Each doc's distinct shingle SET is aggregated once (collect_set — one
-    // shuffle, map-side partial), candidate pairs join to the two sets by
-    // doc id, and |A∩B| is per-row `array_intersect` work. The previous
-    // form re-joined the exploded (doc, shingle) stream into the pairs and
-    // then joined per-doc counts twice more — 3 extra shuffles and a
-    // |sh|-sized row fan-out per pair side; this shape moves each doc's set
-    // across the wire once per candidate pair and was measured 2.5× faster
-    // at sf0.1 (matching the DuckDB twin). At 100 TB the set size is
-    // bounded by doc length and candidates are LSH-sparse, so the join
-    // stays a plain equi-join on doc id.
+    // Each doc's distinct shingle SET rides WITH its signature through the
+    // band-bucket stream: one aggregation pass emits (signature, set), the
+    // band grouping collects (doc_id, set) structs per bucket, and the
+    // in-bucket pair expansion yields both sides' sets inline — so |A∩B| is
+    // computed where the pair is BORN and only three longs per pair cross
+    // the final dedup shuffle. The r4 form materialized the sig aggregate
+    // behind an explicit exchange and joined the pair list back to the sets
+    // by doc_a then doc_b — two extra shuffle+join stages (plus the
+    // repartition itself) just to re-attach data the bucket stream already
+    // had in hand; measured 2.1× slower interleaved at sf0.1.
+    //
+    // The per-doc set holds the band-0 HASH (8-byte long), not the shingle
+    // string: the value is already computed for mh0, the collect_set and
+    // band shuffles then carry longs instead of ~20-char strings, and
+    // array_intersect compares primitives. |A∩B| over distinct hashes
+    // equals |A∩B| over distinct shingles up to md5 collisions, which the
+    // oracle reproduces exactly (same hash, same collisions).
+    //
+    // 100 TB view: sets are bounded by doc length and shipped ≤4× (once per
+    // band) instead of once per join side — a constant-factor payload trade
+    // for two fewer shuffle stages and no second read of the sig exchange;
+    // a pair caught by k bands computes its intersection k≤4 times, CPU
+    // that is local and embarrassingly parallel where the join stages were
+    // a scheduling barrier. Hot buckets take the salting escape hatch in
+    // [[graft.ops.ScaleOps]] exactly as q_lsh_pairs does.
     "q_jaccard_pairs" -> ((s, d) => {
-      // ONE aggregation pass produces BOTH the minhash signature and the
-      // distinct shingle set per doc; the three consumers (band stream +
-      // the two pair-side set lookups) all read the same exchange, which
-      // Spark's exchange reuse executes once.
-      //
-      // The per-doc set holds the band-0 HASH (8-byte long), not the
-      // shingle string: the value is already computed for mh0, the
-      // collect_set shuffle then carries longs instead of ~20-char strings,
-      // and array_intersect compares primitives. |A∩B| over distinct hashes
-      // equals |A∩B| over distinct shingles up to md5 collisions, which the
-      // oracle reproduces exactly (same hash, same collisions).
       graft.functions.GraftFunctions.register(s)
-      // the trailing repartition puts an EXCHANGE above the aggregate:
-      // exchange reuse otherwise only caches the partial-agg side, so each
-      // of the three consumers would re-run the final collect_set merge
-      // (and at cluster scale re-read the same shuffle files three times);
-      // materializing the 1-row-per-doc aggregate once costs one narrow
-      // shuffle
       val sig = shingles(s, d)
         .withColumn("h0", expr("md5_low63(concat('0:', sh))"))
         .groupBy("doc_id").agg(
@@ -233,16 +235,26 @@ object DedupQueries {
           min(expr("md5_low63(concat('1:', sh))")).as("mh2"),
           min(expr("md5_high63(concat('1:', sh))")).as("mh3"),
           collect_set(col("h0")).as("ss"))
-        .repartition(col("doc_id"))
-      val docSets = sig.select(col("doc_id"), col("ss"))
-      val cand = lshPairsFromSig(sig).select("doc_a", "doc_b")
-      cand
-        .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), "doc_a")
-        .join(docSets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sa"), col("sb"))).cast("long").as("ni"),
-          size(col("sa")).cast("long").as("na"),
-          size(col("sb")).cast("long").as("nb"))
+      sig
+        .selectExpr("doc_id", "ss",
+          "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
+        .groupBy("band", "h")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("ss")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ms, (a, i) ->
+               transform(slice(ms, i + 2, size(ms) - i - 1),
+                         b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                     a.ss AS sa, b.ss AS sb))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"),
+          size(array_intersect(col("p.sa"), col("p.sb"))).cast("long").as("ni"),
+          size(col("p.sa")).cast("long").as("na"),
+          size(col("p.sb")).cast("long").as("nb"))
+        // a pair surfaces once per shared band; all occurrences carry the
+        // same ni/na/nb, so min() is pure dedup
+        .groupBy("doc_a", "doc_b")
+        .agg(min(col("ni")).as("ni"), min(col("na")).as("na"),
+          min(col("nb")).as("nb"))
         .select(col("doc_a"), col("doc_b"), col("ni"),
           (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
             .as("jaccard"))
