@@ -56,9 +56,12 @@ def _submit(job_class, *args):
 if _HAVE_AIRFLOW:
     # Daily export: schedule + start date mirror the reference's mainnet DAG
     # (genesis day 2020-12-01, daily cadence — `build_export_dag.py:46-55`).
+    # `schedule=` (not the reference era's `schedule_interval=`, deprecated
+    # in Airflow 2.4 and removed in 3.0) so the example imports on current
+    # releases.
     with DAG(
         dag_id="eth2_mainnet_spark_daily_export_dag",
-        schedule_interval="0 1 * * *",
+        schedule="0 1 * * *",
         start_date=datetime(2020, 12, 1),
         max_active_runs=1,
         catchup=False,
@@ -77,7 +80,7 @@ if _HAVE_AIRFLOW:
     # Orchestration.awaitCompletion inside the load job).
     with DAG(
         dag_id="eth2_mainnet_spark_hourly_dag",
-        schedule_interval="30 * * * *",
+        schedule="30 * * * *",
         start_date=datetime(2020, 12, 1),
         max_active_runs=1,
         catchup=False,

@@ -31,14 +31,23 @@ case class HyperplaneSig(child: Expression, nPlanes: Int)
 
   override def dataType: DataType = IntegerType
 
-  override def nullable: Boolean = child.nullable
+  // an EMPTY embedding yields NULL even when the child never does: the
+  // oracle's UNNEST produces no rows for it, so the vector is absent from
+  // the signature CTE — NULL reproduces that (a null bucket never
+  // equi-joins, dropping the row exactly like the oracle's missing one)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
     HyperplaneSig.compute(v.asInstanceOf[ArrayData], nPlanes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneSig.compute($c, $nPlanes)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sig")
+      s"""
+        java.lang.Integer $tmp = graft.functions.HyperplaneSig.compute($c, $nPlanes);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.intValue(); }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
@@ -66,9 +75,23 @@ object HyperplaneSig {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
 
-  /** Static entry point for generated Java: signature of one vector. */
-  def compute(emb: ArrayData, nPlanes: Int): Int = {
+  /** Static entry point for generated Java: signature of one vector.
+    * Boxed return — NULL for an empty array (the oracle's UNNEST emits no
+    * rows, so the vector is absent from its signature CTE). A non-empty
+    * array whose elements are ALL null yields 0: each per-plane SUM over
+    * all-NULL terms is NULL on the oracle side, `CASE WHEN NULL >= 0` is
+    * not-true, and every bit falls to the ELSE 0 — previously Spark's
+    * acc=0.0 >= 0 set every bit instead (latent divergence, ADVICE r4). */
+  def compute(emb: ArrayData, nPlanes: Int): java.lang.Integer = {
     val dim = emb.numElements()
+    if (dim == 0) return null
+    var anyNonNull = false
+    var j0 = 0
+    while (j0 < dim && !anyNonNull) {
+      if (!emb.isNullAt(j0)) anyNonNull = true
+      j0 += 1
+    }
+    if (!anyNonNull) return 0
     val m = cache.computeIfAbsent((nPlanes, dim), { k => matrix(k._1, k._2) })
     var sig = 0
     var p = 0

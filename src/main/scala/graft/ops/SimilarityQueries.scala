@@ -50,14 +50,41 @@ object SimilarityQueries {
 
   /** Fixture embedding dimension — the oracle SQL interpolates the sign
     * matrix as literals and needs a concrete width (TESTDATA.md: dim=64 at
-    * every SF; the Spark side is dim-agnostic). */
+    * every SF; the Spark side is dim-agnostic). The coupling is enforced at
+    * query-build time by [[assertOracleDim]] so a fixture dim change fails
+    * loudly instead of zipping mismatched UNNEST lengths in the oracle. */
   private val OracleDim = 64
+
+  /** One 1-row probe per (JVM, sf dir): the fixture's actual embedding dim
+    * must equal [[OracleDim]] or the DuckDB twin's interpolated sign matrix
+    * silently truncates the lockstep UNNEST zip (ADVICE r4). Cached so the
+    * benched queries pay the probe once, not per rep. */
+  private val dimAsserted =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  private def assertOracleDim(s: SparkSession, d: String): Unit =
+    dimAsserted.computeIfAbsent(d, { _ =>
+      val dim = Tables.embeddings(s, d)
+        .select(size(col("embedding")).as("dim")).head.getInt(0)
+      require(dim == OracleDim,
+        s"fixture embedding dim $dim != OracleDim $OracleDim at $d — update " +
+          "SimilarityQueries.OracleDim so the oracle sign matrix matches")
+      java.lang.Boolean.TRUE
+    })
 
   /** DuckDB CTEs computing the identical hyperplane bucket per vector: the
     * sign matrix literal comes from the same
     * [[graft.functions.HyperplaneSig.matrix]] the Spark expression uses, the
     * per-plane dot is a lockstep-UNNEST double sum (the established
-    * bit-exact pattern), bit p set iff the dot is >= 0. */
+    * bit-exact pattern), bit p set iff the dot is >= 0.
+    *
+    * Ordering assumption (ADVICE r4): the `>= 0` sign test rides on the
+    * float-sum accumulation order. DuckDB's grouped SUM here accumulates the
+    * UNNEST rows in emission order because the oracle runs single-threaded
+    * per group at verify scale — matching Spark's element-order loop. A
+    * borderline sum (|dot| within one ulp of 0) could in principle flip
+    * under a parallel grouped SUM; the verify harness pins DuckDB to the
+    * deterministic path, and the fixture's random vectors keep dots far
+    * from the boundary. */
   private def bucketCtes: String = {
     val m = graft.functions.HyperplaneSig.matrix(NPlanes, OracleDim)
     val rows = m.zipWithIndex.map { case (hl, p) =>
@@ -126,6 +153,7 @@ object SimilarityQueries {
     // Output: the duplicate edge list (keep-lowest-id, id_a < id_b).
     "q_embed_neardup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      assertOracleDim(s, d)
       // norm once per ROW before the pair join — per pair only the cross
       // dot remains (the norm recompute would otherwise scale with pair
       // count, which is quadratic per block)
@@ -304,6 +332,7 @@ object SimilarityQueries {
     // CodegenFallback hot path.
     "q_ann_lsh" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      assertOracleDim(s, d)
       val bucketed = ScaleOps.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           expr(s"hplane_sig(embedding, $NPlanes)").as("bucket"),
