@@ -48,6 +48,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(out(1).getAs[Array[Byte]](2), "UTF-8") === "qrstuvwx")
   }
 
+  test("ImageIoDecoder decodes a real PNG payload through the batch path") {
+    import spark.implicits._
+    // a 3x2 PNG, all pixels pure red, encoded in-memory (javax.imageio is
+    // part of the JRE — this is a real decode, not the stub)
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3; y <- 0 until 2) img.setRGB(x, y, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val df = Seq(
+      (1L, png),                            // real image
+      (2L, "not an image".getBytes("UTF-8")) // undecodable -> stub fallback
+    ).toDF("media_id", "payload")
+    val out = Multimodal
+      .extractFeatures(df, dim = 5, decoder = Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect()
+    val f1 = out(0).getSeq[Float](3)
+    assert(f1(0) === 3.0f)  // width
+    assert(f1(1) === 2.0f)  // height
+    assert(math.abs(f1(2) - 1.0f) < 1e-6)  // mean R of a pure-red image
+    assert(f1(3) === 0.0f && f1(4) === 0.0f)  // mean G, B
+    // content hash still hashes the PAYLOAD bytes, decoder-independent
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(out(0).getString(2) === md.digest(png).map("%02x".format(_)).mkString)
+    // non-image payload degrades per ROW to the stub features, no job failure
+    val f2 = out(1).getSeq[Float](3)
+    assert(math.abs(f2(0) - 'n'.toInt / 255.0f) < 1e-7)
+  }
+
   test("fromDocuments builds the binary+metadata schema from testdata") {
     val df = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     assert(df.schema("payload").dataType.typeName === "binary")
