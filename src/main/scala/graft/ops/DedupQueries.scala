@@ -99,15 +99,104 @@ object DedupQueries {
     lshPairsFromSig(minhashSigOf(docs))
 
   /** Connected-component labels over `(doc_a, doc_b)` edges: every id in
-    * `universe` gets its component's minimum id. Min-label propagation to
-    * the FIXED POINT — each round is one edges⋈labels equi-join + a min()
-    * aggregate (diameter-many narrow shuffles; near-dup components are
-    * clique-like so a handful of rounds converge even at 100 TB; a
-    * pathological long-chain graph would call for the large-star/small-star
-    * variant, same building blocks). `localCheckpoint` truncates the
-    * growing lineage each round — without it the plan doubles per iteration
-    * and re-executes the whole history. */
-  private[ops] def clusterLabels(universe: DataFrame, edges: DataFrame): DataFrame = {
+    * `universe` gets its component's minimum id.
+    *
+    * Two strategies, selected by the session conf
+    * `spark.graft.cc.strategy` (default `propagate`):
+    * - `propagate` — min-label propagation with path halving
+    *   ([[clusterLabelsPropagate]]): best for the clique-like components
+    *   near-dup dedup actually produces (1–3 rounds);
+    * - `star` — alternating large-star/small-star contraction
+    *   ([[clusterLabelsStar]]): the high-diameter fallback. Propagation's
+    *   path-halving self-join doubles the LABEL TABLE's join count per
+    *   round; star contraction rewrites the EDGE LIST itself, keeping every
+    *   round's shuffle proportional to the (shrinking) edge count and
+    *   converging in O(log² n) rounds even on a path graph — the shape that
+    *   survives a pathological chain at 100 TB. */
+  private[ops] def clusterLabels(universe: DataFrame, edges: DataFrame): DataFrame =
+    universe.sparkSession.conf.getOption("spark.graft.cc.strategy")
+      .getOrElse("propagate") match {
+      case "star" => clusterLabelsStar(universe, edges)._1
+      case _      => clusterLabelsPropagate(universe, edges)
+    }
+
+  /** Alternating large-star/small-star connected components (the classic
+    * MapReduce formulation: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", reproduced from the published algorithm). Each
+    * round is two star operations, each ONE aggregate + ONE equi-join over
+    * the current edge list:
+    * - large-star(u): every neighbor v > u re-points to
+    *   m = min({u} ∪ N(u));
+    * - small-star(u): every neighbor v < u (and u itself) re-points to
+    *   m = min over the smaller neighborhood.
+    * The edge list only ever rewires toward smaller ids, so the potential
+    * Σ(u+v) strictly decreases until the graph is a union of stars rooted
+    * at component minima — labels then read directly off the edges with no
+    * transitive closure left. Per-round state is `localCheckpoint`ed and
+    * superseded blocks freed, exactly like the propagate loop.
+    *
+    * Returns (labels, rounds) — the round count feeds the convergence-bound
+    * property spec. */
+  private[ops] def clusterLabelsStar(universe: DataFrame, edges: DataFrame,
+                                     maxRounds: Int = 50): (DataFrame, Int) = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = sym(e)
+      val m = dir.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      dir.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dirLt = sym(e).filter(col("v") < col("u"))
+      val m = dirLt.groupBy("u").agg(min(col("v")).as("m"))
+      val rewired = dirLt.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+      rewired.filter(col("u") =!= col("v")).distinct()
+    }
+    var e = edges.filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
+    // (count, hash-sum) fingerprint: both are cheap single-pass aggregates
+    // and the alternating rewiring is monotone, so an unchanged fingerprint
+    // means an unchanged edge multiset
+    def fp(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), sum(hash(col("u"), col("v")).cast("long")))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = fp(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = fp(next)
+      converged = cur == prev
+      prev = cur
+      ScaleOps.freeBlocks(e)
+      e = next
+    }
+    // at the fixed point every edge points a node at its component min
+    val stars = e.groupBy("u").agg(min(col("v")).as("cluster"))
+      .select(col("u").as("doc_id"), col("cluster"))
+    val labels = universe.select("doc_id")
+      .join(stars, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    (labels, rounds)
+  }
+
+  /** Min-label propagation with path halving — see [[clusterLabels]].
+    * Each round is one edges⋈labels equi-join + a min() aggregate
+    * (diameter-many narrow shuffles; near-dup components are clique-like so
+    * a handful of rounds converge even at 100 TB). `localCheckpoint`
+    * truncates the growing lineage each round — without it the plan doubles
+    * per iteration and re-executes the whole history. */
+  private[ops] def clusterLabelsPropagate(universe: DataFrame, edges: DataFrame): DataFrame = {
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true) // the edge list is re-read every iteration
@@ -263,14 +352,12 @@ object DedupQueries {
     // Near-dup CLUSTERS: connected components over the LSH candidate graph,
     // labelled by each component's minimum doc_id — the step a production
     // dedup pipeline runs after pair generation (keep one doc per cluster).
-    // Min-label propagation to the FIXED POINT: each iteration is one
-    // edges⋈labels equi-join + a min() aggregate, i.e. diameter-many narrow
-    // shuffles. Near-dup components are clique-like (diameter 1–2), so the
-    // loop converges in a handful of rounds even at 100 TB; a pathological
-    // long-chain graph would call for the large-star/small-star variant
-    // (same join-agg building blocks). `localCheckpoint` truncates the
-    // growing lineage each round — without it the plan doubles per
-    // iteration and re-executes the whole history.
+    // Default strategy is min-label propagation with path halving (see
+    // clusterLabels — near-dup components are clique-like, a handful of
+    // rounds even at 100 TB); `spark.graft.cc.strategy=star` switches to
+    // the alternating large-star/small-star contraction for pathological
+    // high-diameter graphs (property-proven O(log² n) on a 1000-node
+    // chain, same answer on every tested graph).
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       clusterLabels(docs.select("doc_id"),

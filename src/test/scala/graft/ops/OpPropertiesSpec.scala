@@ -133,6 +133,50 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(labels.filter(col("doc_id") < col("cluster")).isEmpty)
   }
 
+  test("star-contraction CC converges on a 1000-node path within O(log² n) rounds") {
+    import spark.implicits._
+    // the pathological shape for min-label propagation: one chain component
+    // of diameter 999 plus isolated nodes
+    val n = 1000L
+    val universe = spark.range(0, n + 5).select(col("id").as("doc_id"))
+    val edges = spark.range(0, n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, rounds) = DedupQueries.clusterLabelsStar(universe, edges)
+    // O(log² n) bound with headroom; a linear-diameter algorithm would need
+    // ~999 rounds here, star contraction stays logarithmic
+    assert(rounds <= 20, s"took $rounds rounds")
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until n).foreach(i => assert(out(i) === 0L, s"node $i"))
+    // isolated nodes label themselves
+    (n until n + 5).foreach(i => assert(out(i) === i))
+  }
+
+  test("star and propagate strategies agree on a random edge set") {
+    import spark.implicits._
+    forAll(List.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))) { ps =>
+      val universe = spark.range(0, 40).select(col("id").as("doc_id"))
+      val edges = ps.toDF("doc_a", "doc_b")
+      val star = DedupQueries.clusterLabelsStar(universe, edges)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = DedupQueries.clusterLabelsPropagate(universe, edges)
+        .select("doc_id", "cluster")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop)
+    }
+  }
+
+  test("the cc strategy flag routes q_dedup_clusters through star contraction") {
+    val sfDir = "/root/testdata/sf0.001"
+    val base = DedupQueries.queries("q_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.strategy", "star")
+    try {
+      val starred = DedupQueries.queries("q_dedup_clusters")(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(starred === base)
+    } finally spark.conf.unset("spark.graft.cc.strategy")
+  }
+
   test("k-means quantizer: total assignment, valid cells, deterministic replay") {
     val sfDir = "/root/testdata/sf0.001"
     val asg = SimilarityQueries.queries("q_ivf_kmeans")(spark, sfDir)
