@@ -219,15 +219,21 @@ object DedupQueries {
           labels.as("l1")
             .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
             .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("cluster")))
-      // the previous label rides along INTO the checkpoint, so convergence
-      // detection is a local filter over materialized rows instead of a
-      // separate shuffle-join job per round
+      // convergence detection rides INSIDE the checkpoint job: Observation
+      // metrics are collected by the SAME action that materializes the
+      // round, so each iteration is ONE job — the earlier isEmpty-scan
+      // follow-up job doubled the loop's scheduling overhead
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
       val next = prop
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
         .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .observe(obs,
+          sum(when(col("cluster") < col("prev"), 1L).otherwise(0L))
+            .as("shrunk"))
         .localCheckpoint(true)
       // labels only ever decrease, so "no label got smaller" = fixed point
-      converged = next.filter(col("cluster") < col("prev")).isEmpty
+      // (sum over an empty universe is null -> converged)
+      converged = Option(obs.get("shrunk")).forall(_.asInstanceOf[Long] == 0L)
       // `next` is materialized — the previous round's checkpoint blocks can
       // never be read again; drop them NOW or rounds accumulate blocks for
       // the session's lifetime (the r4 recorded-bench 16–22× amplification)
