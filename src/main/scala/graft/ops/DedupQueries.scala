@@ -234,6 +234,8 @@ object DedupQueries {
       // labels only ever decrease, so "no label got smaller" = fixed point
       // (sum over an empty universe is null -> converged)
       converged = Option(obs.get("shrunk")).forall(_.asInstanceOf[Long] == 0L)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $round shrunk=${obs.get("shrunk")}")
       // `next` is materialized — the previous round's checkpoint blocks can
       // never be read again; drop them NOW or rounds accumulate blocks for
       // the session's lifetime (the r4 recorded-bench 16–22× amplification)
