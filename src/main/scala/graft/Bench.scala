@@ -37,6 +37,20 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       t
     }
+    // Untimed JVM warm-up: one-time infrastructure cost (vectorized parquet
+    // reader init, whole-stage-codegen compiler, shuffle machinery class
+    // loading) otherwise lands inside the first queries' timed reps — the
+    // alphabetically-first entries measured 3-4x their steady-state medians
+    // purely by position. Three cheap representative shapes (scan+filter,
+    // shuffle agg, window) touch all of it once, outside any timed window.
+    Seq("q_scan_filter", "q_agg_sum_group", "q_window_rank")
+      .flatMap(SparkEntry.queries.get)
+      .foreach { fn =>
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+      }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
