@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Scale-growth experiment main (test scope — a measurement harness, not
+  * library surface): replicates the sf0.1 `documents` corpus 1x/2x/4x/8x and
+  * times the dedup-family heavy path (MinHash signatures -> banded-LSH pairs
+  * -> connected-component clustering) at each scale.
+  *
+  * Replication is id-offset AND per-copy word-prefixed
+  * (`regexp_replace(text, '(\S+)', 'c<i>_$1')`), so every copy occupies a
+  * DISJOINT shingle space: buckets don't grow with the copy count and the
+  * experiment measures pure data-volume scaling of the real plans — the
+  * "would this survive 10x/100x?" question — rather than engineered skew
+  * (cross-copy duplicate text would inflate every LSH bucket by the copy
+  * count and pair expansion quadratically, which is a different, already
+  * salting-guarded failure mode).
+  *
+  * Run: sbt "Test/runMain graft.ops.ScaleGrowth"   (SPARK_GRAFT_SF_DIR to
+  * override the base corpus). Results recorded in PERF.md.
+  */
+object ScaleGrowth {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.configure(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val maxId = base.agg(max("doc_id")).head.getLong(0) + 1L
+
+    def corpusTimes(n: Int): DataFrame =
+      (0 until n).map { c =>
+        base.select(
+          (col("doc_id") + lit(c * maxId)).as("doc_id"),
+          // distinct shingle space per copy: prefix every token
+          regexp_replace(col("text"), "(\\S+)", s"c${c}_$$1").as("text"))
+      }.reduce(_ union _)
+
+    // untimed warm-up: JIT + codegen infra on the 1x shapes
+    DedupQueries.lshPairsOf(corpusTimes(1)).queryExecution.toRdd.count()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
+    println(f"${"scale"}%-6s ${"docs"}%8s ${"pairs_s"}%8s ${"pairs_n"}%9s " +
+      f"${"cc_s"}%8s ${"clusters"}%9s")
+    for (n <- Seq(1, 2, 4, 8)) {
+      val docs = corpusTimes(n)
+      val nDocs = docs.count()
+
+      val t0 = System.nanoTime()
+      val nPairs = DedupQueries.lshPairsOf(docs).queryExecution.toRdd.count()
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
+      val t1 = System.nanoTime()
+      val labels = DedupQueries.clusterLabels(
+        docs.select("doc_id"),
+        DedupQueries.lshPairsOf(docs).select("doc_a", "doc_b"))
+      val nClusters = labels.select("cluster").distinct().count()
+      val tCc = (System.nanoTime() - t1) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
+      println(f"${n}%-6d ${nDocs}%8d ${tPairs}%8.2f ${nPairs}%9d " +
+        f"${tCc}%8.2f ${nClusters}%9d")
+    }
+    spark.stop()
+  }
+}
