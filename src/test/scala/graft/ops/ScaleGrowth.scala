@@ -67,6 +67,65 @@ object ScaleGrowth {
       println(f"${n}%-6d ${nDocs}%8d ${tPairs}%8.2f ${nPairs}%9d " +
         f"${tCc}%8.2f ${nClusters}%9d")
     }
+
+    // ---- similarity family: synthetic embedding corpus, 25k -> 400k ----
+    // Vectors are deterministic per-element hashes (no fixture dependency,
+    // no RNG — reproducible on any layout). The hyperplane count RISES with
+    // the corpus so per-bucket density stays ~constant: that is the
+    // documented LSH scale argument ("more corpus means more buckets at the
+    // same density"), and this measures it instead of asserting it.
+    graft.functions.GraftFunctions.register(spark)
+    def emb(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        expr("""transform(sequence(1, 64),
+                 i -> CAST((pmod(hash(id, i), 2000) - 1000) / 1000.0 AS FLOAT))""")
+          .as("embedding"))
+
+    // (A byte-targeted-AQE-coalescing hypothesis for an apparent 100k
+    // anomaly was REFUTED by BucketProbe's interleaved advisory A/B —
+    // 64m vs 8m med 1.45 vs 1.40 s at 100k, 4.15 vs 4.31 s at 400k. The
+    // anomaly was cold-codegen + cross-JVM host drift; warm times track
+    // candidate mass near-linearly with no conf change needed.)
+    println(f"\n${"vecs"}%8s ${"planes"}%6s ${"neardup_s"}%9s ${"pairs"}%9s " +
+      f"${"ivf_s"}%8s")
+    // same warm-up discipline as the dedup section: the first similarity
+    // iteration otherwise pays the synthetic-corpus + hplane codegen cold
+    for ((n, planes) <- Seq((25000L, 0), (25000L, 10), (100000L, 12),
+                            (400000L, 14))) {
+      val warmup = planes == 0
+      val nPlanes = if (warmup) 10 else planes
+      val e = emb(n).select(col("vec_id"), col("embedding"),
+        expr(s"hplane_sig(embedding, $nPlanes)").as("bucket"),
+        sqrt(expr("vector_dot(embedding, embedding)")).as("nrm"))
+      val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val t0 = System.nanoTime()
+      val nPairs = a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter((expr("vector_dot(ea, eb)") / (col("na") * col("nb"))) >= 0.5)
+        .queryExecution.toRdd.count()
+      val tNd = (System.nanoTime() - t0) / 1e9
+
+      // IVF assignment: per-row argmax over 16 broadcast centroid literals
+      // (the r5 zero-shuffle form q_ann_ivf/q_ivf_kmeans use)
+      val cents = emb(16).collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray))
+      val cand = cents.map { case (cid, ce) =>
+        struct(
+          (call_function("vector_dot", col("embedding"), typedLit(ce)) -
+            lit(SimilarityQueries.dotLocal(ce, ce)) / 2).as("s"),
+          lit(-cid).as("n"))
+      }
+      val t1 = System.nanoTime()
+      emb(n).select(col("vec_id"),
+          negate(greatest(cand: _*).getField("n")).as("cell"))
+        .queryExecution.toRdd.count()
+      val tIvf = (System.nanoTime() - t1) / 1e9
+      if (!warmup)
+        println(f"${n}%8d ${nPlanes}%6d ${tNd}%9.2f ${nPairs}%9d ${tIvf}%8.2f")
+    }
     spark.stop()
   }
 }
