@@ -133,6 +133,12 @@ object GraftFunctions {
         WinnowFingerprint(Cast(args.head, org.apache.spark.sql.types.StringType),
           intLit(args(1), "gramLen"), intLit(args(2), "window"))
       }),
+    (new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash16 expects 1 argument")
+        SimHash16(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }),
     (new FunctionIdentifier("hplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hplane_sig"),
       (args: Seq[Expression]) => {

@@ -373,26 +373,21 @@ object DedupQueries {
     }),
 
     // 16-bit SimHash from per-word md5 bit votes (integer-only arithmetic →
-    // bit-identical to the oracle). Single-pass: the md5 is computed once
-    // per word and all 16 bit votes are CONDITIONAL AGGREGATE COLUMNS over
-    // the word stream — one groupBy(doc_id) shuffle carrying 16 longs per
-    // doc, instead of exploding 16 rows per word and aggregating twice
-    // (16× the shuffle volume at 100 TB for the same answer).
+    // bit-identical to the oracle) as ONE native per-row expression
+    // ([[graft.functions.SimHash16]]): the whole word loop, digest, and
+    // vote accumulation run inside the scan — zero shuffles, no explode, no
+    // per-word hex strings. The earlier composed form (explode + 16
+    // conditional aggregate columns, one groupBy shuffle of 16 longs/doc)
+    // was already single-digest-per-word, but its ~750k exploded rows at
+    // sf0.1 made it the suite's most load-amplified query (3.2× under the
+    // churn A/B); a null-text doc is dropped, exactly as explode(null)
+    // dropped it. At 100 TB SimHash is per-row work inside the scan, and
+    // now the plan says so.
     "q_simhash" -> ((s, d) => {
-      val w = ScaleOps.spread(Tables.documents(s, d))
-        .select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("w"))
-        .select(col("doc_id"), md5(col("w")).as("h"))
-      def bit(i: Int) = expr(
-        s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) % 2")
-      val sgns = (1 to 16).map(i =>
-        sum(when(bit(i) === 1, 1).otherwise(-1)).as(s"sgn$i"))
-      w.groupBy("doc_id")
-        .agg(sgns.head, sgns.tail: _*)
-        .select(col("doc_id"),
-          (1 to 16).map(i =>
-              when(col(s"sgn$i") >= 0, lit(1L << (i - 1))).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+      graft.functions.GraftFunctions.register(s)
+      ScaleOps.spread(Tables.documents(s, d))
+        .select(col("doc_id"), expr("simhash16(text)").as("simhash"))
+        .filter(col("simhash").isNotNull)
     })
   )
 
