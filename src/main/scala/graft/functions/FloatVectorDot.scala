@@ -133,6 +133,18 @@ object GraftFunctions {
         WinnowFingerprint(Cast(args.head, org.apache.spark.sql.types.StringType),
           intLit(args(1), "gramLen"), intLit(args(2), "window"))
       }),
+    (new FunctionIdentifier("shingle_sig"),
+      new ExpressionInfo(classOf[ShingleSig].getName, "shingle_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingle_sig expects 1 argument")
+        ShingleSig(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }),
+    (new FunctionIdentifier("shingle_sig_set"),
+      new ExpressionInfo(classOf[ShingleSigSet].getName, "shingle_sig_set"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingle_sig_set expects 1 argument")
+        ShingleSigSet(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }),
     (new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (args: Seq[Expression]) => {

@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `shingle_sig(text)` — the document's complete 4-lane MinHash signature
+  * `struct(mh0, mh1, mh2, mh3)` as ONE native per-row expression;
+  * `shingle_sig_set(text)` additionally carries `ss`, the sorted distinct
+  * band-0 shingle-hash set (what `collect_set(h0)` produced).
+  *
+  * Semantics are bit-identical to the composed pipeline these replace (and
+  * to the unchanged DuckDB oracles in [[graft.ops.DedupQueries]]):
+  * `w = split(trim(text), '\s+')` (ASCII-space-only trim, Java
+  * `Pattern.split` limit -1 — same empty-token corner cases as
+  * [[SimHash16]]), docs with fewer than 3 tokens are NULL (the composed
+  * form's `size(w) >= 3` filter), 3-word shingles `w[i] ' ' w[i+1] ' '
+  * w[i+2]`, lanes `mh0/mh1 = md5_low63/md5_high63('0:' || sh)` and
+  * `mh2/mh3` the same over `'1:' || sh`, each lane MIN'd over the
+  * shingle stream.
+  *
+  * Why an expression: the composed form exploded one row per shingle and
+  * aggregated `min()` back by `groupBy(doc_id)` — but `doc_id` is UNIQUE
+  * per input row, so that exchange shuffled the corpus to regroup rows
+  * that were never apart: pure overhead, at any scale. The loop here does
+  * the identical digests and mins inside the scan — the signature stage of
+  * q_minhash_sig / q_lsh_pairs / q_jaccard_pairs / q_dedup_clusters /
+  * q_corpus_keep drops from one full exchange to zero. (The
+  * [[MinHashSketch]] AGGREGATE remains the right tool when tokens arrive
+  * pre-exploded — e.g. a token table — where the grouping key genuinely
+  * scatters across rows.)
+  */
+case class ShingleSig(child: Expression) extends UnaryExpression {
+  // input typing enforced by the registry builder (Cast to STRING) —
+  // ExpectsInputTypes/AbstractDataType are sql-private in Spark 4
+
+  override def dataType: DataType = ShingleSig.sigType
+
+  override def nullable: Boolean = true // docs under 3 tokens are null
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleSig.compute(t.asInstanceOf[UTF8String], false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ShingleSig.compute($c, false);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_sig"
+}
+
+/** See [[ShingleSig]] — same lanes plus the sorted distinct band-0 hash set
+  * (`ss`), for consumers that verify Jaccard on the candidates. */
+case class ShingleSigSet(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ShingleSig.sigSetType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleSig.compute(t.asInstanceOf[UTF8String], true)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ShingleSig.compute($c, true);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSigSet =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_sig_set"
+}
+
+object ShingleSig {
+
+  val sigType: StructType = StructType(Seq(
+    StructField("mh0", LongType, nullable = false),
+    StructField("mh1", LongType, nullable = false),
+    StructField("mh2", LongType, nullable = false),
+    StructField("mh3", LongType, nullable = false)))
+
+  val sigSetType: StructType = StructType(sigType.fields :+
+    StructField("ss", ArrayType(LongType, containsNull = false), nullable = false))
+
+  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private val M = Long.MaxValue // 2^63 - 1, the shared lane modulus
+
+  // digest byte lanes, exactly as [[Md5Low63]]: low = bytes 8..15
+  // little-endian, high = bytes 0..7 little-endian, both mod 2^63-1 unsigned
+  private def loLane(d: Array[Byte]): Long = {
+    var base = 0L
+    var i = 15
+    while (i >= 8) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
+    java.lang.Long.remainderUnsigned(base, M)
+  }
+  private def hiLane(d: Array[Byte]): Long = {
+    var base = 0L
+    var i = 7
+    while (i >= 0) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
+    java.lang.Long.remainderUnsigned(base, M)
+  }
+
+  /** Static (callable from generated Java): the 4-lane signature, plus the
+    * sorted distinct band-0 hash set when `withSet`. Null when the text has
+    * fewer than 3 whitespace tokens (the composed form's filter). */
+  def compute(t: UTF8String, withSet: Boolean): InternalRow = {
+    val str = t.toString
+    var b = 0
+    var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    val words = str.substring(b, e).split("\\s+", -1)
+    val ns = words.length - 2
+    if (ns <= 0) return null
+
+    val md = tlMd5.get()
+    var mh0, mh1, mh2, mh3 = Long.MaxValue
+    val set = if (withSet) new Array[Long](ns) else null
+    var i = 0
+    while (i < ns) {
+      val sh = words(i) + " " + words(i + 1) + " " + words(i + 2)
+      md.reset()
+      val d0 = md.digest(("0:" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h0 = loLane(d0)
+      val h1 = hiLane(d0)
+      md.reset()
+      val d1 = md.digest(("1:" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h2 = loLane(d1)
+      val h3 = hiLane(d1)
+      if (h0 < mh0) mh0 = h0
+      if (h1 < mh1) mh1 = h1
+      if (h2 < mh2) mh2 = h2
+      if (h3 < mh3) mh3 = h3
+      if (withSet) set(i) = h0
+      i += 1
+    }
+    if (!withSet)
+      return InternalRow(mh0, mh1, mh2, mh3)
+    // distinct ascending — the per-doc dedup collect_set did, determinized
+    java.util.Arrays.sort(set)
+    var out = 1
+    i = 1
+    while (i < ns) {
+      if (set(i) != set(out - 1)) { set(out) = set(i); out += 1 }
+      i += 1
+    }
+    InternalRow(mh0, mh1, mh2, mh3,
+      new GenericArrayData(java.util.Arrays.copyOf(set, out)))
+  }
+}

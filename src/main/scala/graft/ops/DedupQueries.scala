@@ -59,28 +59,29 @@ object DedupQueries {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(Tables.documents(s, d))
 
-  /** 4-hash MinHash signature per doc (seeded by prefixing the hash input).
-    * Built from the RAW shingle stream, not a pre-distinct'd set: min() is
-    * dedup-insensitive and partial-aggregates map-side, so the whole
-    * signature costs one narrow shuffle of 4 hashes per doc — measurably
-    * faster than forcing a distinct shuffle of every (doc, shingle) first.
+  /** 4-hash MinHash signature per doc (seeded by prefixing the hash input)
+    * — ONE native per-row expression ([[graft.functions.ShingleSig]]): the
+    * shingle loop, both digests (each md5 yields two independent 63-bit
+    * halves — 4 lanes from 2 digests), and the per-lane mins all run inside
+    * the scan.
     *
-    * Hash values are BIGINT ([[graft.functions.Md5Low63]] =
-    * `md5_number_lower % (2^63-1)`, byte-identical in DuckDB): min() over
-    * hex STRINGS forced SortAggregate (two full sorts of the shingle
-    * stream per signature) and shipped 32-char band keys — min(BIGINT)
-    * hash-aggregates map-side and the band shuffle carries 8 bytes/hash. */
+    * Zero shuffles: the earlier explode + `groupBy(doc_id).agg(4 × min)`
+    * form shuffled the corpus to regroup by a key that is UNIQUE per input
+    * row — every doc's shingles already live in its own row, so that
+    * exchange re-colocated rows that were never apart. Removing it cuts the
+    * signature stage of q_minhash_sig / q_lsh_pairs / q_jaccard_pairs /
+    * q_dedup_clusters / q_corpus_keep from one full exchange to none, at
+    * any scale.
+    *
+    * Hash values are BIGINT (`md5_number_lower/upper % (2^63-1)`,
+    * byte-identical in DuckDB — hex-string mins would ship 32-char band
+    * keys; these ship 8 bytes/hash into the band shuffle). */
   private[ops] def minhashSigOf(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // 4 hash lanes from TWO digests: each md5 yields two independent 63-bit
-    // halves ([[graft.functions.Md5High63]]), so the hot shingle stream is
-    // hashed twice, not four times — same statistical family, half the
-    // digest + seeded-concat work
-    shinglesOf(docs).groupBy("doc_id").agg(
-      min(expr("md5_low63(concat('0:', sh))")).as("mh0"),
-      min(expr("md5_high63(concat('0:', sh))")).as("mh1"),
-      min(expr("md5_low63(concat('1:', sh))")).as("mh2"),
-      min(expr("md5_high63(concat('1:', sh))")).as("mh3"))
+    docs
+      .select(col("doc_id"), expr("shingle_sig(text)").as("g"))
+      .filter(col("g").isNotNull) // < 3 tokens: same docs the old filter cut
+      .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"), col("g.mh3"))
   }
 
   private def minhashSig(s: SparkSession, d: String): DataFrame =
@@ -324,14 +325,15 @@ object DedupQueries {
     // [[graft.ops.ScaleOps]] exactly as q_lsh_pairs does.
     "q_jaccard_pairs" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val sig = shingles(s, d)
-        .withColumn("h0", expr("md5_low63(concat('0:', sh))"))
-        .groupBy("doc_id").agg(
-          min(col("h0")).as("mh0"),
-          min(expr("md5_high63(concat('0:', sh))")).as("mh1"),
-          min(expr("md5_low63(concat('1:', sh))")).as("mh2"),
-          min(expr("md5_high63(concat('1:', sh))")).as("mh3"),
-          collect_set(col("h0")).as("ss"))
+      // signature AND distinct band-0 hash set in one per-row expression —
+      // see minhashSigOf: the groupBy(doc_id) this replaced was a shuffle
+      // on an already-unique key (and collect_set built the same set this
+      // computes locally, minus the exchange)
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
+          col("g.mh3"), col("g.ss").as("ss"))
       sig
         .selectExpr("doc_id", "ss",
           "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")

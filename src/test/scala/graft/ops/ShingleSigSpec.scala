@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+
+class ShingleSigSpec extends SparkTestBase {
+
+  /** The composed pipeline shingle_sig replaced — explode + min-aggregate.
+    * Kept verbatim as the equivalence reference: it is the literal Spark
+    * transliteration of the unchanged DuckDB oracle CTEs, so
+    * expression == composed implies expression == oracle. */
+  private def composed(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    val sh = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+           i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                       element_at(w, i + 2)))""")).as("sh"))
+    sh.withColumn("h0", expr("md5_low63(concat('0:', sh))"))
+      .groupBy("doc_id").agg(
+        min(col("h0")).as("mh0"),
+        min(expr("md5_high63(concat('0:', sh))")).as("mh1"),
+        min(expr("md5_low63(concat('1:', sh))")).as("mh2"),
+        min(expr("md5_high63(concat('1:', sh))")).as("mh3"),
+        sort_array(collect_set(col("h0"))).as("ss"))
+  }
+
+  private val edgeDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "one two"),            // < 3 tokens: dropped by both forms
+    (3L, "exactly three words"),
+    (4L, ""),                   // one "" token: dropped
+    (5L, "\ta b c"),            // leading tab -> "" token counts as a word
+    (6L, "dup dup dup dup"),    // repeated shingles: set dedups
+    (7L, "ünïcödé wörds hërë ünïcödé wörds hërë"))
+
+  test("shingle_sig matches the composed explode+min pipeline") {
+    import spark.implicits._
+    val docs = edgeDocs.toDF("doc_id", "text")
+    val exp = composed(docs).drop("ss").orderBy("doc_id").collect().toSeq
+    val got = DedupQueries.minhashSigOf(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(exp.nonEmpty)
+    assert(got === exp)
+  }
+
+  test("shingle_sig_set carries the sorted distinct band-0 hash set") {
+    import spark.implicits._
+    val docs = edgeDocs.toDF("doc_id", "text")
+    val exp = composed(docs).orderBy("doc_id").collect().toSeq
+    val got = docs
+      .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
+        col("g.mh3"), col("g.ss").as("ss"))
+      .orderBy("doc_id").collect().toSeq
+    assert(got === exp)
+  }
+
+  test("matches the composed pipeline on the sf0.001 documents fixture") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exp = composed(docs).drop("ss").orderBy("doc_id").collect().toSeq
+    val got = DedupQueries.minhashSigOf(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(exp.nonEmpty)
+    assert(got === exp)
+  }
+}
