@@ -299,15 +299,17 @@ object DedupQueries {
 
     // n-gram Jaccard, verified only on LSH candidates (never all-pairs).
     // Each doc's distinct shingle SET rides WITH its signature through the
-    // band-bucket stream: one aggregation pass emits (signature, set), the
-    // band grouping collects (doc_id, set) structs per bucket, and the
-    // in-bucket pair expansion yields both sides' sets inline — so |A∩B| is
-    // computed where the pair is BORN and only three longs per pair cross
-    // the final dedup shuffle. The r4 form materialized the sig aggregate
-    // behind an explicit exchange and joined the pair list back to the sets
-    // by doc_a then doc_b — two extra shuffle+join stages (plus the
-    // repartition itself) just to re-attach data the bucket stream already
-    // had in hand; measured 2.1× slower interleaved at sf0.1.
+    // band-bucket stream: one PER-ROW expression emits (signature, set)
+    // inside the scan, the band grouping collects (doc_id, set) structs per
+    // bucket, and the in-bucket pair expansion yields both sides' sets
+    // inline — so |A∩B| is computed where the pair is BORN and only three
+    // longs per pair cross the final dedup shuffle. Two shuffles total.
+    // History: the r4 form materialized a sig AGGREGATE behind an explicit
+    // exchange and joined the pair list back to the sets by doc_a then
+    // doc_b — two extra shuffle+join stages just to re-attach data the
+    // bucket stream already had in hand (measured 2.1× slower interleaved);
+    // r5 fused the aggregate itself away (it grouped by the already-unique
+    // doc_id — see minhashSigOf), halving the measured time again.
     //
     // The per-doc set holds the band-0 HASH (8-byte long), not the shingle
     // string: the value is already computed for mh0, the collect_set and
