@@ -76,11 +76,21 @@ object DedupQueries {
     * Hash values are BIGINT (`md5_number_lower/upper % (2^63-1)`,
     * byte-identical in DuckDB — hex-string mins would ship 32-char band
     * keys; these ship 8 bytes/hash into the band shuffle). */
+  /** The docs shingle_sig(text) is non-null for — phrased as a PREDICATE on
+    * raw columns (not `shingle_sig(text) IS NOT NULL`) because Catalyst
+    * pushes the filter below the signature projection and would evaluate
+    * the whole digest loop TWICE per row, once in the Filter and once in
+    * the Project (subexpression elimination does not span operators). The
+    * split here is Spark's own, so the predicate is the old wordsOf filter
+    * verbatim; the expression's null case is then unreachable. */
+  private def hasShingles =
+    col("text").isNotNull && size(split(trim(col("text")), "\\s+")) >= 3
+
   private[ops] def minhashSigOf(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
+      .filter(hasShingles)
       .select(col("doc_id"), expr("shingle_sig(text)").as("g"))
-      .filter(col("g").isNotNull) // < 3 tokens: same docs the old filter cut
       .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"), col("g.mh3"))
   }
 
@@ -332,8 +342,8 @@ object DedupQueries {
       // on an already-unique key (and collect_set built the same set this
       // computes locally, minus the exchange)
       val sig = Tables.documents(s, d)
+        .filter(hasShingles) // cheap predicate, not g IS NOT NULL — see minhashSigOf
         .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
-        .filter(col("g").isNotNull)
         .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
           col("g.mh3"), col("g.ss").as("ss"))
       sig
@@ -389,9 +399,13 @@ object DedupQueries {
     // now the plan says so.
     "q_simhash" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // simhash16 is null ONLY for null text (an empty text still votes via
+      // its one "" token), so the null-doc drop is a plain column predicate
+      // — filtering on the expression's own null would push the digest loop
+      // into the Filter and evaluate it twice per row (see minhashSigOf)
       ScaleOps.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), expr("simhash16(text)").as("simhash"))
-        .filter(col("simhash").isNotNull)
     })
   )
 
