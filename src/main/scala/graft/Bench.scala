@@ -5,10 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. A failed query reports -1.0 (never a fake timing)
   * and its error lands on stderr — VERDICT r1 flagged silent swallowing.
-  * Each query runs five times; the MEDIAN is reported — the driver runs
-  * this adjacent to other load, and a 5-rep median absorbs two contended
-  * reps (min-of-2 absorbed none, median-of-3 only one; host-load spikes
-  * measured this round lasted across neighbouring reps). */
+  * Each query runs five times; the MEDIAN is reported. Reps are INTERLEAVED
+  * round-robin across queries (rep 1 of every query, then rep 2, ...) —
+  * r5 ran a query's 5 reps back-to-back, so a sustained host-contention
+  * window landed ≥3 consecutive reps on ONE query and blew through its
+  * median (q_cosine_topk recorded 6.39 s vs 0.35 s isolated, same code).
+  * Interleaving spreads any contended minute across many queries' single
+  * reps, which the per-query median then discards (VERDICT r5 #1). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,30 +47,43 @@ object Bench {
     // purely by position. Three cheap representative shapes (scan+filter,
     // shuffle agg, window) touch all of it once, outside any timed window.
     Seq("q_scan_filter", "q_agg_sum_group", "q_window_rank")
-      .flatMap(SparkEntry.queries.get)
-      .foreach { fn =>
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+      .foreach { name =>
+        SparkEntry.queries.get(name) match {
+          case None =>
+            // a renamed warm-up must not silently vanish — the 3-4x
+            // first-query position bias would return unnoticed (ADVICE r5)
+            System.err.println(s"[bench] WARNING: warmup query '$name' not registered; position bias may return")
+          case Some(fn) =>
+            try fn(spark, sfDir).queryExecution.toRdd.count()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+        }
       }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // Round-robin: rep r of EVERY query before rep r+1 of any. A query
+    // whose rep throws is marked failed and skipped for remaining rounds.
+    val reps = 5
+    val timings = collection.mutable.Map(selected.map(_._1 -> Vector.empty[Double]): _*)
+    val failed = collection.mutable.Set.empty[String]
+    for (r <- 1 to reps; (name, fn) <- selected if !failed(name)) {
       // GC fence: drain the previous query's garbage so its collection tail
       // isn't billed to this query's timing
       System.gc()
+      try timings(name) :+= timeOnce(fn)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED (rep $r): ${e.getMessage}")
+          failed += name
+      }
+    }
+    val results = selected.map { case (name, _) =>
       val t =
-        try {
-          val reps = Seq.fill(5)(timeOnce(fn)).sorted
-          reps(2)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
+        if (failed(name)) -1.0
+        else { val s = timings(name).sorted; s(s.length / 2) }
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -151,6 +151,19 @@ object GraftFunctions {
         require(args.length == 1, "simhash16 expects 1 argument")
         SimHash16(Cast(args.head, org.apache.spark.sql.types.StringType))
       }),
+    (new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_by expects (score, id, k)")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by k must be an integer literal, got $other")
+        }
+        TopKByScore(Cast(args.head, DoubleType),
+          Cast(args(1), org.apache.spark.sql.types.LongType), k)
+          .toAggregateExpression()
+      }),
     (new FunctionIdentifier("hplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hplane_sig"),
       (args: Seq[Expression]) => {

