@@ -12,11 +12,8 @@ object BucketProbe {
         .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    def emb(n: Long): DataFrame =
-      spark.range(n).select(col("id").as("vec_id"),
-        expr("""transform(sequence(1, 64),
-                 i -> CAST((pmod(hash(id, i), 2000) - 1000) / 1000.0 AS FLOAT))""")
-          .as("embedding"))
+    // ONE corpus/pipeline definition shared with ScaleGrowth (ADVICE r5)
+    def emb(n: Long): DataFrame = SimCorpus.emb(spark, n)
     for ((n, planes) <- Seq((25000L, 10), (100000L, 12), (400000L, 14))) {
       val sizes = emb(n)
         .select(expr(s"hplane_sig(embedding, $planes)").as("bucket"))
@@ -37,18 +34,9 @@ object BucketProbe {
     // (Σ C(bucket,2)) near-linearly: 0.36 s / 414k, ~1.4 s / 1.88M,
     // ~4.2 s / 8.76M. Cross-JVM and first-rep comparisons lie on this host.
     def neardup(n: Long, planes: Int): Double = {
-      val e = emb(n).select(col("vec_id"), col("embedding"),
-        expr(s"hplane_sig(embedding, $planes)").as("bucket"),
-        sqrt(expr("vector_dot(embedding, embedding)")).as("nrm"))
-      val a = e.select(col("bucket"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("bucket"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = SimCorpus.neardupPairs(emb(n), planes)
       val t0 = System.nanoTime()
-      a.join(b, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .filter((expr("vector_dot(ea, eb)") / (col("na") * col("nb"))) >= 0.5)
-        .queryExecution.toRdd.count()
+      pairs.queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
     val acc = scala.collection.mutable.Map[(Long, String), List[Double]]()

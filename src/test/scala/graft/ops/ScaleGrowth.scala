@@ -75,11 +75,9 @@ object ScaleGrowth {
     // documented LSH scale argument ("more corpus means more buckets at the
     // same density"), and this measures it instead of asserting it.
     graft.functions.GraftFunctions.register(spark)
-    def emb(n: Long): DataFrame =
-      spark.range(n).select(col("id").as("vec_id"),
-        expr("""transform(sequence(1, 64),
-                 i -> CAST((pmod(hash(id, i), 2000) - 1000) / 1000.0 AS FLOAT))""")
-          .as("embedding"))
+    // corpus + neardup pipeline shared with BucketProbe/AnnRecall via
+    // SimCorpus — PERF.md cites all three as one experiment (ADVICE r5)
+    def emb(n: Long): DataFrame = SimCorpus.emb(spark, n)
 
     // (A byte-targeted-AQE-coalescing hypothesis for an apparent 100k
     // anomaly was REFUTED by BucketProbe's interleaved advisory A/B —
@@ -94,17 +92,8 @@ object ScaleGrowth {
                             (400000L, 14))) {
       val warmup = planes == 0
       val nPlanes = if (warmup) 10 else planes
-      val e = emb(n).select(col("vec_id"), col("embedding"),
-        expr(s"hplane_sig(embedding, $nPlanes)").as("bucket"),
-        sqrt(expr("vector_dot(embedding, embedding)")).as("nrm"))
-      val a = e.select(col("bucket"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("bucket"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
       val t0 = System.nanoTime()
-      val nPairs = a.join(b, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .filter((expr("vector_dot(ea, eb)") / (col("na") * col("nb"))) >= 0.5)
+      val nPairs = SimCorpus.neardupPairs(emb(n), nPlanes)
         .queryExecution.toRdd.count()
       val tNd = (System.nanoTime() - t0) / 1e9
 
