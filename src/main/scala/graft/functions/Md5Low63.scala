@@ -89,23 +89,38 @@ object Md5Low63 {
 
   private val tlMd5 = ThreadLocal.withInitial[Hasher](() => new Hasher)
 
-  /** Static (callable from generated Java): md5_number_lower(s) % (2^63-1)
-    * with unsigned remainder — always in [0, 2^63-1). */
-  def compute(s: UTF8String): Long = {
-    val d = tlMd5.get().digest(s.getBytes)
+  /** The per-thread raw digest instance, for callers that stream MANY
+    * digests per row ([[ShingleSig]]) — one MessageDigest per thread for
+    * the whole md5 family instead of one per call site. */
+  def threadMd5: java.security.MessageDigest = tlMd5.get().md
+
+  // The DuckDB md5_number lane math lives HERE and only here (ADVICE r5:
+  // ShingleSig had byte-for-byte copies that could silently diverge).
+  /** Digest bytes 8..15 read little-endian — DuckDB's `md5_number_lower`. */
+  def low64(d: Array[Byte]): Long = {
     var base = 0L
     var i = 15
     while (i >= 8) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
-    java.lang.Long.remainderUnsigned(base, M)
+    base
   }
 
-  /** md5_number_upper(s) % (2^63-1): bytes 0..7 little-endian (verified
-    * byte-for-byte against DuckDB). */
-  def computeUpper(s: UTF8String): Long = {
-    val d = tlMd5.get().digest(s.getBytes)
+  /** Digest bytes 0..7 read little-endian — DuckDB's `md5_number_upper`. */
+  def high64(d: Array[Byte]): Long = {
     var base = 0L
     var i = 7
     while (i >= 0) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
-    java.lang.Long.remainderUnsigned(base, M)
+    base
   }
+
+  /** `md5_number_lower % (2^63-1)` with unsigned remainder — in [0, 2^63-1). */
+  def loLane(d: Array[Byte]): Long = java.lang.Long.remainderUnsigned(low64(d), M)
+
+  /** `md5_number_upper % (2^63-1)` (verified byte-for-byte against DuckDB). */
+  def hiLane(d: Array[Byte]): Long = java.lang.Long.remainderUnsigned(high64(d), M)
+
+  /** Static (callable from generated Java): md5_number_lower(s) % (2^63-1). */
+  def compute(s: UTF8String): Long = loLane(tlMd5.get().digest(s.getBytes))
+
+  /** md5_number_upper(s) % (2^63-1). */
+  def computeUpper(s: UTF8String): Long = hiLane(tlMd5.get().digest(s.getBytes))
 }

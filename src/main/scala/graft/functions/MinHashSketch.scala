@@ -144,13 +144,10 @@ object MinHashSketch {
     java.security.MessageDigest.getInstance("MD5"))
 
   /** `md5_number_lower(token) % p` exactly as DuckDB computes it: the
-    * digest's last 8 bytes read little-endian as an unsigned 64-bit int,
+    * digest's last 8 bytes read little-endian as an unsigned 64-bit int
+    * ([[Md5Low63.low64]] — the one home of the byte-lane semantics),
     * reduced mod p with unsigned semantics. */
-  def md5BaseModP(s: UTF8String): Long = {
-    val d = tlMd5.get().digest(s.getBytes)
-    var base = 0L
-    var i = 15
-    while (i >= 8) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
-    java.lang.Long.remainderUnsigned(base, P)
-  }
+  def md5BaseModP(s: UTF8String): Long =
+    java.lang.Long.remainderUnsigned(
+      Md5Low63.low64(tlMd5.get().digest(s.getBytes)), P)
 }

@@ -88,26 +88,6 @@ object ShingleSig {
   val sigSetType: StructType = StructType(sigType.fields :+
     StructField("ss", ArrayType(LongType, containsNull = false), nullable = false))
 
-  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
-
-  private val M = Long.MaxValue // 2^63 - 1, the shared lane modulus
-
-  // digest byte lanes, exactly as [[Md5Low63]]: low = bytes 8..15
-  // little-endian, high = bytes 0..7 little-endian, both mod 2^63-1 unsigned
-  private def loLane(d: Array[Byte]): Long = {
-    var base = 0L
-    var i = 15
-    while (i >= 8) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
-    java.lang.Long.remainderUnsigned(base, M)
-  }
-  private def hiLane(d: Array[Byte]): Long = {
-    var base = 0L
-    var i = 7
-    while (i >= 0) { base = (base << 8) | (d(i) & 0xffL); i -= 1 }
-    java.lang.Long.remainderUnsigned(base, M)
-  }
-
   /** Static (callable from generated Java): the 4-lane signature, plus the
     * sorted distinct band-0 hash set when `withSet`. Null when the text has
     * fewer than 3 whitespace tokens (the composed form's filter). */
@@ -121,7 +101,10 @@ object ShingleSig {
     val ns = words.length - 2
     if (ns <= 0) return null
 
-    val md = tlMd5.get()
+    // digest instance and lane math shared with the md5_low63/md5_high63
+    // expressions — Md5Low63 is the single home of the DuckDB md5_number
+    // byte-lane semantics (ADVICE r5)
+    val md = Md5Low63.threadMd5
     var mh0, mh1, mh2, mh3 = Long.MaxValue
     val set = if (withSet) new Array[Long](ns) else null
     var i = 0
@@ -129,12 +112,12 @@ object ShingleSig {
       val sh = words(i) + " " + words(i + 1) + " " + words(i + 2)
       md.reset()
       val d0 = md.digest(("0:" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h0 = loLane(d0)
-      val h1 = hiLane(d0)
+      val h0 = Md5Low63.loLane(d0)
+      val h1 = Md5Low63.hiLane(d0)
       md.reset()
       val d1 = md.digest(("1:" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h2 = loLane(d1)
-      val h3 = hiLane(d1)
+      val h2 = Md5Low63.loLane(d1)
+      val h3 = Md5Low63.hiLane(d1)
       if (h0 < mh0) mh0 = h0
       if (h1 < mh1) mh1 = h1
       if (h2 < mh2) mh2 = h2

@@ -102,6 +102,70 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec binding with zero external deps: parses WAV payloads
+    * via `javax.sound.sampled` (bundled with every JRE) and emits
+    * `[sample_rate_hz, duration_ms, channels, rms, ...]` — rate/duration/
+    * channels raw, RMS over all samples normalized to [0,1] (samples scaled
+    * to [-1,1] first). Handles the two PCM encodings real WAV corpora are
+    * made of (16-bit signed, 8-bit unsigned); anything the JRE cannot parse
+    * falls back to [[StubDecoder]]'s byte features — same per-ROW
+    * degradation contract as [[ImageIoDecoder]]: one corrupt object must
+    * never fail a 10^6-row partition. Partition-local CPU inside the same
+    * `mapPartitions` batch seam; the plan is identical to the stub's. */
+  object WavDecoder extends Decoder {
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (payload == null || payload.isEmpty || dim == 0) return out
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (in == null) return StubDecoder.decode(payload, dim)
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (dim >= 1) out(0) = fmt.getSampleRate
+        if (dim >= 2) out(1) =
+          (frames.toDouble / fmt.getSampleRate * 1000.0).toFloat
+        if (dim >= 3) out(2) = fmt.getChannels.toFloat
+        if (dim >= 4) {
+          val bytes = in.readAllBytes()
+          val enc = fmt.getEncoding
+          var sumSq = 0.0
+          var n = 0L
+          if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16) {
+            val order =
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN
+            val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+            while (sb.hasRemaining) {
+              val s = sb.get() / 32768.0
+              sumSq += s * s
+              n += 1
+            }
+          } else if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+                     fmt.getSampleSizeInBits == 8) {
+            var i = 0
+            while (i < bytes.length) {
+              val s = ((bytes(i) & 0xff) - 128) / 128.0
+              sumSq += s * s
+              n += 1
+              i += 1
+            }
+          }
+          if (n > 0) out(3) = math.sqrt(sumSq / n).toFloat
+        }
+        out
+      } catch {
+        case _: java.io.IOException => StubDecoder.decode(payload, dim)
+      } finally in.close()
+    }
+  }
+
   /** Feature extraction over payload batches: one `mapPartitions` pass,
     * decoder initialized once per partition (the expensive-library-init
     * pattern), rows processed in a tight loop. */

@@ -78,6 +78,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f2(0) - 'n'.toInt / 255.0f) < 1e-7)
   }
 
+  test("WavDecoder decodes a real WAV payload through the batch path") {
+    import spark.implicits._
+    // 100 ms of a 16-bit mono 8 kHz full-scale square wave, encoded
+    // in-memory via javax.sound.sampled (a real WAV file, not the stub);
+    // RMS of a full-scale square wave is 1.0 exactly
+    val rate = 8000f
+    val nFrames = 800 // 100 ms
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until nFrames)
+      bb.putShort(if ((i / 8) % 2 == 0) 32767 else -32767)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val df = Seq(
+      (1L, wav),                              // real audio
+      (2L, "not a wav".getBytes("UTF-8"))     // undecodable -> stub fallback
+    ).toDF("media_id", "payload")
+    val out = Multimodal
+      .extractFeatures(df, dim = 4, decoder = Multimodal.WavDecoder)
+      .orderBy("media_id").collect()
+    val f1 = out(0).getSeq[Float](3)
+    assert(f1(0) === 8000.0f)                 // sample rate
+    assert(math.abs(f1(1) - 100.0f) < 1e-3)   // duration ms
+    assert(f1(2) === 1.0f)                    // channels
+    assert(math.abs(f1(3) - 32767.0f / 32768.0f) < 1e-6) // square-wave RMS
+    // non-audio payload degrades per ROW to the stub features, no job failure
+    val f2 = out(1).getSeq[Float](3)
+    assert(math.abs(f2(0) - 'n'.toInt / 255.0f) < 1e-7)
+  }
+
   test("fromDocuments builds the binary+metadata schema from testdata") {
     val df = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     assert(df.schema("payload").dataType.typeName === "binary")
