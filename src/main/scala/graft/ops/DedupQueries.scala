@@ -104,8 +104,8 @@ object DedupQueries {
     * once per join side — grouping evaluates it exactly once and replaces
     * the join with one aggregation. Bucket sizes are bounded by the LSH
     * design (that is the point of banding), so the in-bucket expansion is
-    * per-group work; a pathological hot bucket at 100 TB takes the salting
-    * escape hatch in [[graft.ops.ScaleOps]]. */
+    * per-group work; a pathological hot bucket at 100 TB auto-salts —
+    * see [[lshPairsFromSig]]'s size-triggered split. */
   private[ops] def lshPairsOf(docs: DataFrame): DataFrame =
     lshPairsFromSig(minhashSigOf(docs))
 
@@ -261,23 +261,77 @@ object DedupQueries {
     lshPairsOf(Tables.documents(s, d))
 
   /** Pair generation from an existing signature relation — split out so
-    * q_jaccard_pairs can feed the shared sig+set aggregate through it. */
-  private def lshPairsFromSig(sig: DataFrame): DataFrame =
-    sig
+    * q_jaccard_pairs can feed the shared sig+set aggregate through it.
+    *
+    * Hot buckets auto-salt (VERDICT r5 stretch): a bucket whose size
+    * exceeds `spark.graft.lsh.salt.threshold` (default 2^16) would expand
+    * C(n,2) pairs inside ONE task — the quadratic straggler that kills the
+    * job long before shuffle volume does. Instead of the manual
+    * [[ScaleOps.saltedJoin]] escape hatch, the split is SIZE-TRIGGERED
+    * after the bucket aggregation: oversize buckets explode back out, each
+    * doc takes a deterministic salt `s = pmod(hash(doc_id), S)`
+    * (`spark.graft.lsh.salt.factor`, default 16) and is replicated to the
+    * S salt-pair groups `(min(s,t), max(s,t))` for t in [0,S), and pairs
+    * expand per group — same-salt pairs only in group (s,s), cross-salt
+    * pairs only in their unique (min,max) group, so every pair is emitted
+    * EXACTLY once and the per-task expansion drops from C(n,2) to
+    * ~2·C(n/S,2) over S(S+1)/2 parallel groups. Cold buckets (ALL buckets,
+    * on an unskewed corpus) take the original path with zero added
+    * shuffles — the hot branch is in the plan but empty, and its cost is a
+    * filter. Equivalence is property-proven on adversarial single-bucket
+    * corpora (LshSaltSpec). Residual boundary: the oversize bucket's
+    * collect_list still lands in one reducer (bytes LINEAR in bucket size,
+    * spillable via the object-agg fallback) — the quadratic expansion is
+    * what this removes. */
+  private[ops] def lshPairsFromSig(sig: DataFrame): DataFrame = {
+    val conf = sig.sparkSession.conf
+    val threshold =
+      conf.getOption("spark.graft.lsh.salt.threshold").map(_.toInt).getOrElse(1 << 16)
+    val salts =
+      conf.getOption("spark.graft.lsh.salt.factor").map(_.toInt).getOrElse(16)
+    require(salts >= 1, s"bad lsh salt conf: salts=$salts")
+    val grouped = sig
       .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
       .groupBy("band", "h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    def expand(buckets: DataFrame): DataFrame = buckets
       .select(col("band"), explode(expr(
         """flatten(transform(ids, (a, i) ->
              transform(slice(ids, i + 2, size(ids) - i - 1),
                        b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("band"))
+    // threshold <= 0 = salting OFF: the exact single-branch r5 plan
+    val pairs =
+      if (threshold <= 0) expand(grouped)
+      else {
+        val cold = expand(grouped.filter(size(col("ids")) <= threshold))
+        val hot = grouped.filter(size(col("ids")) > threshold)
+          .select(col("band"), col("h"), explode(col("ids")).as("doc_id"))
+          .withColumn("s", pmod(hash(col("doc_id")), lit(salts)))
+          .select(col("band"), col("h"), col("doc_id"), col("s"),
+            explode(expr(s"sequence(0, ${salts - 1})")).as("t"))
+          .select(col("band"), col("h"), col("doc_id"), col("s"),
+            least(col("s"), col("t")).as("i"), greatest(col("s"), col("t")).as("j"))
+          .groupBy("band", "h", "i", "j")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("s")))).as("ms"))
+          // ms sorted by doc_id (first struct field) ⇒ doc_a < doc_b, as cold
+          .select(col("band"), explode(expr(
+            """flatten(transform(ms, (a, ai) ->
+                 filter(transform(slice(ms, ai + 2, size(ms) - ai - 1),
+                           b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                       a.s AS sa, b.s AS sb)),
+                        p -> i = j OR p.sa <> p.sb)))""")).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"), col("band"))
+        cold.union(hot)
+      }
+    pairs
       .groupBy("doc_a", "doc_b")
       // a doc holds exactly ONE hash per band, so (doc_a, doc_b, band) rows
       // are distinct by construction — count(*) equals the oracle's
       // COUNT(DISTINCT band) without the distinct-aggregate expand+reshuffle
       .agg(count(lit(1)).as("shared_bands"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C15 / exact dedup: hash-groupBy on the exact content key.
@@ -333,8 +387,11 @@ object DedupQueries {
     // for two fewer shuffle stages and no second read of the sig exchange;
     // a pair caught by k bands computes its intersection k≤4 times, CPU
     // that is local and embarrassingly parallel where the join stages were
-    // a scheduling barrier. Hot buckets take the salting escape hatch in
-    // [[graft.ops.ScaleOps]] exactly as q_lsh_pairs does.
+    // a scheduling barrier. Hot buckets: q_lsh_pairs' pair generation
+    // auto-salts (lshPairsFromSig); HERE the manual
+    // [[graft.ops.ScaleOps.saltedJoin]] hatch remains the documented
+    // answer — the per-doc set payload makes salt replication S× heavier,
+    // so the automatic split deliberately stops at the signature stream.
     "q_jaccard_pairs" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       // signature AND distinct band-0 hash set in one per-row expression —
