@@ -145,6 +145,17 @@ object GraftFunctions {
         require(args.length == 1, "shingle_sig_set expects 1 argument")
         ShingleSigSet(Cast(args.head, org.apache.spark.sql.types.StringType))
       }),
+    (new FunctionIdentifier("shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_minhash expects (text, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_minhash k must be an integer literal, got $other")
+        }
+        ShingleMinHash(Cast(args.head, org.apache.spark.sql.types.StringType), k)
+      }),
     (new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (args: Seq[Expression]) => {

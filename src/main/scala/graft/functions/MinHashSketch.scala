@@ -140,6 +140,16 @@ object MinHashSketch {
   def mulA(i: Int): Long = Math.floorMod(consts(2 * i), P - 1) + 1
   def incB(i: Int): Long = Math.floorMod(consts(2 * i + 1), P)
 
+  private val modPermCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+
+  /** (A, B) md5p permutation constants for lanes 0..k-1, materialized once
+    * per k — the per-shingle lane loop ([[ShingleSig.computeK]]) reads
+    * plain arrays instead of recomputing floorMod per lane per token. */
+  def modPerms(k: Int): (Array[Long], Array[Long]) =
+    modPermCache.computeIfAbsent(k,
+      { n => (Array.tabulate(n)(mulA), Array.tabulate(n)(incB)) })
+
   private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 

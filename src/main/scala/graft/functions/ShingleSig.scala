@@ -77,6 +77,41 @@ case class ShingleSigSet(child: Expression) extends UnaryExpression {
   override def prettyName: String = "shingle_sig_set"
 }
 
+/** `shingle_minhash(text, k)` — the k-permutation md5p MinHash signature
+  * (the [[MinHashSketch]] `md5p` family: base = `md5_number_lower(sh) % P`,
+  * lanes = modular linear permutations over Z_{2^31-1}) computed over the
+  * document's 3-word shingles as ONE per-row expression.
+  *
+  * Same motivation as [[ShingleSig]] (r5) applied to the 64-perm
+  * production signature: the aggregate form exploded one row per shingle
+  * and regrouped by `doc_id` — a key UNIQUE per input row, so that
+  * exchange re-colocated rows that were never apart. The
+  * [[MinHashSketch]] AGGREGATE remains the right tool for genuinely
+  * pre-exploded token streams; equality of the two paths on the real
+  * corpus is spec-proven (ShingleSigSpec), which chains the aggregate to
+  * the q_minhash_native oracle. */
+case class ShingleMinHash(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1 && k <= 1024, s"shingle_minhash k must be in [1, 1024], got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true // docs under 3 tokens are null
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleSig.computeK(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ShingleSig.computeK($c, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_minhash"
+}
+
 object ShingleSig {
 
   val sigType: StructType = StructType(Seq(
@@ -88,16 +123,54 @@ object ShingleSig {
   val sigSetType: StructType = StructType(sigType.fields :+
     StructField("ss", ArrayType(LongType, containsNull = false), nullable = false))
 
-  /** Static (callable from generated Java): the 4-lane signature, plus the
-    * sorted distinct band-0 hash set when `withSet`. Null when the text has
-    * fewer than 3 whitespace tokens (the composed form's filter). */
-  def compute(t: UTF8String, withSet: Boolean): InternalRow = {
+  /** ASCII-space trim + `\s+` split, limit -1 — the one tokenizer every
+    * per-row signature expression shares (same corner cases as the
+    * composed `split(trim(text))` form and the oracle CTEs). */
+  private def tokensOf(t: UTF8String): Array[String] = {
     val str = t.toString
     var b = 0
     var e = str.length
     while (b < e && str.charAt(b) == ' ') b += 1
     while (e > b && str.charAt(e - 1) == ' ') e -= 1
-    val words = str.substring(b, e).split("\\s+", -1)
+    str.substring(b, e).split("\\s+", -1)
+  }
+
+  /** Static (callable from generated Java): the k-permutation md5p MinHash
+    * signature over 3-word shingles — per shingle one digest, base =
+    * `md5_number_lower % P` (unsigned), lane j = `(A_j·base + B_j) % P`
+    * MIN'd over the stream ([[MinHashSketch]]'s exact md5p arithmetic).
+    * Null when the text has fewer than 3 whitespace tokens. */
+  def computeK(t: UTF8String, k: Int): GenericArrayData = {
+    val words = tokensOf(t)
+    val ns = words.length - 2
+    if (ns <= 0) return null
+    val md = Md5Low63.threadMd5
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val p = MinHashSketch.P
+    val (ma, mb) = MinHashSketch.modPerms(k)
+    var i = 0
+    while (i < ns) {
+      val sh = words(i) + " " + words(i + 1) + " " + words(i + 2)
+      md.reset()
+      val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val base = java.lang.Long.remainderUnsigned(Md5Low63.low64(d), p)
+      var j = 0
+      while (j < k) {
+        val h = (ma(j) * base + mb(j)) % p
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Static (callable from generated Java): the 4-lane signature, plus the
+    * sorted distinct band-0 hash set when `withSet`. Null when the text has
+    * fewer than 3 whitespace tokens (the composed form's filter). */
+  def compute(t: UTF8String, withSet: Boolean): InternalRow = {
+    val words = tokensOf(t)
     val ns = words.length - 2
     if (ns <= 0) return null
 

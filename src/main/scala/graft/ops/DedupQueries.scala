@@ -355,8 +355,18 @@ object DedupQueries {
     // pandas sorter.
     "q_minhash_native" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      shingles(s, d).groupBy("doc_id")
-        .agg(to_json(expr("minhash_sketch(sh, 64, 'md5p')")).as("sig"))
+      // r6: the 64-perm signature is per-row work inside the scan
+      // ([[graft.functions.ShingleMinHash]]) — the aggregate form exploded
+      // one row per shingle and regrouped by the already-unique doc_id
+      // (the same artificial exchange r5 removed from the 4-lane path).
+      // The [[graft.functions.MinHashSketch]] AGGREGATE remains the
+      // library surface for genuinely pre-exploded token streams;
+      // ShingleSigSpec proves the two paths equal on the real corpus,
+      // chaining the aggregate to this query's oracle.
+      Tables.documents(s, d)
+        .filter(hasShingles)
+        .select(col("doc_id"),
+          to_json(expr("shingle_minhash(text, 64)")).as("sig"))
     }),
 
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),

@@ -70,4 +70,35 @@ class ShingleSigSpec extends SparkTestBase {
     assert(exp.nonEmpty)
     assert(got === exp)
   }
+
+  /** The 64-perm explode + minhash_sketch AGGREGATE pipeline the per-row
+    * `shingle_minhash` replaced in q_minhash_native — kept verbatim as the
+    * equivalence reference: expression == aggregate chains the
+    * TypedImperativeAggregate's md5p family to the query's DuckDB oracle. */
+  test("shingle_minhash equals the minhash_sketch aggregate, edge cases + fixture") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def aggregateForm(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+           i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                       element_at(w, i + 2)))""")).as("sh"))
+      .groupBy("doc_id")
+      .agg(expr("minhash_sketch(sh, 64, 'md5p')").as("sig"))
+    def rowForm(docs: DataFrame): DataFrame = docs
+      .filter(col("text").isNotNull &&
+        size(split(trim(col("text")), "\\s+")) >= 3)
+      .select(col("doc_id"), expr("shingle_minhash(text, 64)").as("sig"))
+    for (docs <- Seq(edgeDocs.toDF("doc_id", "text"),
+                     graft.tables.Tables.documents(spark, "/root/testdata/sf0.001"))) {
+      val exp = aggregateForm(docs).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val got = rowForm(docs).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      assert(exp.nonEmpty)
+      assert(got === exp)
+    }
+  }
 }
