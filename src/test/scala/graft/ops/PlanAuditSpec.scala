@@ -49,6 +49,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
   }
 
+  test("per-row signature queries plan ZERO shuffle exchanges") {
+    // the r5/r6 fusions' whole point: MinHash (4-lane AND 64-perm),
+    // whole-doc fingerprints, token stats, and norms are work INSIDE the
+    // scan — a reintroduced groupBy/repartition on these paths is a
+    // regression at any scale (queries using the guarded ScaleOps.spread,
+    // e.g. q_simhash/q_lang_ngram/q_fingerprint_rolling, are excluded:
+    // spread legitimately exchanges the one-row-group fixture scan)
+    val zeroShuffle = Seq("q_minhash_sig", "q_minhash_native",
+      "q_fingerprint", "q_token_count", "q_text_quality", "q_lang_guess",
+      "q_vector_norms")
+    val offenders = zeroShuffle.filter { name =>
+      physical(name).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    }
+    assert(offenders.isEmpty, s"unexpected shuffles in: $offenders")
+  }
+
   test("q_cosine_topk plans no window over the unbounded scored stream") {
     // VERDICT r5 #2: the full-stream Window.partitionBy(q_id) top-k became
     // the bounded topk_by aggregate — partial per-partition heaps, k rows
