@@ -473,6 +473,41 @@ object DedupQueries {
       ScaleOps.spread(Tables.documents(s, d))
         .filter(col("text").isNotNull)
         .select(col("doc_id"), expr("simhash16(text)").as("simhash"))
+    }),
+
+    // SimHash near-dup PAIRS (r6): candidates from 4-bit nibble bands of
+    // the 16-bit signature, verified by exact hamming distance ≤ 3. The
+    // band split is exhaustive for that radius by pigeonhole — ≤3
+    // differing bits across 4 bands leave at least one band identical —
+    // so the bucket join has FULL recall at the verify threshold, never
+    // goes all-pairs, and both stages are the LSH shapes the engine
+    // already scales: per-row signature + nibble keys inside the scan,
+    // in-bucket expansion bounded by band-bucket size, cross-band dedup
+    // on the pair key. The same plan at 64-bit SimHash / radius k is the
+    // standard Manku-style web-dedup layout.
+    "q_simhash_pairs" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val sig = ScaleOps.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), expr("simhash16(text)").as("simhash"))
+      sig
+        .select(col("doc_id"), col("simhash"),
+          posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (4 * b)) & 15)"))
+            .as(Seq("b", "key")))
+        .groupBy("b", "key")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ms, (a, ai) ->
+               transform(slice(ms, ai + 2, size(ms) - ai - 1),
+                         b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                     a.simhash AS sa, b.simhash AS sb))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
+        // a close pair shares several bands — dedup on the pair key
+        .dropDuplicates("doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+        .filter(col("hamming") <= 3)
     })
   )
 
@@ -579,6 +614,34 @@ object DedupQueries {
                  CAST(SUM(CASE WHEN sgn >= 0
                                THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
                                ELSE 0 END) AS BIGINT) AS simhash
-          FROM sgns GROUP BY doc_id"""
+          FROM sgns GROUP BY doc_id""",
+    // identical signature CTE, then the identical nibble-band candidate
+    // join + exact hamming verify
+    "q_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id,
+                           UNNEST(string_split_regex(trim(text), '\s+')) AS w
+                    FROM documents),
+          bits AS (SELECT doc_id, t.i,
+                          (strpos('0123456789abcdef',
+                             substr(md5(w), CAST(t.i AS INT), 1)) - 1) % 2 AS bit
+                   FROM w CROSS JOIN range(1, 17) t(i)),
+          sgns AS (SELECT doc_id, i,
+                          SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS sgn
+                   FROM bits GROUP BY doc_id, i),
+          smh AS (SELECT doc_id,
+                         CAST(SUM(CASE WHEN sgn >= 0
+                                       THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+                                       ELSE 0 END) AS BIGINT) AS simhash
+                  FROM sgns GROUP BY doc_id),
+          bands AS (SELECT doc_id, simhash,
+                           t.b, (simhash >> CAST(4 * t.b AS INT)) & 15 AS key
+                    FROM smh CROSS JOIN range(0, 4) t(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.simhash AS sa, b.simhash AS sb
+                   FROM bands a JOIN bands b
+                     ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+          FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
   )
 }
