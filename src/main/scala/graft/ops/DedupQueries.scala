@@ -475,16 +475,22 @@ object DedupQueries {
         .select(col("doc_id"), expr("simhash16(text)").as("simhash"))
     }),
 
-    // SimHash near-dup PAIRS (r6): candidates from 4-bit nibble bands of
-    // the 16-bit signature, verified by exact hamming distance ≤ 3. The
-    // band split is exhaustive for that radius by pigeonhole — ≤3
-    // differing bits across 4 bands leave at least one band identical —
-    // so the bucket join has FULL recall at the verify threshold, never
-    // goes all-pairs, and both stages are the LSH shapes the engine
-    // already scales: per-row signature + nibble keys inside the scan,
-    // in-bucket expansion bounded by band-bucket size, cross-band dedup
-    // on the pair key. The same plan at 64-bit SimHash / radius k is the
-    // standard Manku-style web-dedup layout.
+    // SimHash near-dup PAIRS (r6): candidates from the two 8-bit byte
+    // bands of the 16-bit signature, verified by exact hamming distance
+    // ≤ 1. The band split is exhaustive for that radius by pigeonhole —
+    // one differing bit leaves the other band identical — so the bucket
+    // join has FULL recall at the verify threshold, never goes all-pairs,
+    // and both stages are the LSH shapes the engine already scales:
+    // per-row signature + band keys inside the scan, in-bucket expansion
+    // bounded by band-bucket size, cross-band dedup on the pair key. The
+    // same plan at 64-bit SimHash / 4×16-bit bands / radius 3 is the
+    // standard Manku-style web-dedup layout; the 16-bit width (the
+    // oracle-reproducible choice — see q_simhash) fixes the band/radius
+    // budget, and band width is the load-bearing knob: a 4-band/radius-3
+    // variant at this width means 16-value bands, ~n/16-doc buckets, and
+    // a near-quadratic candidate mass (measured 15.6 s and a 1.9M-row
+    // answer at sf0.1 on the template-heavy corpus before this was
+    // narrowed).
     "q_simhash_pairs" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val sig = ScaleOps.spread(Tables.documents(s, d))
@@ -492,7 +498,7 @@ object DedupQueries {
         .select(col("doc_id"), expr("simhash16(text)").as("simhash"))
       sig
         .select(col("doc_id"), col("simhash"),
-          posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (4 * b)) & 15)"))
+          posexplode(expr("transform(sequence(0, 1), b -> (simhash >> (8 * b)) & 255)"))
             .as(Seq("b", "key")))
         .groupBy("b", "key")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
@@ -503,11 +509,11 @@ object DedupQueries {
                          b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
                                      a.simhash AS sa, b.simhash AS sb))))""")).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
-        // a close pair shares several bands — dedup on the pair key
+        // an identical-signature pair shares both bands — dedup on the key
         .dropDuplicates("doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"),
           expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= 1)
     })
   )
 
@@ -634,14 +640,14 @@ object DedupQueries {
                                        ELSE 0 END) AS BIGINT) AS simhash
                   FROM sgns GROUP BY doc_id),
           bands AS (SELECT doc_id, simhash,
-                           t.b, (simhash >> CAST(4 * t.b AS INT)) & 15 AS key
-                    FROM smh CROSS JOIN range(0, 4) t(b)),
+                           t.b, (simhash >> CAST(8 * t.b AS INT)) & 255 AS key
+                    FROM smh CROSS JOIN range(0, 2) t(b)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                           a.simhash AS sa, b.simhash AS sb
                    FROM bands a JOIN bands b
                      ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b,
                  CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-          FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+          FROM cand WHERE bit_count(xor(sa, sb)) <= 1"""
   )
 }
