@@ -60,6 +60,29 @@ object BeaconStreaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming NEAR-dup dedup (beyond reference, r6): the batch dedup
+    * family's per-row MinHash signature ([[graft.functions.ShingleSig]])
+    * as the stateful dedup key. Because the whole signature is ONE
+    * stateless projection inside the stream — no aggregation, no extra
+    * shuffle — it composes with `dropDuplicatesWithinWatermark` exactly
+    * like a natural key: state holds one 32-byte signature per distinct
+    * doc within the watermark, not the text. Docs whose texts differ only
+    * in ways the shingle walk normalizes (leading/trailing whitespace,
+    * run-length of separators) dedup as the SAME doc — near-dup, not
+    * byte-exact. Sub-3-token docs (null signature) fall back to exact
+    * text as the key (a null key would conflate every tiny doc; the
+    * `raw:` prefix keeps the two key spaces disjoint). */
+  def nearDupDedup(df: DataFrame, tsCol: String, textCol: String = "text",
+                   watermark: String = "2 hours"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__dedup_key",
+        coalesce(to_json(expr(s"shingle_sig($textCol)")),
+          concat(lit("raw:"), coalesce(col(textCol), lit(""))), lit("raw:")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__dedup_key")
+      .drop("__dedup_key")
+  }
+
   /** D6 — dual sink: every micro-batch appends the hourly history layout and
     * overwrites the `latest` snapshot — `foreachBatch` is the streaming
     * form of the reference's validators dual write

@@ -116,4 +116,40 @@ class BeaconStreamingSpec extends SparkTestBase {
     q.awaitTermination(120000)
     assert(spark.table("dedup_out").count() === 32L)
   }
+
+  test("streaming near-dup dedup keys state on the per-row MinHash signature") {
+    val dir = tmpDir("stream-neardup")
+    // two micro-batches: b2 replays b1's docs with whitespace-only edits
+    // (leading spaces, separator run-length) — different BYTES, same
+    // shingles → same signature → dropped; doc 4 is genuinely new text;
+    // the sub-3-token doc dedups by exact text fallback
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "ts": "2024-01-01T00:0$id:00.000Z", "text": "$text"}"""
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      doc(1, "the quick brown fox jumps"),
+      doc(2, "entirely different document body here"),
+      doc(3, "tiny doc")))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(
+      doc(1, "  the quick  brown fox jumps"), // near-dup of b1 doc 1
+      doc(3, "tiny doc"),                     // exact replay (null-sig path)
+      doc(4, "a genuinely new fourth document")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val deduped = BeaconStreaming.nearDupDedup(src, "ts")
+    val q = deduped.writeStream
+      .format("memory").queryName("neardup_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.table("neardup_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 3L, 4L))
+  }
 }
