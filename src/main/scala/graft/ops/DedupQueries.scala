@@ -260,6 +260,22 @@ object DedupQueries {
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsOf(Tables.documents(s, d))
 
+  /** SQL for the sorted in-bucket pair expansion: for each i<j element pair
+    * (a, b) of the array column `ms`, emit `build`; `keep` optionally
+    * filters the emitted struct `p`. ALL band-bucket expansions (LSH
+    * cold/hot, Jaccard, SimHash) share this one template so the slice
+    * arithmetic cannot silently diverge between them. The positional
+    * lambda variable is `__i` — `keep` predicates may reference OUTER
+    * columns (the salted path filters on its group columns i/j), which a
+    * lambda variable named `i` would shadow. */
+  private def pairExpansionSql(ms: String, build: String,
+                               keep: Option[String] = None): String = {
+    val inner =
+      s"transform(slice($ms, __i + 2, size($ms) - __i - 1), b -> $build)"
+    val kept = keep.fold(inner)(k => s"filter($inner, p -> $k)")
+    s"flatten(transform($ms, (a, __i) -> $kept))"
+  }
+
   /** Pair generation from an existing signature relation — split out so
     * q_jaccard_pairs can feed the shared sig+set aggregate through it.
     *
@@ -297,9 +313,7 @@ object DedupQueries {
       .filter(size(col("ids")) > 1)
     def expand(buckets: DataFrame): DataFrame = buckets
       .select(col("band"), explode(expr(
-        """flatten(transform(ids, (a, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-                       b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+        pairExpansionSql("ids", "struct(a AS doc_a, b AS doc_b)"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("band"))
     // threshold <= 0 = salting OFF: the exact single-branch r5 plan
     val pairs =
@@ -316,12 +330,9 @@ object DedupQueries {
           .groupBy("band", "h", "i", "j")
           .agg(sort_array(collect_list(struct(col("doc_id"), col("s")))).as("ms"))
           // ms sorted by doc_id (first struct field) ⇒ doc_a < doc_b, as cold
-          .select(col("band"), explode(expr(
-            """flatten(transform(ms, (a, ai) ->
-                 filter(transform(slice(ms, ai + 2, size(ms) - ai - 1),
-                           b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                       a.s AS sa, b.s AS sb)),
-                        p -> i = j OR p.sa <> p.sb)))""")).as("p"))
+          .select(col("band"), explode(expr(pairExpansionSql("ms",
+            "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb)",
+            keep = Some("i = j OR p.sa <> p.sb")))).as("p"))
           .select(col("p.doc_a"), col("p.doc_b"), col("band"))
         cold.union(hot)
       }
@@ -419,11 +430,9 @@ object DedupQueries {
         .groupBy("band", "h")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("ss")))).as("ms"))
         .filter(size(col("ms")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ms, (a, i) ->
-               transform(slice(ms, i + 2, size(ms) - i - 1),
-                         b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                     a.ss AS sa, b.ss AS sb))))""")).as("p"))
+        .select(explode(expr(pairExpansionSql("ms",
+          "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.ss AS sa, b.ss AS sb)")))
+          .as("p"))
         .select(col("p.doc_a"), col("p.doc_b"),
           size(array_intersect(col("p.sa"), col("p.sb"))).cast("long").as("ni"),
           size(col("p.sa")).cast("long").as("na"),
@@ -503,11 +512,9 @@ object DedupQueries {
         .groupBy("b", "key")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
         .filter(size(col("ms")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ms, (a, ai) ->
-               transform(slice(ms, ai + 2, size(ms) - ai - 1),
-                         b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                     a.simhash AS sa, b.simhash AS sb))))""")).as("p"))
+        .select(explode(expr(pairExpansionSql("ms",
+          "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb)")))
+          .as("p"))
         .select(col("p.doc_a"), col("p.doc_b"),
           expr("CAST(bit_count(p.sa ^ p.sb) AS INT)").as("hamming"))
         // verify BEFORE the dedup shuffle: hamming is a function of the
