@@ -366,14 +366,19 @@ object SimilarityQueries {
           col("bucket"), col("n").as("nn"))
         .join(broadcast(q), Seq("bucket"))
         .filter(col("neighbor_id") =!= col("q_id"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("score").desc, col("neighbor_id").asc)
+      // top-3 via the bounded topk_by aggregate (as q_cosine_topk, r6):
+      // the bucket rides in the grouping key — it is the equi-join key, so
+      // it is constant per query — and the bucket-bounded window sort
+      // becomes map-side heaps
       cand
         .select(col("q_id"), col("neighbor_id"), col("bucket"),
           (dotCol("emb", "qe") / (col("nn") * col("nq"))).as("score"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select("q_id", "neighbor_id", "bucket", "rnk", "score")
+        .groupBy("q_id", "bucket")
+        .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
+        .select(col("q_id"), col("bucket"),
+          posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("neighbor_id"), col("bucket"),
+          (col("pos") + 1).as("rnk"), col("t.score").as("score"))
     })
   )
 
