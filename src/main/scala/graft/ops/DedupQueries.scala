@@ -508,22 +508,25 @@ object DedupQueries {
       sig
         .select(col("doc_id"), col("simhash"),
           posexplode(expr("transform(sequence(0, 1), b -> (simhash >> (8 * b)) & 255)"))
-            .as(Seq("b", "key")))
-        .groupBy("b", "key")
+            .as(Seq("band", "key")))
+        .groupBy("band", "key")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
         .filter(size(col("ms")) > 1)
+        // Verify AND dedup where the pair is born: hamming rides the built
+        // struct, and a pair is emitted only from its FIRST agreeing band —
+        // a hamming-0 pair agrees on both bands (band 1 drops it via
+        // ka = kb), a hamming-1 pair agrees on exactly one (the other
+        // band's buckets never see it) — so every surviving pair exits the
+        // expansion EXACTLY once and the cross-band dropDuplicates
+        // exchange (~2× the answer in shuffled rows) disappears. The whole
+        // query is now one shuffle: the band-bucket groupBy.
         .select(explode(expr(pairExpansionSql("ms",
-          "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb)")))
+          "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+            "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming, " +
+            "a.simhash & 255 AS ka, b.simhash & 255 AS kb)",
+          keep = Some("p.hamming <= 1 AND (band = 0 OR p.ka <> p.kb)"))))
           .as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"),
-          expr("CAST(bit_count(p.sa ^ p.sb) AS INT)").as("hamming"))
-        // verify BEFORE the dedup shuffle: hamming is a function of the
-        // pair, so filter and distinct commute — this ships only the
-        // verified survivors (~3% of candidates here) into the exchange
-        // instead of the full in-bucket expansion
-        .filter(col("hamming") <= 1)
-        // an identical-signature pair shares both bands — dedup on the key
-        .dropDuplicates("doc_a", "doc_b")
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
     })
   )
 
