@@ -156,6 +156,17 @@ object GraftFunctions {
         }
         ShingleMinHash(Cast(args.head, org.apache.spark.sql.types.StringType), k)
       }),
+    (new FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGramSet].getName, "word_grams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_grams expects (text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_grams n must be an integer literal, got $other")
+        }
+        WordGramSet(Cast(args.head, org.apache.spark.sql.types.StringType), n)
+      }),
     (new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (args: Seq[Expression]) => {

@@ -112,6 +112,37 @@ case class ShingleMinHash(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_minhash"
 }
 
+/** `word_grams(text, n)` — the sorted distinct `md5_number_lower % (2^63-1)`
+  * hashes of the document's n-word grams, as ONE per-row codegen'd
+  * expression. Built for benchmark decontamination (q_decontaminate, n=13 —
+  * the published GPT-2/GPT-3-style overlap window): the composed
+  * `transform(sequence(...), i -> concat_ws(' ', slice(w, i, n)))` form
+  * runs interpreted (higher-order functions have no codegen) and measured
+  * ~3× slower at sf0.1. Case-folding is the caller's business — pass
+  * `lower(text)` to match a case-insensitive oracle. Null when the text
+  * has fewer than n whitespace tokens, like the other shingle expressions. */
+case class WordGramSet(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 256, s"word_grams n must be in [1, 256], got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true // docs under n tokens are null
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleSig.computeGrams(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ShingleSig.computeGrams($c, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramSet =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_grams"
+}
+
 object ShingleSig {
 
   val sigType: StructType = StructType(Seq(
@@ -210,5 +241,40 @@ object ShingleSig {
     }
     InternalRow(mh0, mh1, mh2, mh3,
       new GenericArrayData(java.util.Arrays.copyOf(set, out)))
+  }
+
+  /** Static (callable from generated Java): sorted distinct
+    * `md5_number_lower % (2^63-1)` hashes of the n-word grams — the
+    * [[Md5Low63]] lane math, one digest per gram. Null when the text has
+    * fewer than n whitespace tokens. */
+  def computeGrams(t: UTF8String, n: Int): GenericArrayData = {
+    val words = tokensOf(t)
+    val ns = words.length - (n - 1)
+    if (ns <= 0) return null
+    val md = Md5Low63.threadMd5
+    val hs = new Array[Long](ns)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < ns) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hs(i) = Md5Low63.loLane(d)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 1
+    i = 1
+    while (i < ns) {
+      if (hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 }

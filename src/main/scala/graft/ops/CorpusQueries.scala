@@ -60,8 +60,48 @@ object CorpusQueries {
       surv.join(labels, "doc_id")
         .filter(col("doc_id") === col("cluster"))
         .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
+    // Benchmark decontamination: flag every corpus document sharing at
+    // least one exact 13-word-gram with the benchmark set (here the
+    // documents with doc_id < 50 stand in for the held-out eval set; in
+    // production it is a separate, *small* table — which is the whole
+    // scale story: the benchmark side reduces to a distinct-gram set a
+    // few MB large and BROADCASTS, so the 100 TB corpus side is one
+    // scan + codegen'd gram expansion + broadcast hash semi-probe with
+    // no corpus-wide shuffle; only the matched rows (a tiny fraction)
+    // reach the per-doc count aggregation. The 13-gram window is the
+    // published decontamination convention (GPT-2/GPT-3 appendix-C
+    // style n-gram overlap).
+    "q_decontaminate" -> ((s, d) => {
+      // The gram set is ONE codegen'd per-row expression
+      // ([[graft.functions.WordGramSet]]) — the composed
+      // transform/slice/concat_ws form runs interpreted (higher-order
+      // functions have no codegen) and measured ~3× slower. explode_outer
+      // (not explode) so the optimizer infers no size(gs) > 0 constraint:
+      // that inferred Filter re-evaluates the whole gram expression per
+      // row; a short doc's null gram set instead rides to the join and
+      // dies on the null key.
+      graft.functions.GraftFunctions.register(s)
+      def grams(src: DataFrame): DataFrame = src
+        .select(col("doc_id"), expr("word_grams(lower(text), 13)").as("gs"))
+      val docs = Tables.documents(s, d)
+      val bench = grams(docs.filter(col("doc_id") < BenchmarkMaxId))
+        .select(explode_outer(col("gs")).as("g")).distinct()
+      grams(docs.filter(col("doc_id") >= BenchmarkMaxId))
+        .select(col("doc_id"), size(col("gs")).as("n_grams"),
+          explode_outer(col("gs")).as("g"))
+        .join(broadcast(bench), "g")
+        // per-doc gram sets are distinct-by-construction and the bench side
+        // is distinct, so plain count(*) IS the distinct-hit count — no
+        // distinct aggregate expand+reshuffle
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min(col("n_grams")).as("n_grams"))
     })
   )
+
+  /** Documents below this id play the held-out benchmark in the fixture. */
+  private val BenchmarkMaxId = 50
 
   val oracle: Map[String, String] = Map(
     "q_corpus_keep" -> {
@@ -91,6 +131,23 @@ object CorpusQueries {
           SELECT s.doc_id, s.lang, s.n_tokens
           FROM surv s JOIN labels l USING (doc_id)
           WHERE l.cluster = s.doc_id"""
-    }
+    },
+    "q_decontaminate" ->
+      """WITH ws AS (SELECT doc_id,
+                            string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents),
+          gs AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          generate_series(1, len(w) - 12),
+                          i -> CAST(md5_number_lower(array_to_string(w[i:i+12], ' '))
+                                    % 9223372036854775807 AS BIGINT))) AS gs
+                 FROM ws WHERE len(w) >= 13),
+          bench AS (SELECT DISTINCT UNNEST(gs) AS g FROM gs
+                    WHERE doc_id < 50),
+          corpus AS (SELECT doc_id, len(gs) AS n_grams, UNNEST(gs) AS g
+                     FROM gs WHERE doc_id >= 50)
+          SELECT c.doc_id, COUNT(*) AS n_hits, MIN(c.n_grams) AS n_grams
+          FROM corpus c JOIN bench b ON c.g = b.g
+          GROUP BY c.doc_id"""
   )
 }

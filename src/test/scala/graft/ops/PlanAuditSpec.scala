@@ -66,6 +66,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"unexpected shuffles in: $offenders")
   }
 
+  test("q_decontaminate probes the benchmark grams via broadcast hash join") {
+    // the decontamination scale contract: the benchmark gram set broadcasts
+    // (it is small by definition); the corpus side must NOT shuffle into a
+    // sort-merge join — at 100 TB that exchange is the whole job cost
+    val plan = physical("q_decontaminate")
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "expected a BroadcastHashJoin on the gram probe")
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "corpus side must not sort-merge on the gram key")
+  }
+
   test("q_cosine_topk plans no window over the unbounded scored stream") {
     // VERDICT r5 #2: the full-stream Window.partitionBy(q_id) top-k became
     // the bounded topk_by aggregate — partial per-partition heaps, k rows

@@ -101,4 +101,34 @@ class ShingleSigSpec extends SparkTestBase {
       assert(got === exp)
     }
   }
+
+  /** The composed higher-order-function gram pipeline `word_grams`
+    * replaced in q_decontaminate — kept verbatim as the equivalence
+    * reference: it transliterates the unchanged DuckDB oracle CTE, so
+    * expression == composed implies expression == oracle. */
+  test("word_grams equals the composed transform+slice form, edge cases + fixture") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def composedGrams(docs: DataFrame, n: Int): DataFrame = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), expr(
+        s"""sort_array(array_distinct(transform(
+              sequence(1, greatest(size(w) - ${n - 1}, 1)),
+              i -> md5_low63(concat_ws(' ', slice(w, i, $n))))))""").as("gs"))
+    def rowForm(docs: DataFrame, n: Int): DataFrame = docs
+      .select(col("doc_id"), expr(s"word_grams(lower(text), $n)").as("gs"))
+      .filter(col("gs").isNotNull)
+    val shortGramDocs = edgeDocs.toDF("doc_id", "text")
+    for ((docs, n) <- Seq(
+           (shortGramDocs, 3),
+           (graft.tables.Tables.documents(spark, "/root/testdata/sf0.001"), 13))) {
+      val exp = composedGrams(docs, n).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val got = rowForm(docs, n).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      assert(exp.nonEmpty)
+      assert(got === exp)
+    }
+  }
 }
