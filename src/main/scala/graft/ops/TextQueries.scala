@@ -116,6 +116,32 @@ object TextQueries {
         .select(col("doc_id"), explode(expr("winnow_fps(t, 8, 4)")).as("fp"))
     }),
 
+    // Repetition quality signals (the Gopher-rules family): duplicate-word
+    // fraction, most-common-token fraction, duplicate-bigram fraction —
+    // the filters that catch boilerplate/template spam which
+    // length/stopword ratios (q_text_quality) miss. Pure per-row array
+    // work over the token list, zero shuffle. The bigram list is built
+    // with zip_with over two slices (total for ANY token count — slice
+    // start is always 1 — so eager common-subexpression evaluation can
+    // never crash it; the CASE only decides null-ness of the output).
+    "q_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+            size(col("w"))).as("dup_word_frac"),
+          expr("""CAST(array_max(transform(array_distinct(w),
+                    x -> size(filter(w, y -> y = x)))) AS DOUBLE)
+                  / size(w)""").as("top_token_frac"),
+          expr("""CASE WHEN size(w) >= 2 THEN
+                    1.0 - CAST(size(array_distinct(
+                        zip_with(slice(w, 1, size(w) - 1),
+                                 slice(w, 2, size(w) - 1),
+                                 (a, b) -> concat(a, ' ', b)))) AS DOUBLE)
+                      / (size(w) - 1)
+                  END""").as("dup_bigram_frac"))),
+
     // Multimodal metadata pass: text treated as an opaque payload — byte
     // length + content hash, the same schema shape used for image/audio
     // binary columns (see graft.ops.Multimodal for the binary pipeline).
@@ -172,6 +198,23 @@ object TextQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 md5(text) AS content_hash, n_chars
          FROM documents""",
+    "q_repetition" ->
+      """SELECT doc_id,
+                len(w) AS n_tokens,
+                1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                  AS dup_word_frac,
+                CAST(list_max(list_transform(list_distinct(w),
+                       x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+                  / len(w) AS top_token_frac,
+                CASE WHEN len(w) >= 2 THEN
+                  1.0 - CAST(len(list_distinct(list_transform(
+                      generate_series(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+                    / (len(w) - 1)
+                END AS dup_bigram_frac
+         FROM (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents) t""",
     "q_fingerprint_rolling" ->
       """WITH norm AS (SELECT doc_id,
                              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
