@@ -97,6 +97,42 @@ object CorpusQueries {
         // distinct aggregate expand+reshuffle
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"), min(col("n_grams")).as("n_grams"))
+    }),
+
+    // Token-window chunking — the pre-tokenization step every training
+    // pipeline runs on long documents: 50-token windows at stride 40
+    // (10-token overlap so no boundary context is lost). Pure per-row
+    // explode — each document yields ceil(max(n-10, 1)/40) chunks with no
+    // shuffle anywhere; at 100 TB this is scan-bound by construction. The
+    // trailing window is simply shorter (standard; a <10-token orphan tail
+    // would belong to the previous window's overlap anyway).
+    "q_chunk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+        .select(col("doc_id"), size(col("w")).as("n_tokens"),
+          posexplode(expr(
+            "transform(sequence(1, size(w), 40)," +
+              " st -> concat_ws(' ', slice(w, st, 50)))"))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("n_tokens"), col("chunk_idx"), col("chunk"),
+          size(split(col("chunk"), " ")).as("n_chunk_tokens"))),
+
+    // Deterministic stratified sampling — reproducible per-source mixing
+    // weights (keep 25% of src0, 50% of src1, everything else whole). The
+    // sampling key is a content-independent md5 bucket of the doc_id, so
+    // the SAME rows are kept on every engine, every run, every cluster
+    // size — the property rand()-based sampleBy can never give a training
+    // recipe. Per-row filter, zero shuffle, and the bucket rides along so
+    // downstream splits can sub-sample consistently.
+    "q_sample_stratified" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr("md5_low63(CAST(doc_id AS STRING)) % 100").as("bucket"))
+        .filter(col("bucket") < when(col("source") === "src0", 25)
+          .when(col("source") === "src1", 50)
+          .otherwise(100))
     })
   )
 
@@ -148,6 +184,27 @@ object CorpusQueries {
                      FROM gs WHERE doc_id >= 50)
           SELECT c.doc_id, COUNT(*) AS n_hits, MIN(c.n_grams) AS n_grams
           FROM corpus c JOIN bench b ON c.g = b.g
-          GROUP BY c.doc_id"""
+          GROUP BY c.doc_id""",
+    "q_chunk" ->
+      """WITH ws AS (SELECT doc_id,
+                            string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents WHERE text IS NOT NULL),
+          st AS (SELECT doc_id, len(w) AS n_tokens, w,
+                        UNNEST(generate_series(1, len(w), 40)) AS s
+                 FROM ws)
+          SELECT doc_id, n_tokens,
+                 CAST((s - 1) / 40 AS INT) AS chunk_idx,
+                 array_to_string(w[s:s+49], ' ') AS chunk,
+                 len(w[s:s+49]) AS n_chunk_tokens
+          FROM st""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, source, lang,
+                CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                     % 9223372036854775807 % 100 AS BIGINT) AS bucket
+         FROM documents
+         WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                    % 9223372036854775807 % 100 AS BIGINT)
+               < CASE source WHEN 'src0' THEN 25
+                             WHEN 'src1' THEN 50 ELSE 100 END"""
   )
 }
