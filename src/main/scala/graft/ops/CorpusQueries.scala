@@ -73,31 +73,8 @@ object CorpusQueries {
     // reach the per-doc count aggregation. The 13-gram window is the
     // published decontamination convention (GPT-2/GPT-3 appendix-C
     // style n-gram overlap).
-    "q_decontaminate" -> ((s, d) => {
-      // The gram set is ONE codegen'd per-row expression
-      // ([[graft.functions.WordGramSet]]) — the composed
-      // transform/slice/concat_ws form runs interpreted (higher-order
-      // functions have no codegen) and measured ~3× slower. explode_outer
-      // (not explode) so the optimizer infers no size(gs) > 0 constraint:
-      // that inferred Filter re-evaluates the whole gram expression per
-      // row; a short doc's null gram set instead rides to the join and
-      // dies on the null key.
-      graft.functions.GraftFunctions.register(s)
-      def grams(src: DataFrame): DataFrame = src
-        .select(col("doc_id"), expr("word_grams(lower(text), 13)").as("gs"))
-      val docs = Tables.documents(s, d)
-      val bench = grams(docs.filter(col("doc_id") < BenchmarkMaxId))
-        .select(explode_outer(col("gs")).as("g")).distinct()
-      grams(docs.filter(col("doc_id") >= BenchmarkMaxId))
-        .select(col("doc_id"), size(col("gs")).as("n_grams"),
-          explode_outer(col("gs")).as("g"))
-        .join(broadcast(bench), "g")
-        // per-doc gram sets are distinct-by-construction and the bench side
-        // is distinct, so plain count(*) IS the distinct-hit count — no
-        // distinct aggregate expand+reshuffle
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_hits"), min(col("n_grams")).as("n_grams"))
-    }),
+    "q_decontaminate" -> ((s, d) =>
+      decontaminate(Tables.documents(s, d), BenchmarkMaxId)),
 
     // Token-window chunking — the pre-tokenization step every training
     // pipeline runs on long documents: 50-token windows at stride 40
@@ -138,6 +115,34 @@ object CorpusQueries {
 
   /** Documents below this id play the held-out benchmark in the fixture. */
   private val BenchmarkMaxId = 50
+
+  /** The decontamination pipeline behind q_decontaminate, reusable over any
+    * document relation (ScaleGrowth times it on replicated corpora).
+    *
+    * The gram set is ONE codegen'd per-row expression
+    * ([[graft.functions.WordGramSet]]) — the composed
+    * transform/slice/concat_ws form runs interpreted (higher-order
+    * functions have no codegen) and measured ~7× slower. explode_outer
+    * (not explode) so the optimizer infers no size(gs) > 0 constraint:
+    * that inferred Filter re-evaluates the whole gram expression per
+    * row; a short doc's null gram set instead rides to the join and
+    * dies on the null key. */
+  private[ops] def decontaminate(docs: DataFrame, benchMaxId: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def grams(src: DataFrame): DataFrame = src
+      .select(col("doc_id"), expr("word_grams(lower(text), 13)").as("gs"))
+    val bench = grams(docs.filter(col("doc_id") < benchMaxId))
+      .select(explode_outer(col("gs")).as("g")).distinct()
+    grams(docs.filter(col("doc_id") >= benchMaxId))
+      .select(col("doc_id"), size(col("gs")).as("n_grams"),
+        explode_outer(col("gs")).as("g"))
+      .join(broadcast(bench), "g")
+      // per-doc gram sets are distinct-by-construction and the bench side
+      // is distinct, so plain count(*) IS the distinct-hit count — no
+      // distinct aggregate expand+reshuffle
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("n_grams")).as("n_grams"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_corpus_keep" -> {

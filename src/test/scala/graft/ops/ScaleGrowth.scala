@@ -68,6 +68,25 @@ object ScaleGrowth {
         f"${tCc}%8.2f ${nClusters}%9d")
     }
 
+    // ---- decontamination: corpus side grows, benchmark side constant ----
+    // Only copy 0 holds ids < 50, so the broadcast bench gram set is
+    // IDENTICAL at every scale and the measurement isolates the corpus
+    // side: scan + per-row word_grams + broadcast probe should grow
+    // linearly with docs, and the hit count stays constant (the word
+    // prefix keeps copies in disjoint gram spaces).
+    println(f"\n${"scale"}%-6s ${"docs"}%8s ${"decon_s"}%8s ${"hits"}%6s")
+    CorpusQueries.decontaminate(corpusTimes(1), 50L)
+      .queryExecution.toRdd.count() // warm-up
+    for (n <- Seq(1, 2, 4, 8)) {
+      val docs = corpusTimes(n)
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val hits = CorpusQueries.decontaminate(docs, 50L)
+        .queryExecution.toRdd.count()
+      val tD = (System.nanoTime() - t0) / 1e9
+      println(f"${n}%-6d ${nDocs}%8d ${tD}%8.2f ${hits}%6d")
+    }
+
     // ---- similarity family: synthetic embedding corpus, 25k -> 400k ----
     // Vectors are deterministic per-element hashes (no fixture dependency,
     // no RNG — reproducible on any layout). The hyperplane count RISES with
