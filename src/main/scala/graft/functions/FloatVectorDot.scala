@@ -167,6 +167,12 @@ object GraftFunctions {
         }
         WordGramSet(Cast(args.head, org.apache.spark.sql.types.StringType), n)
       }),
+    (new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "repetition_stats expects 1 argument")
+        RepetitionStats(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }),
     (new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (args: Seq[Expression]) => {

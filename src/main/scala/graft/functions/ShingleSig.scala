@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `shingle_sig(text)` — the document's complete 4-lane MinHash signature
@@ -143,6 +143,35 @@ case class WordGramSet(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_grams"
 }
 
+/** `repetition_stats(text)` — the integer counts behind the Gopher-style
+  * repetition signals (q_repetition), in ONE hash pass over the token
+  * stream: token count, distinct-token count, highest token frequency,
+  * distinct-bigram count. The composed form needed O(distinct × n)
+  * interpreted string comparisons per row for the top-token count — fine
+  * at 60 tokens/doc, quadratic pain at real document lengths. Fractions
+  * are left to the caller's SQL so the floating-point math stays
+  * bit-identical with the DuckDB oracle. Case-folding is the caller's
+  * business (pass `lower(text)`). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ShingleSig.repetitionType
+
+  override def nullable: Boolean = true // null text only
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleSig.computeRepetition(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ShingleSig.computeRepetition($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
 object ShingleSig {
 
   val sigType: StructType = StructType(Seq(
@@ -276,5 +305,37 @@ object ShingleSig {
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  val repetitionType: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false),
+    StructField("n_bigrams_distinct", IntegerType, nullable = false)))
+
+  /** Static (callable from generated Java): token / distinct-token /
+    * top-frequency / distinct-bigram counts in one hash pass. */
+  def computeRepetition(t: UTF8String): InternalRow = {
+    val words = tokensOf(t)
+    val n = words.length
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(words(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > top) top = c.intValue
+      i += 1
+    }
+    var nbd = 0
+    if (n >= 2) {
+      val bg = new java.util.HashSet[String]((n - 1) * 2)
+      i = 0
+      while (i < n - 1) {
+        if (bg.add(words(i) + " " + words(i + 1))) nbd += 1
+        i += 1
+      }
+    }
+    InternalRow(n, counts.size, top, nbd)
   }
 }

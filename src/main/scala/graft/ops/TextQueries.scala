@@ -119,28 +119,27 @@ object TextQueries {
     // Repetition quality signals (the Gopher-rules family): duplicate-word
     // fraction, most-common-token fraction, duplicate-bigram fraction —
     // the filters that catch boilerplate/template spam which
-    // length/stopword ratios (q_text_quality) miss. Pure per-row array
-    // work over the token list, zero shuffle. The bigram list is built
-    // with zip_with over two slices (total for ANY token count — slice
-    // start is always 1 — so eager common-subexpression evaluation can
-    // never crash it; the CASE only decides null-ness of the output).
-    "q_repetition" -> ((s, d) =>
+    // length/stopword ratios (q_text_quality) miss. The integer counts
+    // come from ONE per-row hash pass ([[graft.functions.RepetitionStats]]
+    // — the composed array form needed O(distinct × n) interpreted
+    // comparisons per row for the top-token count, quadratic pain at real
+    // document lengths; equality is spec-proven in ShingleSigSpec).
+    // Fractions stay in SQL so the double math matches the oracle
+    // bit-for-bit. Zero shuffle.
+    "q_repetition" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
-        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+        .select(col("doc_id"), expr("repetition_stats(lower(text))").as("r"))
         .select(col("doc_id"),
-          size(col("w")).as("n_tokens"),
-          (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
-            size(col("w"))).as("dup_word_frac"),
-          expr("""CAST(array_max(transform(array_distinct(w),
-                    x -> size(filter(w, y -> y = x)))) AS DOUBLE)
-                  / size(w)""").as("top_token_frac"),
-          expr("""CASE WHEN size(w) >= 2 THEN
-                    1.0 - CAST(size(array_distinct(
-                        zip_with(slice(w, 1, size(w) - 1),
-                                 slice(w, 2, size(w) - 1),
-                                 (a, b) -> concat(a, ' ', b)))) AS DOUBLE)
-                      / (size(w) - 1)
-                  END""").as("dup_bigram_frac"))),
+          col("r.n_tokens").as("n_tokens"),
+          (lit(1.0) - col("r.n_distinct").cast("double") /
+            col("r.n_tokens")).as("dup_word_frac"),
+          (col("r.top_count").cast("double") / col("r.n_tokens"))
+            .as("top_token_frac"),
+          when(col("r.n_tokens") >= 2,
+            lit(1.0) - col("r.n_bigrams_distinct").cast("double") /
+              (col("r.n_tokens") - 1)).as("dup_bigram_frac"))
+    }),
 
     // Multimodal metadata pass: text treated as an opaque payload — byte
     // length + content hash, the same schema shape used for image/audio

@@ -131,4 +131,35 @@ class ShingleSigSpec extends SparkTestBase {
       assert(got === exp)
     }
   }
+
+  /** The composed array-function pipeline `repetition_stats` replaced in
+    * q_repetition — kept verbatim as the equivalence reference (it
+    * transliterates the unchanged DuckDB oracle's count arithmetic). */
+  test("repetition_stats equals the composed array-function counts") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def composedCounts(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        expr("""array_max(transform(array_distinct(w),
+                  x -> size(filter(w, y -> y = x))))""").as("top_count"),
+        expr("""CASE WHEN size(w) >= 2 THEN size(array_distinct(
+                  zip_with(slice(w, 1, size(w) - 1),
+                           slice(w, 2, size(w) - 1),
+                           (a, b) -> concat(a, ' ', b)))) ELSE 0
+                END""").as("n_bigrams_distinct"))
+    def rowForm(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), expr("repetition_stats(lower(text))").as("r"))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.n_distinct"),
+        col("r.top_count"), col("r.n_bigrams_distinct"))
+    for (docs <- Seq(edgeDocs.toDF("doc_id", "text"),
+                     graft.tables.Tables.documents(spark, "/root/testdata/sf0.001"))) {
+      val exp = composedCounts(docs).orderBy("doc_id").collect().toSeq
+      val got = rowForm(docs).orderBy("doc_id").collect().toSeq
+      assert(exp.nonEmpty)
+      assert(got === exp)
+    }
+  }
 }
