@@ -95,6 +95,30 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_tokens"), col("chunk_idx"), col("chunk"),
           size(split(col("chunk"), " ")).as("n_chunk_tokens"))),
 
+    // The r6 curation chain: quality gate → repetition gate → benchmark
+    // decontamination → exact dedup — q_corpus_keep's front half with the
+    // two new r6 stages composed in (the near-dup clustering stage stays
+    // q_corpus_keep's; this query proves the NEW ops compose). Stage
+    // economics at 100 TB: the per-row gates (quality + repetition_stats)
+    // run inside the scan and cut the corpus before anything moves; the
+    // contaminated-id set is tiny and broadcast-anti-joins; only then does
+    // the content-key dedup shuffle what survived.
+    "q_corpus_curate" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val qual = qualityGate(docs)
+        .filter(col("doc_id") >= BenchmarkMaxId)
+        .withColumn("r", expr("repetition_stats(lower(text))"))
+        .filter(
+          (lit(1.0) - col("r.n_distinct").cast("double") /
+            col("r.n_tokens")) <= 0.6 &&
+          (col("r.top_count").cast("double") / col("r.n_tokens")) <= 0.15)
+        .drop("r")
+      val contaminated = decontaminate(docs, BenchmarkMaxId).select("doc_id")
+      val clean = qual.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      exactKeep(clean).select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
     // Deterministic stratified sampling — reproducible per-source mixing
     // weights (keep 25% of src0, 50% of src1, everything else whole). The
     // sampling key is a content-independent md5 bucket of the doc_id, so
@@ -202,6 +226,42 @@ object CorpusQueries {
                  array_to_string(w[s:s+49], ' ') AS chunk,
                  len(w[s:s+49]) AS n_chunk_tokens
           FROM st""",
+    "q_corpus_curate" ->
+      """WITH ws AS (SELECT doc_id,
+                            string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents),
+          gs AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          generate_series(1, len(w) - 12),
+                          i -> CAST(md5_number_lower(array_to_string(w[i:i+12], ' '))
+                                    % 9223372036854775807 AS BIGINT))) AS gs
+                 FROM ws WHERE len(w) >= 13),
+          bench AS (SELECT DISTINCT UNNEST(gs) AS g FROM gs
+                    WHERE doc_id < 50),
+          contaminated AS (SELECT DISTINCT c.doc_id
+                           FROM (SELECT doc_id, UNNEST(gs) AS g FROM gs
+                                 WHERE doc_id >= 50) c
+                           JOIN bench b ON c.g = b.g),
+          qual AS (SELECT doc_id, text, lang,
+                          len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                   FROM documents
+                   WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+                     AND CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                           / length(text) >= 0.8
+                     AND lang IN ('en', 'de', 'fr')
+                     AND doc_id >= 50),
+          rep AS (SELECT q.doc_id, q.text, q.lang, q.n_tokens
+                  FROM qual q JOIN ws USING (doc_id)
+                  WHERE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.6
+                    AND CAST(list_max(list_transform(list_distinct(w),
+                          x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+                        / len(w) <= 0.15),
+          clean AS (SELECT * FROM rep
+                    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+          SELECT doc_id, lang, n_tokens FROM (
+            SELECT c.*, MIN(doc_id) OVER (PARTITION BY text) AS keeper
+            FROM clean c) t
+          WHERE doc_id = keeper""",
     "q_sample_stratified" ->
       """SELECT doc_id, source, lang,
                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR))

@@ -40,6 +40,23 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(both.isEmpty)
   }
 
+  test("curate chain: every stage bites and no contaminated doc survives") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val curated = CorpusQueries.queries("q_corpus_curate")(spark, sfDir)
+    val qualIds = CorpusQueries.qualityGate(docs)
+      .filter(col("doc_id") >= 50).select("doc_id")
+    val contaminated = CorpusQueries.decontaminate(docs, 50L).select("doc_id")
+
+    assert(curated.count() > 0, "curation must not empty the corpus")
+    assert(curated.count() < qualIds.count(),
+      "repetition/decontamination/dedup must drop quality survivors")
+    // subset of the quality gate, disjoint from the contaminated set,
+    // and never a benchmark document
+    assert(curated.join(qualIds, "doc_id").count() === curated.count())
+    assert(curated.join(contaminated, "doc_id").isEmpty)
+    assert(curated.filter(col("doc_id") < 50).isEmpty)
+  }
+
   test("quality gate keeps only the declared languages and thresholds") {
     val qual = CorpusQueries.qualityGate(
       graft.tables.Tables.documents(spark, sfDir))
