@@ -83,6 +83,29 @@ object BeaconStreaming {
       .drop("__dedup_key")
   }
 
+  /** Streaming benchmark decontamination (beyond reference, r6): drop
+    * stream documents sharing any 13-word-gram with the static benchmark
+    * relation — the batch op's (q_decontaminate) streaming form. The
+    * benchmark reduces ONCE to its distinct hashed-gram set driver-side
+    * (small by definition — it is a held-out eval set; the same documented
+    * driver-state pattern as the IVF quantizer) and rides into the stream
+    * as a literal, so the per-batch work is a stateless per-row
+    * `word_grams` projection + array-overlap filter: no state store, no
+    * shuffle, composes with any downstream watermark/sink. A doc too short
+    * to have a 13-gram cannot be contaminated and passes. */
+  def decontaminateStream(stream: DataFrame, benchmark: DataFrame,
+                          textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val benchGrams: Array[Long] = benchmark
+      .select(explode_outer(expr(s"word_grams(lower($textCol), 13)")).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct().collect().map(_.getLong(0))
+    stream.filter(!arrays_overlap(
+      coalesce(expr(s"word_grams(lower($textCol), 13)"),
+        typedLit(Array.empty[Long])),
+      typedLit(benchGrams)))
+  }
+
   /** D6 — dual sink: every micro-batch appends the hourly history layout and
     * overwrites the `latest` snapshot — `foreachBatch` is the streaming
     * form of the reference's validators dual write

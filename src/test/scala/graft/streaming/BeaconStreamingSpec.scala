@@ -152,4 +152,40 @@ class BeaconStreamingSpec extends SparkTestBase {
       .map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(kept === Seq(1L, 2L, 3L, 4L))
   }
+
+  test("streaming decontamination drops 13-gram overlap with the static benchmark") {
+    import spark.implicits._
+    val dir = tmpDir("stream-decon")
+    val benchText = (1 to 20).map(i => s"w$i").mkString(" ")
+    // doc 1 embeds a verbatim 13-gram run of the benchmark inside fresh
+    // text; doc 2 shares vocabulary but never 13 consecutive words;
+    // doc 3 is too short to have any 13-gram (cannot be contaminated)
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "ts": "2024-01-01T00:0$id:00.000Z", "text": "$text"}"""
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      doc(1, "prefix " + (3 to 15).map(i => s"w$i").mkString(" ") + " suffix"),
+      doc(2, (1 to 12).map(i => s"w$i").mkString(" ") + " other " +
+        (8 to 19).map(i => s"w$i").mkString(" "))))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(
+      doc(3, "short clean doc")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val clean = BeaconStreaming.decontaminateStream(src,
+      Seq(benchText).toDF("text"))
+    val q = clean.writeStream
+      .format("memory").queryName("decon_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.table("decon_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(2L, 3L))
+  }
 }
