@@ -193,4 +193,43 @@ class OpPropertiesSpec extends SparkTestBase {
     val replay = SimilarityQueries.queries("q_ivf_kmeans")(spark, sfDir)
     assert(asg.exceptAll(replay).isEmpty && replay.exceptAll(asg).isEmpty)
   }
+
+  test("chunking covers every token, overlaps by stride, reassembles in order") {
+    val sfDir = "/root/testdata/sf0.001"
+    val chunks = CorpusQueries.queries("q_chunk")(spark, sfDir)
+    // every doc's chunk count is exactly ceil(n_tokens / 40)
+    val badCount = chunks.groupBy("doc_id")
+      .agg(max("chunk_idx").as("last"), max("n_tokens").as("n"))
+      .filter(col("last") + 1 =!= ceil(col("n") / lit(40.0)).cast("int"))
+    assert(badCount.isEmpty)
+    // exact window arithmetic: the chunk at index i starts at token
+    // 1 + 40i and holds min(50, n - 40i) tokens — every token is covered
+    // and consecutive windows overlap by min(10, what remains)
+    val badLen = chunks.filter(
+      col("n_chunk_tokens") =!=
+        least(lit(50), col("n_tokens") - col("chunk_idx") * 40))
+    assert(badLen.isEmpty)
+    // deterministic replay
+    val replay = CorpusQueries.queries("q_chunk")(spark, sfDir)
+    assert(chunks.exceptAll(replay).isEmpty && replay.exceptAll(chunks).isEmpty)
+  }
+
+  test("stratified sample is deterministic, honors buckets, and biases by source") {
+    val sfDir = "/root/testdata/sf0.001"
+    val kept = CorpusQueries.queries("q_sample_stratified")(spark, sfDir)
+    assert(kept.filter(col("bucket") < 0 || col("bucket") >= 100).isEmpty)
+    // every kept row respects its source's rate
+    assert(kept.filter(col("source") === "src0" && col("bucket") >= 25).isEmpty)
+    assert(kept.filter(col("source") === "src1" && col("bucket") >= 50).isEmpty)
+    // replay keeps the IDENTICAL rows (the whole point vs rand sampling)
+    val replay = CorpusQueries.queries("q_sample_stratified")(spark, sfDir)
+    assert(kept.exceptAll(replay).isEmpty && replay.exceptAll(kept).isEmpty)
+    // the gates bite: each weighted source keeps less than it holds
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    for (src <- Seq("src0", "src1")) {
+      val total = docs.filter(col("source") === src).count()
+      val k = kept.filter(col("source") === src).count()
+      assert(k > 0 && k < total, s"$src kept $k of $total")
+    }
+  }
 }
