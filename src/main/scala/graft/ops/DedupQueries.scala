@@ -447,6 +447,49 @@ object DedupQueries {
             .as("jaccard"))
     }),
 
+    // MinHash estimator quality as a first-class query: for every LSH
+    // candidate pair, the EXACT shingle Jaccard (q_jaccard_pairs' math)
+    // next to the 64-permutation signature ESTIMATE (matching lanes / 64)
+    // — the number a production pipeline thresholds on when exact sets are
+    // too large to carry. Same ride-with-the-stream layout as
+    // q_jaccard_pairs with the 64-long signature riding too: the pair
+    // computes both numbers where it is born; only five scalars cross the
+    // dedup shuffle. At 100 TB this query IS the dedup tuning loop:
+    // measure est-vs-exact on a sample, pick the signature threshold, then
+    // run signature-only dedup everywhere.
+    "q_minhash_est" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val sig = Tables.documents(s, d)
+        .filter(hasShingles)
+        .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"),
+          expr("shingle_minhash(text, 64)").as("sig64"))
+        .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
+          col("g.mh3"), col("g.ss").as("ss"), col("sig64"))
+      sig
+        .selectExpr("doc_id", "ss", "sig64",
+          "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
+        .groupBy("band", "h")
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("ss"), col("sig64")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+        .select(explode(expr(pairExpansionSql("ms",
+          "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.ss AS sa, " +
+            "b.ss AS sb, a.sig64 AS ga, b.sig64 AS gb)"))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"),
+          size(array_intersect(col("p.sa"), col("p.sb"))).cast("long").as("ni"),
+          size(col("p.sa")).cast("long").as("na"),
+          size(col("p.sb")).cast("long").as("nb"),
+          expr("size(filter(zip_with(p.ga, p.gb, (x, y) -> x = y), v -> v))")
+            .cast("long").as("nm"))
+        .groupBy("doc_a", "doc_b")
+        .agg(min(col("ni")).as("ni"), min(col("na")).as("na"),
+          min(col("nb")).as("nb"), min(col("nm")).as("nm"))
+        .select(col("doc_a"), col("doc_b"), col("ni"),
+          (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+            .as("jaccard"),
+          (col("nm").cast("double") / 64).as("jaccard_est"))
+    }),
+
     // Near-dup CLUSTERS: connected components over the LSH candidate graph,
     // labelled by each component's minimum doc_id — the step a production
     // dedup pipeline runs after pair generation (keep one doc per cluster).
@@ -618,6 +661,40 @@ object DedupQueries {
           FROM inter i
           JOIN cnt ca ON ca.doc_id = i.doc_a
           JOIN cnt cb ON cb.doc_id = i.doc_b""",
+    "q_minhash_est" -> {
+      import graft.functions.MinHashSketch.{P, mulA, incB}
+      val mins = (0 until 64)
+        .map(j => s"MIN((${mulA(j)} * b + ${incB(j)}) % $P) AS m$j")
+        .mkString(",\n                        ")
+      val matches = (0 until 64)
+        .map(j => s"(CASE WHEN ma.m$j = mb.m$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+          ssh AS (SELECT DISTINCT doc_id,
+                         CAST(md5_number_lower('0:' || sh)
+                              % 9223372036854775807 AS BIGINT) AS sh
+                  FROM sh),
+          cnt AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+          inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+                    FROM pairs p
+                    JOIN ssh a ON a.doc_id = p.doc_a
+                    JOIN ssh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+                    GROUP BY 1, 2),
+          base AS (SELECT doc_id,
+                          CAST(md5_number_lower(sh) % $P AS BIGINT) AS b
+                   FROM sh),
+          m AS (SELECT doc_id,
+                        $mins
+                FROM base GROUP BY doc_id)
+          SELECT i.doc_a, i.doc_b, i.ni,
+                 CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard,
+                 CAST($matches AS DOUBLE) / 64 AS jaccard_est
+          FROM inter i
+          JOIN cnt ca ON ca.doc_id = i.doc_a
+          JOIN cnt cb ON cb.doc_id = i.doc_b
+          JOIN m ma ON ma.doc_id = i.doc_a
+          JOIN m mb ON mb.doc_id = i.doc_b"""
+    },
     "q_simhash" ->
       """WITH w AS (SELECT doc_id,
                            UNNEST(string_split_regex(trim(text), '\s+')) AS w
