@@ -119,6 +119,39 @@ object CorpusQueries {
       exactKeep(clean).select(col("doc_id"), col("lang"), col("n_tokens"))
     }),
 
+    // Deterministic sequence packing: assign every chunk to a fixed
+    // 2048-token training sequence by exclusive running token count —
+    // the step between chunking and the tokenizer. The window partitions
+    // on (source, shard) where shard is an md5 bucket of doc_id: packing
+    // is a per-shard sequential decision in ANY system (a global total
+    // order cannot scale and adds nothing), so the sort is bounded by
+    // shard size by construction. Only chunk METADATA rides the sort —
+    // a production packer joins the chunk text back by (doc_id,
+    // chunk_idx) after assignment rather than shipping payloads through
+    // a sort shuffle. Fully deterministic: same rows, same sequences, on
+    // every engine, run, and cluster size.
+    "q_pack" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val chunks = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          split(trim(lower(col("text"))), "\\s+").as("w"))
+        .select(col("doc_id"), col("source"),
+          posexplode(expr(
+            "transform(sequence(1, size(w), 40), st -> size(slice(w, st, 50)))"))
+            .as(Seq("chunk_idx", "n_chunk_tokens")))
+        .withColumn("shard",
+          expr("md5_low63(CAST(doc_id AS STRING)) % 8"))
+      val w = Window.partitionBy("source", "shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      chunks
+        .withColumn("cum_excl",
+          coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("chunk_idx"), col("source"), col("shard"),
+          expr("cum_excl div 2048").as("seq_id"), col("n_chunk_tokens"))
+    }),
+
     // Deterministic stratified sampling — reproducible per-source mixing
     // weights (keep 25% of src0, 50% of src1, everything else whole). The
     // sampling key is a content-independent md5 bucket of the doc_id, so
@@ -262,6 +295,26 @@ object CorpusQueries {
             SELECT c.*, MIN(doc_id) OVER (PARTITION BY text) AS keeper
             FROM clean c) t
           WHERE doc_id = keeper""",
+    "q_pack" ->
+      """WITH ws AS (SELECT doc_id, source,
+                            string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents WHERE text IS NOT NULL),
+          ch AS (SELECT doc_id, source,
+                        CAST((s - 1) / 40 AS INT) AS chunk_idx,
+                        len(w[s:s+49]) AS n_chunk_tokens,
+                        CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                             % 9223372036854775807 % 8 AS BIGINT) AS shard
+                 FROM (SELECT doc_id, source, w,
+                              UNNEST(generate_series(1, len(w), 40)) AS s
+                       FROM ws) t)
+          SELECT doc_id, chunk_idx, source, shard,
+                 CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+                        PARTITION BY source, shard
+                        ORDER BY doc_id, chunk_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      // 2048 AS BIGINT) AS seq_id,
+                 n_chunk_tokens
+          FROM ch""",
     "q_sample_stratified" ->
       """SELECT doc_id, source, lang,
                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR))

@@ -214,6 +214,26 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(chunks.exceptAll(replay).isEmpty && replay.exceptAll(chunks).isEmpty)
   }
 
+  test("packing fills sequences to the budget plus at most one straddling chunk") {
+    val sfDir = "/root/testdata/sf0.001"
+    val packed = CorpusQueries.queries("q_pack")(spark, sfDir)
+    val perSeq = packed.groupBy("source", "shard", "seq_id")
+      .agg(sum("n_chunk_tokens").as("toks"), max("seq_id").as("sid"))
+    // a sequence holds at most 2048 + one straddling chunk (≤ 50 tokens);
+    // every sequence except a shard's last is filled past the budget's
+    // start (its first chunk began before the 2048 boundary)
+    assert(perSeq.filter(col("toks") > 2048 + 50).isEmpty)
+    val lastSeq = packed.groupBy("source", "shard")
+      .agg(max("seq_id").as("last"))
+    val nonLast = perSeq.join(lastSeq, Seq("source", "shard"))
+      .filter(col("seq_id") < col("last"))
+    assert(nonLast.filter(col("toks") < 2048 - 50).isEmpty,
+      "an interior sequence left more than a chunk's worth of budget unused")
+    // deterministic replay
+    val replay = CorpusQueries.queries("q_pack")(spark, sfDir)
+    assert(packed.exceptAll(replay).isEmpty && replay.exceptAll(packed).isEmpty)
+  }
+
   test("stratified sample is deterministic, honors buckets, and biases by source") {
     val sfDir = "/root/testdata/sf0.001"
     val kept = CorpusQueries.queries("q_sample_stratified")(spark, sfDir)
