@@ -152,6 +152,20 @@ object CorpusQueries {
           expr("cum_excl div 2048").as("seq_id"), col("n_chunk_tokens"))
     }),
 
+    // The corpus report card: per (source, lang) — document count, token
+    // volume, distinct-text count (the exact-dup rate), and mean document
+    // length. The summary every curation run ends with; one partial+final
+    // aggregate over the scan, count(DISTINCT text) expanded by Spark
+    // into the standard two-phase distinct aggregate.
+    "q_corpus_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_texts"),
+          sum(size(split(trim(col("text")), "\\s+"))).as("total_tokens"),
+          avg(length(col("text"))).as("avg_chars"))),
+
     // Deterministic stratified sampling — reproducible per-source mixing
     // weights (keep 25% of src0, 50% of src1, everything else whole). The
     // sampling key is a content-independent md5 bucket of the doc_id, so
@@ -315,6 +329,14 @@ object CorpusQueries {
                       // 2048 AS BIGINT) AS seq_id,
                  n_chunk_tokens
           FROM ch""",
+    "q_corpus_stats" ->
+      """SELECT source, lang,
+                COUNT(*) AS n_docs,
+                COUNT(DISTINCT text) AS n_distinct_texts,
+                SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+                AVG(length(text)) AS avg_chars
+         FROM documents
+         GROUP BY source, lang""",
     "q_sample_stratified" ->
       """SELECT doc_id, source, lang,
                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
