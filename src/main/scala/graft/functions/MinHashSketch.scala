@@ -150,14 +150,13 @@ object MinHashSketch {
     modPermCache.computeIfAbsent(k,
       { n => (Array.tabulate(n)(mulA), Array.tabulate(n)(incB)) })
 
-  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
-    java.security.MessageDigest.getInstance("MD5"))
-
   /** `md5_number_lower(token) % p` exactly as DuckDB computes it: the
     * digest's last 8 bytes read little-endian as an unsigned 64-bit int
     * ([[Md5Low63.low64]] — the one home of the byte-lane semantics),
-    * reduced mod p with unsigned semantics. */
+    * reduced mod p with unsigned semantics. Uses [[Md5Low63.threadMd5]] —
+    * the md5 family's single per-thread digest — rather than a second
+    * ThreadLocal of its own. */
   def md5BaseModP(s: UTF8String): Long =
     java.lang.Long.remainderUnsigned(
-      Md5Low63.low64(tlMd5.get().digest(s.getBytes)), P)
+      Md5Low63.low64(Md5Low63.threadMd5.digest(s.getBytes)), P)
 }

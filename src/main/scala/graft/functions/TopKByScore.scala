@@ -119,10 +119,14 @@ object TopKByScore {
     def size: Int = n
 
     /** a is WORSE than b (should be evicted before it): lower score, or
-      * equal score and larger id — exact compares, NaN handled as
-      * Double.compare does (greatest). */
+      * equal score and larger id. The `+ 0.0` normalizes -0.0 to +0.0 in
+      * the COMPARISON only (stored scores stay bit-exact), so ordering
+      * matches Spark's nanSafeCompareDoubles — the window sort treats
+      * -0.0 == 0.0 and NaN as greatest, and Double.compare alone would
+      * rank -0.0 below 0.0 and diverge from the window form at the
+      * boundary. */
     @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
-      val c = java.lang.Double.compare(sa, sb)
+      val c = java.lang.Double.compare(sa + 0.0, sb + 0.0)
       c < 0 || (c == 0 && ia > ib)
     }
 

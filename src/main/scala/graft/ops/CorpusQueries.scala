@@ -81,15 +81,17 @@ object CorpusQueries {
     // (10-token overlap so no boundary context is lost). Pure per-row
     // explode — each document yields ceil(max(n-10, 1)/40) chunks with no
     // shuffle anywhere; at 100 TB this is scan-bound by construction. The
-    // trailing window is simply shorter (standard; a <10-token orphan tail
-    // would belong to the previous window's overlap anyway).
+    // trailing window is simply shorter (standard), and window starts are
+    // capped at n-10 so a <=10-token orphan tail — already fully inside
+    // the previous window's overlap — never emits a duplicate-content
+    // window that q_pack would then train on twice.
     "q_chunk" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
         .select(col("doc_id"), size(col("w")).as("n_tokens"),
           posexplode(expr(
-            "transform(sequence(1, size(w), 40)," +
+            "transform(sequence(1, greatest(size(w) - 10, 1), 40)," +
               " st -> concat_ws(' ', slice(w, st, 50)))"))
             .as(Seq("chunk_idx", "chunk")))
         .select(col("doc_id"), col("n_tokens"), col("chunk_idx"), col("chunk"),
@@ -138,7 +140,8 @@ object CorpusQueries {
           split(trim(lower(col("text"))), "\\s+").as("w"))
         .select(col("doc_id"), col("source"),
           posexplode(expr(
-            "transform(sequence(1, size(w), 40), st -> size(slice(w, st, 50)))"))
+            "transform(sequence(1, greatest(size(w) - 10, 1), 40)," +
+              " st -> size(slice(w, st, 50)))"))
             .as(Seq("chunk_idx", "n_chunk_tokens")))
         .withColumn("shard",
           expr("md5_low63(CAST(doc_id AS STRING)) % 8"))
@@ -266,7 +269,7 @@ object CorpusQueries {
                             string_split_regex(trim(lower(text)), '\s+') AS w
                      FROM documents WHERE text IS NOT NULL),
           st AS (SELECT doc_id, len(w) AS n_tokens, w,
-                        UNNEST(generate_series(1, len(w), 40)) AS s
+                        UNNEST(generate_series(1, greatest(len(w) - 10, 1), 40)) AS s
                  FROM ws)
           SELECT doc_id, n_tokens,
                  CAST((s - 1) / 40 AS INT) AS chunk_idx,
@@ -319,7 +322,7 @@ object CorpusQueries {
                         CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
                              % 9223372036854775807 % 8 AS BIGINT) AS shard
                  FROM (SELECT doc_id, source, w,
-                              UNNEST(generate_series(1, len(w), 40)) AS s
+                              UNNEST(generate_series(1, greatest(len(w) - 10, 1), 40)) AS s
                        FROM ws) t)
           SELECT doc_id, chunk_idx, source, shard,
                  CAST(COALESCE(SUM(n_chunk_tokens) OVER (

@@ -106,9 +106,11 @@ object Multimodal {
     * via `javax.sound.sampled` (bundled with every JRE) and emits
     * `[sample_rate_hz, duration_ms, channels, rms, ...]` — rate/duration/
     * channels raw, RMS over all samples normalized to [0,1] (samples scaled
-    * to [-1,1] first). Handles the two PCM encodings real WAV corpora are
-    * made of (16-bit signed, 8-bit unsigned); anything the JRE cannot parse
-    * falls back to [[StubDecoder]]'s byte features — same per-ROW
+    * to [-1,1] first). Handles the PCM encodings real WAV corpora are made
+    * of (16/24/32-bit signed, 8-bit unsigned); anything the JRE cannot
+    * parse — or an encoding whose RMS we cannot compute, which must not
+    * masquerade as true silence — falls back to [[StubDecoder]]'s byte
+    * features — same per-ROW
     * degradation contract as [[ImageIoDecoder]]: one corrupt object must
     * never fail a 10^6-row partition. Partition-local CPU inside the same
     * `mapPartitions` batch seam; the plan is identical to the stub's. */
@@ -120,8 +122,11 @@ object Multimodal {
         try javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
         catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => null
-          case _: java.io.IOException => null
+          // NonFatal, not just the two declared exceptions: a parseable
+          // RIFF magic with a zeroed fmt chunk drives the JRE reader into
+          // unchecked arithmetic errors, and the contract is per-ROW
+          // degradation, never a failed partition.
+          case scala.util.control.NonFatal(_) => null
         }
       if (in == null) return StubDecoder.decode(payload, dim)
       try {
@@ -134,21 +139,32 @@ object Multimodal {
         if (dim >= 4) {
           val bytes = in.readAllBytes()
           val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
           var sumSq = 0.0
           var n = 0L
           if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-              fmt.getSampleSizeInBits == 16) {
-            val order =
-              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-              else java.nio.ByteOrder.LITTLE_ENDIAN
-            val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
-            while (sb.hasRemaining) {
-              val s = sb.get() / 32768.0
+              (bits == 16 || bits == 24 || bits == 32)) {
+            // Generic signed-PCM walk: read each sample's bytes in stream
+            // order, assemble MSB-first, sign-extend, normalize by 2^(bits-1).
+            val bps = bits / 8
+            val scale = (1L << (bits - 1)).toDouble
+            val big = fmt.isBigEndian
+            val shift = 32 - bits
+            var i = 0
+            while (i + bps <= bytes.length) {
+              var v = 0
+              var j = 0
+              while (j < bps) {
+                v = (v << 8) | (bytes(if (big) i + j else i + bps - 1 - j) & 0xff)
+                j += 1
+              }
+              val s = ((v << shift) >> shift) / scale
               sumSq += s * s
               n += 1
+              i += bps
             }
           } else if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
-                     fmt.getSampleSizeInBits == 8) {
+                     bits == 8) {
             var i = 0
             while (i < bytes.length) {
               val s = ((bytes(i) & 0xff) - 128) / 128.0
@@ -156,12 +172,17 @@ object Multimodal {
               n += 1
               i += 1
             }
+          } else {
+            // An encoding we cannot compute RMS for (float PCM, a-law, …)
+            // must not report rms=0.0 — indistinguishable from true
+            // silence — so degrade to the stub's byte features instead.
+            return StubDecoder.decode(payload, dim)
           }
           if (n > 0) out(3) = math.sqrt(sumSq / n).toFloat
         }
         out
       } catch {
-        case _: java.io.IOException => StubDecoder.decode(payload, dim)
+        case scala.util.control.NonFatal(_) => StubDecoder.decode(payload, dim)
       } finally in.close()
     }
   }

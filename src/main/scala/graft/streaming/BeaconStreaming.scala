@@ -77,7 +77,7 @@ object BeaconStreaming {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("__dedup_key",
         coalesce(to_json(expr(s"shingle_sig($textCol)")),
-          concat(lit("raw:"), coalesce(col(textCol), lit(""))), lit("raw:")))
+          concat(lit("raw:"), coalesce(col(textCol), lit("")))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__dedup_key")
       .drop("__dedup_key")
