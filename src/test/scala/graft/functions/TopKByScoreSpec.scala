@@ -12,9 +12,11 @@ import graft.SparkTestBase
   * partial heaps safe. */
 class TopKByScoreSpec extends SparkTestBase {
 
+  /** The window form's ordering: nanSafeCompareDoubles semantics, i.e.
+    * -0.0 == 0.0 (the `+ 0.0` normalization) and NaN greatest. */
   private def referenceTopK(rows: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
     rows.sortWith { case ((sa, ia), (sb, ib)) =>
-      val c = java.lang.Double.compare(sa, sb)
+      val c = java.lang.Double.compare(sa + 0.0, sb + 0.0)
       c > 0 || (c == 0 && ia < ib)
     }.take(k)
 
@@ -83,6 +85,23 @@ class TopKByScoreSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .toSet
     assert(got == want)
+  }
+
+  test("-0.0 ties with 0.0 like the window sort, stored scores stay bit-exact") {
+    // ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) treats -0.0 and 0.0
+    // as equal (nanSafeCompareDoubles), so the smaller id wins the last
+    // slot regardless of zero sign — raw Double.compare would instead rank
+    // +0.0 above -0.0 and keep the wrong row at the k boundary.
+    val a = new TopKByScore.Buf(1)
+    a.add(-0.0, 10L); a.add(0.0, 2L)
+    assert(a.sortedBestFirst.toSeq == Seq((0.0, 2L)))
+    val b = new TopKByScore.Buf(1)
+    b.add(0.0, 10L); b.add(-0.0, 2L)
+    val kept = b.sortedBestFirst.toSeq
+    assert(kept.map(_._2) == Seq(2L))
+    // the stored score is the row's own bit pattern, not a normalized copy
+    assert(java.lang.Double.doubleToRawLongBits(kept.head._1) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
   }
 
   test("ties on score break by ascending id; nulls are ignored") {

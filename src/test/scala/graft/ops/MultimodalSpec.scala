@@ -113,6 +113,63 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f2(0) - 'n'.toInt / 255.0f) < 1e-7)
   }
 
+  test("WavDecoder: 24-bit PCM RMS, corrupt fmt chunk, float-PCM fallback") {
+    import spark.implicits._
+    // 24-bit mono full-scale square wave: RMS must be 8388607/8388608,
+    // exercising the generic signed-PCM walk (not the old 16-bit-only path)
+    val nFrames = 400
+    val pcm24 = new Array[Byte](nFrames * 3)
+    for (i <- 0 until nFrames) {
+      val v = if ((i / 8) % 2 == 0) 8388607 else -8388607
+      pcm24(i * 3) = (v & 0xff).toByte            // little-endian
+      pcm24(i * 3 + 1) = ((v >> 8) & 0xff).toByte
+      pcm24(i * 3 + 2) = ((v >> 16) & 0xff).toByte
+    }
+    val fmt24 = new javax.sound.sampled.AudioFormat(8000f, 24, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm24), fmt24, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav24 = bos.toByteArray
+
+    // valid RIFF/WAVE magic with a zeroed fmt chunk: drives the JRE reader
+    // into unchecked errors the old catch missed; must degrade per row
+    val corrupt = wav24.clone()
+    java.util.Arrays.fill(corrupt, 20, 36, 0.toByte)
+
+    // IEEE-float WAV (fmt code 3), hand-built canonical header: whether the
+    // JRE parses it (encoding we compute no RMS for) or rejects it, the
+    // decoder must take the stub path, never report a fake rms=0
+    val floatWav = {
+      val data = new Array[Byte](16)
+      val b = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(3).putShort(1).putInt(8000).putInt(32000)
+        .putShort(4).putShort(32)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array()
+    }
+
+    val out = Multimodal
+      .extractFeatures(
+        Seq((1L, wav24), (2L, corrupt), (3L, floatWav)).toDF("media_id", "payload"),
+        dim = 4, decoder = Multimodal.WavDecoder)
+      .orderBy("media_id").collect()
+    val f1 = out(0).getSeq[Float](3)
+    assert(f1(0) === 8000.0f && f1(2) === 1.0f)
+    assert(math.abs(f1(3) - 8388607.0f / 8388608.0f) < 1e-6)
+    // the corrupt row decodes to SOMETHING (stub or partial) without
+    // failing the partition — the whole point of the NonFatal contract
+    val f2 = out(1).getSeq[Float](3)
+    assert(f2.length == 4 && f2.forall(v => !v.isNaN))
+    val f3 = out(2).getSeq[Float](3)
+    assert(math.abs(f3(0) - 'R'.toInt / 255.0f) < 1e-7,
+      s"float PCM must take the stub path, got ${f3.mkString(",")}")
+  }
+
   test("fromDocuments builds the binary+metadata schema from testdata") {
     val df = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     assert(df.schema("payload").dataType.typeName === "binary")
