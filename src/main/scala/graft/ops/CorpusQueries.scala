@@ -169,6 +169,36 @@ object CorpusQueries {
           sum(size(split(trim(col("text")), "\\s+"))).as("total_tokens"),
           avg(length(col("text"))).as("avg_chars"))),
 
+    // Temperature-smoothed source mixing weights — the step that turns the
+    // report card into a training recipe: upsample small sources, damp the
+    // giants (the multilingual-sampling convention, alpha = 0.5). Every
+    // cross-ROW aggregate here is INTEGER — the smoothed mass is
+    // floor(sqrt(tokens)) as a BIGINT, so the totals are exact and
+    // order-free on any engine and any partitioning; the only double math
+    // is per-row division of those exact integers (correctly rounded,
+    // bit-identical cross-engine — a raw sum of double sqrt masses would
+    // hash-diverge on accumulation order). Scale shape: one partial+final
+    // agg collapses the corpus to #sources rows, the grand totals are ONE
+    // more tiny agg broadcast back over them — nothing after the first
+    // combine is proportional to corpus size.
+    "q_mix_weights" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+"))).as("tokens"))
+        .withColumn("w_smooth", floor(sqrt(col("tokens"))).cast("long"))
+      val tot = per.agg(
+        sum(col("tokens")).as("tot_tokens"),
+        sum(col("w_smooth")).as("tot_smooth"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          (col("tokens").cast("double") / col("tot_tokens")).as("nat_share"),
+          (col("w_smooth").cast("double") / col("tot_smooth")).as("weight"),
+          ((col("w_smooth").cast("double") / col("tot_smooth")) /
+            (col("tokens").cast("double") / col("tot_tokens"))).as("boost"))
+    }),
+
     // Deterministic stratified sampling — reproducible per-source mixing
     // weights (keep 25% of src0, 50% of src1, everything else whole). The
     // sampling key is a content-independent md5 bucket of the doc_id, so
@@ -340,6 +370,20 @@ object CorpusQueries {
                 AVG(length(text)) AS avg_chars
          FROM documents
          GROUP BY source, lang""",
+    "q_mix_weights" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                             SUM(len(string_split_regex(trim(text), '\s+'))) AS tokens
+                      FROM documents GROUP BY source),
+          per2 AS (SELECT *, CAST(floor(sqrt(tokens)) AS BIGINT) AS w_smooth
+                   FROM per),
+          tot AS (SELECT SUM(tokens) AS tot_tokens, SUM(w_smooth) AS tot_smooth
+                  FROM per2)
+          SELECT source, n_docs, tokens,
+                 CAST(tokens AS DOUBLE) / tot_tokens AS nat_share,
+                 CAST(w_smooth AS DOUBLE) / tot_smooth AS weight,
+                 (CAST(w_smooth AS DOUBLE) / tot_smooth)
+                   / (CAST(tokens AS DOUBLE) / tot_tokens) AS boost
+          FROM per2, tot""",
     "q_sample_stratified" ->
       """SELECT doc_id, source, lang,
                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR))

@@ -15,9 +15,11 @@ class PlanAuditSpec extends SparkTestBase {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Queries whose BroadcastNestedLoopJoins are intentional and linear:
-    * a tiny broadcast side (5 query vectors / 16 centroids) streamed
-    * against the corpus — the correct brute-force/assignment shape. */
-  private val allowedBnlj = Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans")
+    * a tiny broadcast side (5 query vectors / 16 centroids / a 1-row
+    * grand-total) streamed against the corpus or a #sources-row
+    * aggregate — the correct brute-force/assignment/normalization shape. */
+  private val allowedBnlj =
+    Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans", "q_mix_weights")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
