@@ -87,6 +87,38 @@ object TextQueries {
             .otherwise("fr"))
     }),
 
+    // Salient terms per document — count-ratio TF-IDF (score =
+    // tf * N / df, the log dropped so the score stays a single correctly-
+    // rounded division of exact integers; log is monotone in df alone but
+    // cross-engine libm log is not bit-stable, ratios are). Scale shape:
+    // explode → (doc_id, term) count with map-side combine (repeated words
+    // collapse before the shuffle), the vocabulary aggregate is tiny next
+    // to the corpus and BROADCASTS back, N is a 1-row broadcast, and the
+    // per-doc top-5 is a bounded sort_array/slice over collect_list —
+    // payload capped by per-doc vocabulary, no window over an unbounded
+    // stream anywhere.
+    "q_doc_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs") / col("df"))
+        .groupBy("doc_id")
+        .agg(slice(sort_array(collect_list(struct(
+          (-col("score")).as("ns"), col("term"), col("tf"), col("df")))),
+          1, 5).as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("doc_id"), (col("pos") + 1).as("rnk"),
+          col("t.term").as("term"), col("t.tf").as("tf"),
+          col("t.df").as("df"), (-col("t.ns")).as("score"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text.
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -153,6 +185,23 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_doc_tfidf" ->
+      """WITH ws AS (SELECT doc_id,
+                            UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+                     FROM documents WHERE text IS NOT NULL),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                 FROM ws GROUP BY doc_id, term),
+          df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents
+                WHERE text IS NOT NULL),
+          scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                            CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS score
+                     FROM tf t JOIN df d USING (term), n)
+          SELECT doc_id, rnk, term, tf, df, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rnk
+            FROM scored) t
+          WHERE rnk <= 5""",
     "q_token_count" ->
       """SELECT doc_id,
                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,

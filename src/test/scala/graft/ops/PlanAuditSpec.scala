@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkTestBase {
     * grand-total) streamed against the corpus or a #sources-row
     * aggregate — the correct brute-force/assignment/normalization shape. */
   private val allowedBnlj =
-    Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans", "q_mix_weights")
+    Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans", "q_mix_weights",
+      "q_doc_tfidf")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
