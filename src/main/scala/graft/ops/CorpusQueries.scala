@@ -85,17 +85,7 @@ object CorpusQueries {
     // capped at n-10 so a <=10-token orphan tail — already fully inside
     // the previous window's overlap — never emits a duplicate-content
     // window that q_pack would then train on twice.
-    "q_chunk" -> ((s, d) =>
-      Tables.documents(s, d)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
-        .select(col("doc_id"), size(col("w")).as("n_tokens"),
-          posexplode(expr(
-            "transform(sequence(1, greatest(size(w) - 10, 1), 40)," +
-              " st -> concat_ws(' ', slice(w, st, 50)))"))
-            .as(Seq("chunk_idx", "chunk")))
-        .select(col("doc_id"), col("n_tokens"), col("chunk_idx"), col("chunk"),
-          size(split(col("chunk"), " ")).as("n_chunk_tokens"))),
+    "q_chunk" -> ((s, d) => chunks(Tables.documents(s, d))),
 
     // The r6 curation chain: quality gate → repetition gate → benchmark
     // decontamination → exact dedup — q_corpus_keep's front half with the
@@ -132,28 +122,7 @@ object CorpusQueries {
     // chunk_idx) after assignment rather than shipping payloads through
     // a sort shuffle. Fully deterministic: same rows, same sequences, on
     // every engine, run, and cluster size.
-    "q_pack" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val chunks = Tables.documents(s, d)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("source"),
-          split(trim(lower(col("text"))), "\\s+").as("w"))
-        .select(col("doc_id"), col("source"),
-          posexplode(expr(
-            "transform(sequence(1, greatest(size(w) - 10, 1), 40)," +
-              " st -> size(slice(w, st, 50)))"))
-            .as(Seq("chunk_idx", "n_chunk_tokens")))
-        .withColumn("shard",
-          expr("md5_low63(CAST(doc_id AS STRING)) % 8"))
-      val w = Window.partitionBy("source", "shard")
-        .orderBy("doc_id", "chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      chunks
-        .withColumn("cum_excl",
-          coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("chunk_idx"), col("source"), col("shard"),
-          expr("cum_excl div 2048").as("seq_id"), col("n_chunk_tokens"))
-    }),
+    "q_pack" -> ((s, d) => pack(Tables.documents(s, d))),
 
     // The corpus report card: per (source, lang) — document count, token
     // volume, distinct-text count (the exact-dup rate), and mean document
@@ -231,6 +200,46 @@ object CorpusQueries {
     * that inferred Filter re-evaluates the whole gram expression per
     * row; a short doc's null gram set instead rides to the join and
     * dies on the null key. */
+  /** q_chunk's pipeline over an arbitrary documents frame (needs doc_id,
+    * text) — factored out so the ScaleGrowth harness can drive it on
+    * replicated corpora. */
+  private[ops] def chunks(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(size(w) - 10, 1), 40)," +
+            " st -> concat_ws(' ', slice(w, st, 50)))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"), col("chunk"),
+        size(split(col("chunk"), " ")).as("n_chunk_tokens"))
+
+  /** q_pack's pipeline over an arbitrary documents frame (needs doc_id,
+    * source, text). */
+  private[ops] def pack(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ch = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(size(w) - 10, 1), 40)," +
+            " st -> size(slice(w, st, 50)))"))
+          .as(Seq("chunk_idx", "n_chunk_tokens")))
+      .withColumn("shard",
+        expr("md5_low63(CAST(doc_id AS STRING)) % 8"))
+    val w = Window.partitionBy("source", "shard")
+      .orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ch
+      .withColumn("cum_excl",
+        coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("source"), col("shard"),
+        expr("cum_excl div 2048").as("seq_id"), col("n_chunk_tokens"))
+  }
+
   private[ops] def decontaminate(docs: DataFrame, benchMaxId: Long): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     def grams(src: DataFrame): DataFrame = src

@@ -97,27 +97,7 @@ object TextQueries {
     // per-doc top-5 is a bounded sort_array/slice over collect_list —
     // payload capped by per-doc vocabulary, no window over an unbounded
     // stream anywhere.
-    "q_doc_tfidf" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-      val tf = docs
-        .select(col("doc_id"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(n))
-        .withColumn("score",
-          col("tf").cast("double") * col("n_docs") / col("df"))
-        .groupBy("doc_id")
-        .agg(slice(sort_array(collect_list(struct(
-          (-col("score")).as("ns"), col("term"), col("tf"), col("df")))),
-          1, 5).as("top"))
-        .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("doc_id"), (col("pos") + 1).as("rnk"),
-          col("t.term").as("term"), col("t.tf").as("tf"),
-          col("t.df").as("df"), (-col("t.ns")).as("score"))
-    }),
+    "q_doc_tfidf" -> ((s, d) => docTfidf(Tables.documents(s, d))),
 
     // Document fingerprint: md5 over whitespace-normalized lowercase text.
     "q_fingerprint" -> ((s, d) =>
@@ -183,6 +163,31 @@ object TextQueries {
         md5(col("text")).as("content_hash"),
         col("n_chars")))
   )
+
+  /** q_doc_tfidf's pipeline over an arbitrary documents frame (needs
+    * doc_id, text) — factored out so the ScaleGrowth harness can drive it
+    * on replicated corpora. */
+  private[ops] def docTfidf(documents: DataFrame): DataFrame = {
+    val docs = documents.filter(col("text").isNotNull)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .groupBy("doc_id")
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score")).as("ns"), col("term"), col("tf"), col("df")))),
+        1, 5).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).as("rnk"),
+        col("t.term").as("term"), col("t.tf").as("tf"),
+        col("t.df").as("df"), (-col("t.ns")).as("score"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_doc_tfidf" ->

@@ -30,7 +30,7 @@ object ScaleGrowth {
         .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
     val maxId = base.agg(max("doc_id")).head.getLong(0) + 1L
 
     def corpusTimes(n: Int): DataFrame =
@@ -38,7 +38,8 @@ object ScaleGrowth {
         base.select(
           (col("doc_id") + lit(c * maxId)).as("doc_id"),
           // distinct shingle space per copy: prefix every token
-          regexp_replace(col("text"), "(\\S+)", s"c${c}_$$1").as("text"))
+          regexp_replace(col("text"), "(\\S+)", s"c${c}_$$1").as("text"),
+          col("source"))
       }.reduce(_ union _)
 
     // untimed warm-up: JIT + codegen infra on the 1x shapes
@@ -85,6 +86,33 @@ object ScaleGrowth {
         .queryExecution.toRdd.count()
       val tD = (System.nanoTime() - t0) / 1e9
       println(f"${n}%-6d ${nDocs}%8d ${tD}%8.2f ${hits}%6d")
+    }
+
+    // ---- chunk -> pack -> tfidf: the r6 pre-tokenization chain ----
+    // chunk/tfidf are scan-bound by design (per-row explode; counts with
+    // map-side combine) and must grow linearly. pack's window sorts within
+    // (source, md5-shard) partitions whose COUNT is fixed while their SIZE
+    // grows with the corpus — the in-shard n log n is the predicted
+    // super-linear term, and this measures how much of it shows at 8x
+    // (in production the shard count would scale with the corpus, holding
+    // shard size roughly constant).
+    println(f"\n${"scale"}%-6s ${"docs"}%8s ${"chunk_s"}%8s ${"chunks"}%9s " +
+      f"${"pack_s"}%8s ${"tfidf_s"}%8s")
+    CorpusQueries.chunks(corpusTimes(1)).queryExecution.toRdd.count() // warm-up
+    for (n <- Seq(1, 2, 4, 8)) {
+      val docs = corpusTimes(n)
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val nChunks = CorpusQueries.chunks(docs).queryExecution.toRdd.count()
+      val tCh = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      CorpusQueries.pack(docs).queryExecution.toRdd.count()
+      val tPk = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      TextQueries.docTfidf(docs).queryExecution.toRdd.count()
+      val tTf = (System.nanoTime() - t2) / 1e9
+      println(f"${n}%-6d ${nDocs}%8d ${tCh}%8.2f ${nChunks}%9d " +
+        f"${tPk}%8.2f ${tTf}%8.2f")
     }
 
     // ---- similarity family: synthetic embedding corpus, 25k -> 400k ----
