@@ -92,8 +92,9 @@ object TextQueries {
     // rounded division of exact integers; log is monotone in df alone but
     // cross-engine libm log is not bit-stable, ratios are). Scale shape:
     // explode → (doc_id, term) count with map-side combine (repeated words
-    // collapse before the shuffle), the vocabulary aggregate is tiny next
-    // to the corpus and BROADCASTS back, N is a 1-row broadcast, and the
+    // collapse before the shuffle), the vocabulary aggregate joins back
+    // under AQE's size decision (broadcast when it fits, shuffled hash
+    // join for a web-scale vocabulary), N is a 1-row broadcast, and the
     // per-doc top-5 is a bounded sort_array/slice over collect_list —
     // payload capped by per-doc vocabulary, no window over an unbounded
     // stream anywhere.
@@ -175,7 +176,11 @@ object TextQueries {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(dfreq), "term")
+    // no broadcast hint on the vocabulary side: it is tiny next to the
+    // corpus but DATA-dependent (a web-scale corpus can exceed broadcast
+    // limits), so AQE decides — broadcast when it fits (it does at every
+    // fixture scale), shuffled hash join on term when it doesn't
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs") / col("df"))
