@@ -58,18 +58,29 @@ object SimilarityQueries {
   /** One 1-row probe per (JVM, sf dir): the fixture's actual embedding dim
     * must equal [[OracleDim]] or the DuckDB twin's interpolated sign matrix
     * silently truncates the lockstep UNNEST zip (ADVICE r4). Cached so the
-    * benched queries pay the probe once, not per rep. */
+    * benched queries pay the probe once, not per rep — per SESSION (weak
+    * key, so closed sessions self-evict and an exact session identity
+    * avoids both identity-hash collisions and unbounded growth): the
+    * fixture-immutability invariant is per-session, and a per-JVM entry
+    * would skip the dim re-check after a fixture rewrite, the very
+    * silent-truncation failure this assertion exists to prevent. */
   private val dimAsserted =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]())
   private def assertOracleDim(s: SparkSession, d: String): Unit =
-    dimAsserted.computeIfAbsent(d, { _ =>
-      val dim = Tables.embeddings(s, d)
-        .select(size(col("embedding")).as("dim")).head.getInt(0)
-      require(dim == OracleDim,
-        s"fixture embedding dim $dim != OracleDim $OracleDim at $d — update " +
-          "SimilarityQueries.OracleDim so the oracle sign matrix matches")
-      java.lang.Boolean.TRUE
-    })
+    dimAsserted
+      .computeIfAbsent(s, { _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+      })
+      .computeIfAbsent(d, { _ =>
+        val dim = Tables.embeddings(s, d)
+          .select(size(col("embedding")).as("dim")).head.getInt(0)
+        require(dim == OracleDim,
+          s"fixture embedding dim $dim != OracleDim $OracleDim at $d — update " +
+            "SimilarityQueries.OracleDim so the oracle sign matrix matches")
+        java.lang.Boolean.TRUE
+      })
 
   /** The IVF coarse-quantizer seed (first n corpus vectors), cached per
     * (session, sf dir, n) like [[assertOracleDim]]'s probe: a real IVF
@@ -77,18 +88,25 @@ object SimilarityQueries {
     * it — paying the 16-row seed collect per query execution was a fixture
     * artifact (VERDICT r5 #3: q_ann_ivf's residual gap is two sequential
     * jobs each eating the local-mode stage floor; this removes one). The
-    * filter is pushed to the parquet scan. The cache key includes the
-    * session UUID because the immutability invariant is per-SESSION, not
-    * per-JVM: a long-lived JVM that rewrites a fixture dir and opens a new
-    * session must re-collect, or it would serve a stale quantizer the
-    * oracle no longer sees. The identity hash stands in for the session
-    * (its UUID is private[spark]) without holding the session strongly;
-    * stale entries are a few KB each and sessions are few, so no eviction
-    * is needed. */
-  private val headCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int), Array[(Long, Array[Float])]]
+    * filter is pushed to the parquet scan. Keyed per SESSION (weak key)
+    * because the immutability invariant is per-session, not per-JVM: a
+    * long-lived JVM that rewrites a fixture dir and opens a new session
+    * must re-collect, or it would serve a stale quantizer the oracle no
+    * longer sees. The WeakHashMap gives exact session identity (an
+    * identity-hash stand-in could collide after GC and resurrect the
+    * stale entry) and self-evicts closed sessions. */
+  private val headCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[
+          (String, Int), Array[(Long, Array[Float])]]]())
   private def headVecs(s: SparkSession, d: String, n: Int): Array[(Long, Array[Float])] =
-    headCache.computeIfAbsent((System.identityHashCode(s), d, n), { _ =>
+    headCache
+      .computeIfAbsent(s, { _ =>
+        new java.util.concurrent.ConcurrentHashMap[
+          (String, Int), Array[(Long, Array[Float])]]
+      })
+      .computeIfAbsent((d, n), { _ =>
       Tables.embeddings(s, d).filter(col("vec_id") < n)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getAs[Long]("vec_id"),

@@ -133,8 +133,11 @@ class MultimodalSpec extends SparkTestBase {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     val wav24 = bos.toByteArray
 
-    // valid RIFF/WAVE magic with a zeroed fmt chunk: drives the JRE reader
-    // into unchecked errors the old catch missed; must degrade per row
+    // valid RIFF/WAVE magic with a zeroed fmt chunk: this JRE happens to
+    // reject it with the declared UnsupportedAudioFileException (so the
+    // NonFatal widening in WavDecoder.decode is defense-in-depth for JREs
+    // whose parser dies with unchecked arithmetic instead); either way the
+    // row must degrade without failing the partition
     val corrupt = wav24.clone()
     java.util.Arrays.fill(corrupt, 20, 36, 0.toByte)
 

@@ -98,7 +98,11 @@ object ScaleGrowth {
     // shard size roughly constant).
     println(f"\n${"scale"}%-6s ${"docs"}%8s ${"chunk_s"}%8s ${"chunks"}%9s " +
       f"${"pack_s"}%8s ${"tfidf_s"}%8s")
-    CorpusQueries.chunks(corpusTimes(1)).queryExecution.toRdd.count() // warm-up
+    // warm up ALL THREE pipelines (same discipline as the other sections:
+    // a cold 1x iteration pays codegen and reads as an inverted curve)
+    CorpusQueries.chunks(corpusTimes(1)).queryExecution.toRdd.count()
+    CorpusQueries.pack(corpusTimes(1)).queryExecution.toRdd.count()
+    TextQueries.docTfidf(corpusTimes(1)).queryExecution.toRdd.count()
     for (n <- Seq(1, 2, 4, 8)) {
       val docs = corpusTimes(n)
       val nDocs = docs.count()
