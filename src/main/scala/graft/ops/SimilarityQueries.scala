@@ -310,6 +310,45 @@ object SimilarityQueries {
           to_json(col("q")).as("qvec"),
           expr("size(filter(q, v -> abs(v) = 127))").as("n_sat"))),
 
+    // Pairwise source similarity over domain centroids — the "how close
+    // are two sources" input to mixing decisions (q_mix_weights picks HOW
+    // MUCH of each source; this measures which sources are redundant).
+    // Exactness discipline: embeddings quantize per-row to integers
+    // (round(x*1024), identical IEEE multiply+round on both engines), the
+    // per-(source, dim) centroid accumulation is then an INTEGER sum —
+    // exact and order-free on any partitioning, where a float sum would
+    // hash-diverge — and cosine is computed directly on the sum vectors
+    // (scale-invariant: mean = sum/n differs by a positive scalar), so the
+    // only double math is three correctly-rounded ops at the very end.
+    // Scale shape: one equi-join embeddings⋈documents (linear, shuffled on
+    // id), one (source, dim) agg with map-side combine down to
+    // #sources×dim rows; everything after — the pairwise self-join over
+    // #sources² ×dim rows — is negligible because #sources is small by
+    // definition. At larger quantization scales the int64 dot headroom
+    // (|sum| ≤ docs_per_source × 1024 here) is the documented limit.
+    "q_source_sim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val sums = e.join(docs, e("vec_id") === docs("doc_id"))
+        .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("source"), col("pos"),
+          round(col("x").cast("double") * 1024).cast("long").as("q"))
+        .groupBy("source", "pos").agg(sum("q").as("sv"))
+      val a = sums.select(col("source").as("src_a"), col("pos"),
+        col("sv").as("va"))
+      val b = sums.select(col("source").as("src_b"), col("pos"),
+        col("sv").as("vb"))
+      a.join(b, Seq("pos")).filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("va") * col("vb")).as("dot"),
+          sum(col("va") * col("va")).as("na2"),
+          sum(col("vb") * col("vb")).as("nb2"))
+        .select(col("src_a"), col("src_b"),
+          (col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) *
+              sqrt(col("nb2").cast("double")))).as("cos_sim"))
+    }),
+
     // Distributed k-means training for the IVF quantizer — the production
     // answer to q_ann_ivf's "first 16 vectors as centroids" seed. One Lloyd
     // round (assign → recompute means → reassign), with centroids held as
@@ -484,6 +523,24 @@ object SimilarityQueries {
          FROM (SELECT vec_id, embedding,
                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
                FROM embeddings) t""",
+    // integer centroid sums via the lockstep-UNNEST zip; cosine on the sum
+    // vectors — the one double division happens after all exact math
+    "q_source_sim" ->
+      """WITH j AS (SELECT d.source, e.embedding
+                    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+          q AS (SELECT source, pos,
+                       CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS q
+                FROM (SELECT source, UNNEST(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS pos
+                      FROM j) t),
+          sums AS (SELECT source, pos, SUM(q) AS sv
+                   FROM q GROUP BY source, pos)
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(SUM(a.sv * b.sv) AS DOUBLE) /
+                   (sqrt(CAST(SUM(a.sv * a.sv) AS DOUBLE)) *
+                    sqrt(CAST(SUM(b.sv * b.sv) AS DOUBLE))) AS cos_sim
+          FROM sums a JOIN sums b ON a.pos = b.pos AND a.source < b.source
+          GROUP BY a.source, b.source""",
     // the k-means twin unrolls ONE Lloyd round with the same arithmetic
     // contract: lockstep-UNNEST double dots, argmax of dot - |c|²/2 with
     // (score DESC, cent_id) tiebreak, scaled-BIGINT means divided once,
