@@ -202,8 +202,9 @@ object CorpusQueries {
     * dies on the null key. */
   /** q_chunk's pipeline over an arbitrary documents frame (needs doc_id,
     * text) — factored out so the ScaleGrowth harness can drive it on
-    * replicated corpora. */
-  private[ops] def chunks(docs: DataFrame): DataFrame =
+    * replicated corpora, and visible to the streaming spec which proves
+    * the stateless projection composes with a stream unchanged. */
+  private[graft] def chunks(docs: DataFrame): DataFrame =
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))

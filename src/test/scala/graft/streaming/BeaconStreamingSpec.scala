@@ -188,4 +188,36 @@ class BeaconStreamingSpec extends SparkTestBase {
       .map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(kept === Seq(2L, 3L))
   }
+
+  test("the batch chunker composes with a stream unchanged (stateless)") {
+    // CorpusQueries.chunks is a per-row projection + explode — no state,
+    // no aggregation — so the SAME def drives both batch and streaming
+    // with identical output; no separate streaming wrapper exists or is
+    // needed. Proven, not asserted: stream the chunker over two
+    // micro-batches and diff against the batch run on the same rows.
+    val dir = tmpDir("stream-chunk")
+    def doc(id: Long, n: Int) =
+      s"""{"doc_id": $id, "text": "${(1 to n).map(i => s"t$i").mkString(" ")}"}"""
+    // lengths straddle the window arithmetic: n=50 (one chunk — the
+    // capped start), n=51 (two), n=95 (three), n=7 (short tail)
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(doc(1, 50), doc(2, 51)))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(doc(3, 95), doc(4, 7)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = graft.ops.CorpusQueries.chunks(src).writeStream
+      .format("memory").queryName("chunk_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("chunk_out")
+    val batch = graft.ops.CorpusQueries.chunks(
+      spark.read.schema(schema).json(s"$dir/in"))
+    assert(streamed.count() === 1 + 2 + 3 + 1)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
