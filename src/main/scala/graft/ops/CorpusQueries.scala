@@ -87,6 +87,34 @@ object CorpusQueries {
     // window that q_pack would then train on twice.
     "q_chunk" -> ((s, d) => chunks(Tables.documents(s, d))),
 
+    // Exact-substring dedup signal (the Lee et al. "Deduplicating Training
+    // Data Makes Language Models Better" shape, distributed): for every
+    // document, how many of its distinct 50-token grams appear in ANY
+    // other document — the span-level duplication fraction that
+    // doc-level dedup (exact or MinHash) cannot see. This is inherently
+    // the family's heaviest shuffle — gram volume ≈ token volume — and
+    // the plan concedes nothing avoidable: grams are per-row codegen
+    // (word_grams), deduped WITHIN the doc before anything moves, 8-byte
+    // hashes ride the exchange instead of 50-word strings, and the
+    // shared-gram set joins back under AQE's size decision. (Lee et al.
+    // used single-machine suffix arrays; a gram-hash shuffle is the
+    // standard distributed re-expression.)
+    "q_repeated_spans" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), expr("word_grams(lower(text), 50)").as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("n_grams"),
+          explode_outer(col("gs")).as("g"))
+      val dup = ex.groupBy("g").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("g")
+      ex.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"), min(col("n_grams")).as("n_grams"))
+        .select(col("doc_id"), col("n_shared"), col("n_grams"),
+          (col("n_shared").cast("double") / col("n_grams")).as("dup_frac"))
+    }),
+
     // The r6 curation chain: quality gate → repetition gate → benchmark
     // decontamination → exact dedup — q_corpus_keep's front half with the
     // two new r6 stages composed in (the near-dup clustering stage stays
@@ -304,6 +332,22 @@ object CorpusQueries {
           SELECT c.doc_id, COUNT(*) AS n_hits, MIN(c.n_grams) AS n_grams
           FROM corpus c JOIN bench b ON c.g = b.g
           GROUP BY c.doc_id""",
+    "q_repeated_spans" ->
+      """WITH ws AS (SELECT doc_id,
+                            string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents),
+          gs AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          generate_series(1, len(w) - 49),
+                          i -> CAST(md5_number_lower(array_to_string(w[i:i+49], ' '))
+                                    % 9223372036854775807 AS BIGINT))) AS gs
+                 FROM ws WHERE len(w) >= 50),
+          ex AS (SELECT doc_id, len(gs) AS n_grams, UNNEST(gs) AS g FROM gs),
+          dup AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) >= 2)
+          SELECT doc_id, COUNT(*) AS n_shared, MIN(n_grams) AS n_grams,
+                 CAST(COUNT(*) AS DOUBLE) / MIN(n_grams) AS dup_frac
+          FROM ex JOIN dup USING (g)
+          GROUP BY doc_id""",
     "q_chunk" ->
       """WITH ws AS (SELECT doc_id,
                             string_split_regex(trim(lower(text)), '\s+') AS w
