@@ -95,22 +95,32 @@ object CorpusQueries {
     // the family's heaviest shuffle — gram volume ≈ token volume — and
     // the plan concedes nothing avoidable: grams are per-row codegen
     // (word_grams), deduped WITHIN the doc before anything moves, 8-byte
-    // hashes ride the exchange instead of 50-word strings, and the
-    // shared-gram set joins back under AQE's size decision. (Lee et al.
-    // used single-machine suffix arrays; a gram-hash shuffle is the
+    // hashes ride the exchange instead of 50-word strings, and the whole
+    // thing is ONE pass — group by gram carrying (doc_id, n_grams), keep
+    // groups of ≥2, explode the group back out. The naïve two-branch form
+    // (aggregate the dup-gram set, join it back) reads the corpus and
+    // hashes every gram TWICE because the two exchanges differ and cannot
+    // reuse. Per-gram group payload is bounded by docs-per-gram. (Lee et
+    // al. used single-machine suffix arrays; a gram-hash shuffle is the
     // standard distributed re-expression.)
     "q_repeated_spans" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val ex = Tables.documents(s, d)
+      Tables.documents(s, d)
         .select(col("doc_id"), expr("word_grams(lower(text), 50)").as("gs"))
         .select(col("doc_id"), size(col("gs")).as("n_grams"),
+          // explode_outer + attribute-level null filter: plain explode
+          // makes the optimizer infer size(gs) > 0 and re-evaluate the
+          // word_grams expression inside the Filter (the established
+          // single-eval discipline)
           explode_outer(col("gs")).as("g"))
-      val dup = ex.groupBy("g").agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= 2)
-        .select("g")
-      ex.join(dup, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shared"), min(col("n_grams")).as("n_grams"))
+        .filter(col("g").isNotNull)
+        .groupBy("g")
+        .agg(collect_list(struct(col("doc_id"), col("n_grams"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(col("ds")).as("dd"))
+        .groupBy(col("dd.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_shared"),
+          min(col("dd.n_grams")).as("n_grams"))
         .select(col("doc_id"), col("n_shared"), col("n_grams"),
           (col("n_shared").cast("double") / col("n_grams")).as("dup_frac"))
     }),
