@@ -221,6 +221,55 @@ object CorpusQueries {
         .filter(col("bucket") < when(col("source") === "src0", 25)
           .when(col("source") === "src1", 50)
           .otherwise(100))
+    }),
+
+    // Quality-aware cluster representative (r6): per near-dup cluster keep
+    // the HIGHEST-quality member, not the minimum id — the selection rule
+    // modern curation pipelines actually use (when near-dups differ, keep
+    // the cleanest copy; min-id keeps whichever was crawled first). Quality
+    // here is q_text_quality's char_density; any per-row score slots in.
+    // Scale shape: clustering is the already-verified labels pipeline; the
+    // selection adds ONE partial+final agg on the cluster key — the
+    // max(struct(quality, -doc_id)) argmax is an ordinary partial-merge
+    // aggregate (no window over the corpus, no second shuffle; ties break
+    // to the smaller doc_id deterministically on any engine/partitioning).
+    "q_cluster_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = DedupQueries.clusterLabels(
+        docs.select("doc_id"),
+        DedupQueries.lshPairsOf(docs).select("doc_a", "doc_b"))
+      val scored = docs.select(col("doc_id"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          length(col("text"))).as("quality"))
+      scored.join(labels, "doc_id")
+        .groupBy("cluster")
+        .agg(
+          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster"), (-col("best.nid")).as("rep_id"),
+          col("best.quality").as("quality"), col("n_members"))
+    }),
+
+    // Cross-source near-duplicate overlap matrix (r6): for every unordered
+    // source pair, how many near-dup candidate pairs cross it — the audit a
+    // multi-source corpus runs before mixing (two crawl dumps of the same
+    // site inflate q_mix_weights' token counts; overlap between a training
+    // source and an eval source is contamination). The diagonal (src_a =
+    // src_b) is within-dump template duplication; off-diagonal is the leak.
+    // Scale shape: pair generation is the verified LSH pipeline; attaching
+    // sources is two equi-joins where the corpus side is pruned to the thin
+    // (doc_id, source) projection — AQE broadcasts the smaller side — and
+    // the final agg collapses to at most |sources|² rows.
+    "q_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      DedupQueries.lshPairsOf(docs).select("doc_a", "doc_b")
+        .join(src.toDF("doc_a", "source_a"), "doc_a")
+        .join(src.toDF("doc_b", "source_b"), "doc_b")
+        .groupBy(
+          least(col("source_a"), col("source_b")).as("src_a"),
+          greatest(col("source_a"), col("source_b")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
     })
   )
 
@@ -456,6 +505,39 @@ object CorpusQueries {
          WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
                     % 9223372036854775807 % 100 AS BIGINT)
                < CASE source WHEN 'src0' THEN 25
-                             WHEN 'src1' THEN 50 ELSE 100 END"""
+                             WHEN 'src1' THEN 50 ELSE 100 END""",
+
+    "q_cluster_best" ->
+      s"""WITH RECURSIVE ${DedupQueries.shingleCteFrom("documents")},
+          sym AS (SELECT doc_a, doc_b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          reach(doc_id, cluster) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.doc_a, r.cluster
+            FROM sym s JOIN reach r ON r.doc_id = s.doc_b),
+          labels AS (SELECT doc_id, MIN(cluster) AS cluster
+                     FROM reach GROUP BY doc_id),
+          scored AS (SELECT doc_id,
+                            CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                                 AS DOUBLE) / length(text) AS quality
+                     FROM documents)
+          SELECT cluster, rep_id, quality, n_members FROM (
+            SELECT l.cluster, s.doc_id AS rep_id, s.quality,
+                   COUNT(*) OVER (PARTITION BY l.cluster) AS n_members,
+                   ROW_NUMBER() OVER (PARTITION BY l.cluster
+                                      ORDER BY s.quality DESC, s.doc_id) AS rn
+            FROM labels l JOIN scored s USING (doc_id)) t
+          WHERE rn = 1""",
+
+    "q_source_overlap" ->
+      s"""WITH ${DedupQueries.shingleCteFrom("documents")}
+          SELECT least(a.source, b.source) AS src_a,
+                 greatest(a.source, b.source) AS src_b,
+                 COUNT(*) AS n_pairs
+          FROM pairs p
+          JOIN documents a ON a.doc_id = p.doc_a
+          JOIN documents b ON b.doc_id = p.doc_b
+          GROUP BY 1, 2"""
   )
 }
