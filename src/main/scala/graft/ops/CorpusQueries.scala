@@ -270,6 +270,59 @@ object CorpusQueries {
           least(col("source_a"), col("source_b")).as("src_a"),
           greatest(col("source_a"), col("source_b")).as("src_b"))
         .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // DSIR-style importance weighting (Xie et al. 2023, public preprint —
+    // "Data Selection for Language Models via Importance Resampling"):
+    // model target and raw corpus as hashed-unigram bucket distributions,
+    // score every document by how target-like its tokens are, keep docs
+    // scoring above parity. Target here = the `lang = 'en'` slice (any
+    // target predicate slots in). Two passes, exactly like the published
+    // method: FIT (token stream → B=1024 bucket counts, map-side combine
+    // collapses each partition to ≤B partial rows, so the fit shuffle is
+    // bounded by B×partitions regardless of corpus size) then SCORE (the
+    // B-row weight table broadcasts back onto a second token scan; per-doc
+    // partials combine map-side because a doc's tokens never leave their
+    // scan partition). Nothing quadratic, nothing driver-side.
+    //
+    // Exactness discipline: the per-bucket weight is the smoothed
+    // probability RATIO in 16.16 fixed point — round(((t+1)/(T+B)) /
+    // ((r+1)/(R+B)) * 65536) — built from correctly-rounded IEEE ops
+    // (long→double conversions exact below 2^53, two divisions, one
+    // multiply, half-away round) rather than ln(), whose last-ulp value is
+    // library-specific and would hash-diverge cross-engine; per-doc scores
+    // are then INTEGER sums — exact and order-free on any partitioning.
+    // The keep rule `score ≥ n_tokens·65536` is mean-ratio ≥ 1, the
+    // arithmetic-mean analogue of DSIR's mean-log-ratio > 0 cut.
+    "q_importance_weights" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val B = 1024
+      val toks = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"md5_low63(tok) % $B").as("bucket"))
+      val counts = toks.groupBy("bucket")
+        .agg(count(lit(1)).as("r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+      // grand totals as a whole-frame window over the ≤B count rows — same
+      // plan stage as the counts, no extra totals job/cross-join (the
+      // window "sorts" B bounded rows, not a data-scaled stream)
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wr = counts
+        .withColumn("rr", sum(col("r")).over(whole))
+        .withColumn("tt", sum(col("t")).over(whole))
+        .select(col("bucket"),
+          round(((col("t") + 1.0) / (col("tt") + lit(B.toDouble))) /
+            ((col("r") + 1.0) / (col("rr") + lit(B.toDouble))) * 65536)
+            .cast("long").as("wr"))
+      toks.join(broadcast(wr), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wr")).as("score"))
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          (col("score") >= col("n_tokens") * 65536L).as("keep"))
     })
   )
 
@@ -538,6 +591,31 @@ object CorpusQueries {
           FROM pairs p
           JOIN documents a ON a.doc_id = p.doc_a
           JOIN documents b ON b.doc_id = p.doc_b
-          GROUP BY 1, 2"""
+          GROUP BY 1, 2""",
+
+    // identical fixed-point ratio arithmetic, identical op order — the
+    // (t+1.0)/(tt+1024.0) shape mirrors the Spark column expressions
+    "q_importance_weights" ->
+      """WITH toks AS (SELECT doc_id, lang,
+                              CAST(md5_number_lower(tok) % 9223372036854775807
+                                   % 1024 AS BIGINT) AS bucket
+                       FROM (SELECT doc_id, lang,
+                                    UNNEST(string_split_regex(
+                                      trim(lower(text)), '\s+')) AS tok
+                             FROM documents WHERE text IS NOT NULL) u),
+          counts AS (SELECT bucket, COUNT(*) AS r,
+                            SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+                     FROM toks GROUP BY bucket),
+          tot AS (SELECT SUM(r) AS rr, SUM(t) AS tt FROM counts),
+          wr AS (SELECT bucket,
+                        CAST(round(((t + 1.0) / (tt + 1024.0)) /
+                                   ((r + 1.0) / (rr + 1024.0)) * 65536.0)
+                             AS BIGINT) AS wr
+                 FROM counts CROSS JOIN tot)
+          SELECT k.doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(w.wr) AS BIGINT) AS score,
+                 CAST(SUM(w.wr) AS BIGINT) >= COUNT(*) * 65536 AS keep
+          FROM toks k JOIN wr w USING (bucket)
+          GROUP BY k.doc_id"""
   )
 }

@@ -344,6 +344,45 @@ object DedupQueries {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Shared LSH-candidate set arithmetic: (doc_a, doc_b, |A∩B|, |A|, |B|)
+    * for every candidate pair, sets riding WITH the signatures through the
+    * band stream (two shuffles total — the q_jaccard_pairs shape; see that
+    * query's scaladoc for the full 100 TB rationale and history). Each
+    * per-pair similarity (Jaccard, containment) is a cheap final projection
+    * over these three counts, so the variants share one pipeline instead of
+    * re-deriving the set plumbing.
+    *
+    * Signature AND distinct band-0 hash set come from one per-row
+    * expression — see minhashSigOf: the groupBy(doc_id) this replaced was a
+    * shuffle on an already-unique key (and collect_set built the same set
+    * this computes locally, minus the exchange). */
+  private def candidateSetCounts(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sig = Tables.documents(s, d)
+      .filter(hasShingles) // cheap predicate, not g IS NOT NULL — see minhashSigOf
+      .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
+      .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
+        col("g.mh3"), col("g.ss").as("ss"))
+    sig
+      .selectExpr("doc_id", "ss",
+        "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
+      .groupBy("band", "h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("ss")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(pairExpansionSql("ms",
+        "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.ss AS sa, b.ss AS sb)")))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        size(array_intersect(col("p.sa"), col("p.sb"))).cast("long").as("ni"),
+        size(col("p.sa")).cast("long").as("na"),
+        size(col("p.sb")).cast("long").as("nb"))
+      // a pair surfaces once per shared band; all occurrences carry the
+      // same ni/na/nb, so min() is pure dedup
+      .groupBy("doc_a", "doc_b")
+      .agg(min(col("ni")).as("ni"), min(col("na")).as("na"),
+        min(col("nb")).as("nb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C15 / exact dedup: hash-groupBy on the exact content key.
     "q_dedup_exact" -> ((s, d) =>
@@ -413,39 +452,24 @@ object DedupQueries {
     // [[graft.ops.ScaleOps.saltedJoin]] hatch remains the documented
     // answer — the per-doc set payload makes salt replication S× heavier,
     // so the automatic split deliberately stops at the signature stream.
-    "q_jaccard_pairs" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      // signature AND distinct band-0 hash set in one per-row expression —
-      // see minhashSigOf: the groupBy(doc_id) this replaced was a shuffle
-      // on an already-unique key (and collect_set built the same set this
-      // computes locally, minus the exchange)
-      val sig = Tables.documents(s, d)
-        .filter(hasShingles) // cheap predicate, not g IS NOT NULL — see minhashSigOf
-        .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
-        .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
-          col("g.mh3"), col("g.ss").as("ss"))
-      sig
-        .selectExpr("doc_id", "ss",
-          "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
-        .groupBy("band", "h")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("ss")))).as("ms"))
-        .filter(size(col("ms")) > 1)
-        .select(explode(expr(pairExpansionSql("ms",
-          "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.ss AS sa, b.ss AS sb)")))
-          .as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"),
-          size(array_intersect(col("p.sa"), col("p.sb"))).cast("long").as("ni"),
-          size(col("p.sa")).cast("long").as("na"),
-          size(col("p.sb")).cast("long").as("nb"))
-        // a pair surfaces once per shared band; all occurrences carry the
-        // same ni/na/nb, so min() is pure dedup
-        .groupBy("doc_a", "doc_b")
-        .agg(min(col("ni")).as("ni"), min(col("na")).as("na"),
-          min(col("nb")).as("nb"))
+    "q_jaccard_pairs" -> ((s, d) =>
+      candidateSetCounts(s, d)
         .select(col("doc_a"), col("doc_b"), col("ni"),
           (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
-            .as("jaccard"))
-    }),
+            .as("jaccard"))),
+
+    // CONTAINMENT on the same LSH candidates: C(A,B) = |A∩B| / |A| and its
+    // mirror — the asymmetric near-dup signal Jaccard misses. A short doc
+    // fully quoted inside a long one has tiny Jaccard (the union is large)
+    // but containment ≈ 1 in one direction; dedup pipelines that only
+    // threshold Jaccard keep every such quote-expansion pair. Identical
+    // pipeline and cost to q_jaccard_pairs (one shared candidateSetCounts
+    // stream, two shuffles); only the final per-pair divisions differ.
+    "q_containment_pairs" -> ((s, d) =>
+      candidateSetCounts(s, d)
+        .select(col("doc_a"), col("doc_b"), col("ni"),
+          (col("ni").cast("double") / col("na")).as("c_ab"),
+          (col("ni").cast("double") / col("nb")).as("c_ba"))),
 
     // MinHash estimator quality as a first-class query: for every LSH
     // candidate pair, the EXACT shingle Jaccard (q_jaccard_pairs' math)
@@ -658,6 +682,24 @@ object DedupQueries {
                     GROUP BY 1, 2)
           SELECT i.doc_a, i.doc_b, i.ni,
                  CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+          FROM inter i
+          JOIN cnt ca ON ca.doc_id = i.doc_a
+          JOIN cnt cb ON cb.doc_id = i.doc_b""",
+    "q_containment_pairs" ->
+      s"""WITH $shingleCte,
+          ssh AS (SELECT DISTINCT doc_id,
+                         CAST(md5_number_lower('0:' || sh)
+                              % 9223372036854775807 AS BIGINT) AS sh
+                  FROM sh),
+          cnt AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+          inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+                    FROM pairs p
+                    JOIN ssh a ON a.doc_id = p.doc_a
+                    JOIN ssh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+                    GROUP BY 1, 2)
+          SELECT i.doc_a, i.doc_b, i.ni,
+                 CAST(i.ni AS DOUBLE) / ca.n AS c_ab,
+                 CAST(i.ni AS DOUBLE) / cb.n AS c_ba
           FROM inter i
           JOIN cnt ca ON ca.doc_id = i.doc_a
           JOIN cnt cb ON cb.doc_id = i.doc_b""",

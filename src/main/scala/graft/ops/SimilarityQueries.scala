@@ -146,6 +146,31 @@ object SimilarityQueries {
                 FROM embeddings e JOIN sig s USING (vec_id))"""
   }
 
+  /** Every corpus vector with its IVF cell: nearest of the 16 seed
+    * centroids by cosine (argmax via `greatest(struct(csim, -cent_id))` —
+    * ORDER BY csim DESC, cent_id ASC rank 1 as a PER-ROW expression over
+    * broadcast centroid literals; zero shuffle, zero sort — the shape that
+    * replaced the r4 ×16 window fan-out). Shared by q_ann_ivf (probe
+    * search) and q_semdedup (within-cell near-dup pruning). Returns
+    * (vec_id, emb, nv, cell) where nv is the vector's own L2 norm —
+    * computed once here so downstream pair math only pays the cross dot. */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = headVecs(s, d, 16).map { case (id, ce) =>
+      (id, ce, math.sqrt(dotLocal(ce, ce))) }
+    val assignCand = cents.map { case (cid, ce, nc) =>
+      struct(
+        (call_function("vector_dot", col("embedding"), typedLit(ce)) /
+          (col("nv") * lit(nc))).as("s"),
+        lit(-cid).as("n"))
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("vector_dot(embedding, embedding)")).as("nv"))
+      .select(col("vec_id"), col("embedding").as("emb"), col("nv"),
+        negate(greatest(assignCand: _*).getField("n")).as("cell"))
+  }
+
   private def cosineScored(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // driver-owned sessions too
     // norms once per side, not per pair: each corpus row then costs one dot
@@ -156,10 +181,13 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         sqrt(dotCol("embedding", "embedding")).as("nq"))
-    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb"),
+    // label rides along for q_knn_classify; q_cosine_topk never references
+    // it, so column pruning keeps it out of that query's scan
+    e.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("emb"),
         sqrt(dotCol("embedding", "embedding")).as("nn"))
       .join(broadcast(q), col("neighbor_id") =!= col("q_id"))
-      .select(col("q_id"), col("neighbor_id"),
+      .select(col("q_id"), col("neighbor_id"), col("label"),
         (dotCol("emb", "qe") / (col("nn") * col("nq"))).as("score"))
   }
 
@@ -223,6 +251,64 @@ object SimilarityQueries {
         .filter(col("cos") >= 0.25)
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, public preprint):
+    // cluster the corpus by embedding (here the IVF cell assignment — the
+    // same per-row argmax q_ann_ivf scans with), then WITHIN each cell drop
+    // every vector that has a higher-similarity twin with a smaller id.
+    // Differs from q_embed_neardup in blocking key (semantic cells vs
+    // hyperplane buckets) and in output (the DROP decisions a curation run
+    // executes, not the raw edge list). Scale shape: assignment is per-row
+    // work inside the scan; the within-cell self-join is the published
+    // algorithm's shape, with per-cell cost bounded BY DESIGN — production
+    // SemDeDup picks k proportional to corpus size so cells hold ~10³
+    // vectors regardless of scale (k is 16 here only because the fixture
+    // oracle interpolates 16 seed centroids).
+    "q_semdedup" -> ((s, d) => {
+      val e = ivfAssigned(s, d)
+      val a = e.select(col("cell"), col("vec_id").as("id_a"),
+        col("emb").as("ea"), col("nv").as("na"))
+      val b = e.select(col("cell"), col("vec_id").as("id_b"),
+        col("emb").as("eb"), col("nv").as("nb"))
+      a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("cell"), col("id_b"),
+          (expr("vector_dot(ea, eb)") / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.25)
+        // max over doubles is order-free — exact on any partitioning
+        .groupBy("id_b", "cell")
+        .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("max_cos"))
+        .select(col("id_b").as("drop_id"), col("cell"),
+          col("n_dups"), col("max_cos"))
+    }),
+
+    // kNN weak labeling: classify the query vectors by majority label of
+    // their exact top-10 cosine neighbors — the annotation bootstrap a
+    // training pipeline runs to extend a small labeled seed set over an
+    // unlabeled corpus. Reuses the q_cosine_topk machinery (broadcast
+    // queries, bounded topk_by heaps — nothing sorts the scored stream).
+    // The neighbor's label (already on the corpus row — cosineScored
+    // carries it) rides THROUGH the top-k heap packed into the id lane
+    // (id·1024 + label — fixture labels are small non-negative ints,
+    // vec_ids far below 2^53, so the packing is lossless and
+    // order-preserving: equal-score ties still break by neighbor_id
+    // because label is a function of the neighbor) — ONE aggregation over
+    // the scored stream, no second corpus scan, no label join. The vote
+    // argmax is max(struct(votes, -label)) — pure integers, deterministic
+    // ties (most votes, then smallest label) on any engine/partitioning.
+    "q_knn_classify" -> ((s, d) => {
+      cosineScored(s, d) // (q_id, neighbor_id, label, score)
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, neighbor_id * 1024L + label, 10)").as("top"))
+        .select(col("q_id"), explode(col("top.id")).as("packed"))
+        .select(col("q_id"), pmod(col("packed"), lit(1024)).as("label"))
+        .groupBy("q_id", "label")
+        .agg(count(lit(1)).as("votes"))
+        .groupBy("q_id")
+        .agg(max(struct(col("votes"), negate(col("label")).as("nl"))).as("best"))
+        .select(col("q_id"), negate(col("best.nl")).cast("int").as("pred_label"),
+          col("best.votes").as("votes"))
+    }),
+
     // IVF-style ANN: a deterministic coarse quantizer (the first 16 vectors
     // act as centroids — production would k-means; the plan shape is
     // identical) assigns every vector to its nearest cell; each query
@@ -256,25 +342,10 @@ object SimilarityQueries {
       val probes = s.createDataset(probeRows.toSeq
         .map { case (qid, qe, nq, cid, _) => (qid, qe, nq, cid) })
         .toDF("q_id", "qe", "nq", "cell")
-      // corpus → nearest cell (argmax cosine; ties broken by cent_id) as a
-      // PER-ROW expression over centroid literals: greatest(struct(csim,
-      // -cent_id)) reproduces ORDER BY csim DESC, cent_id ASC. Zero
-      // shuffle, zero sort — the r4 Window.partitionBy(vec_id) form fanned
-      // the corpus ×16 through a full shuffle+sort (the r4 verdict's one
-      // genuine scale-killer). The corpus-row norm stays a Spark
-      // expression; it divides the same dot it rode in with.
-      val assignCand = cents.map { case (cid, ce, nc) =>
-        struct(
-          (call_function("vector_dot", col("embedding"), typedLit(ce)) /
-            (col("nv") * lit(nc))).as("s"),
-          lit(-cid).as("n"))
-      }
-      val assigned = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(expr("vector_dot(embedding, embedding)")).as("nv"))
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb"),
-          col("nv").as("nn"),
-          negate(greatest(assignCand: _*).getField("n")).as("cell"))
+      // corpus → nearest cell: the shared per-row argmax (see ivfAssigned)
+      val assigned = ivfAssigned(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("emb"),
+          col("nv").as("nn"), col("cell"))
       // search only the probed cells; exact top-3 per query
       val wTop = Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -486,6 +557,71 @@ object SimilarityQueries {
                  FROM t GROUP BY 1, 2, 3)
           SELECT bucket, id_a, id_b, dot / (sqrt(nx) * sqrt(ny)) AS cos
           FROM sc WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.25""",
+    // the IVF assignment CTEs are q_ann_ivf's (verbatim argmax contract);
+    // the pair stage is q_embed_neardup's lockstep-UNNEST cosine
+    "q_semdedup" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce
+                        FROM embeddings WHERE vec_id < 16),
+          pc AS (SELECT e.vec_id, c.cent_id, e.embedding AS v, c.ce
+                 FROM embeddings e CROSS JOIN cents c),
+          tc AS (SELECT vec_id, cent_id, UNNEST(v) AS x, UNNEST(ce) AS y
+                 FROM pc),
+          sim AS (SELECT vec_id, cent_id,
+                         SUM(CAST(x * y AS DOUBLE)) /
+                           (sqrt(SUM(CAST(x * x AS DOUBLE))) *
+                            sqrt(SUM(CAST(y * y AS DOUBLE)))) AS csim
+                  FROM tc GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM (
+                         SELECT vec_id, cent_id AS cell,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id) AS rnk
+                         FROM sim) s WHERE rnk = 1),
+          p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                       ea.embedding AS va, eb.embedding AS vb
+                FROM assigned a
+                JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id),
+          t AS (SELECT cell, id_a, id_b, UNNEST(va) AS x, UNNEST(vb) AS y
+                FROM p),
+          sc AS (SELECT cell, id_a, id_b,
+                        SUM(CAST(x * y AS DOUBLE)) AS dot,
+                        SUM(CAST(x * x AS DOUBLE)) AS nx,
+                        SUM(CAST(y * y AS DOUBLE)) AS ny
+                 FROM t GROUP BY 1, 2, 3)
+          SELECT id_b AS drop_id, cell, COUNT(*) AS n_dups,
+                 MAX(dot / (sqrt(nx) * sqrt(ny))) AS max_cos
+          FROM sc WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.25
+          GROUP BY 1, 2""",
+    // the knn CTEs are q_cosine_topk's (same exact top-10 cut — proved
+    // equal to the topk_by selection by that query's green oracle); the
+    // vote argmax is pure-integer with (votes DESC, label ASC) ties
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                    WHERE vec_id < 5),
+          p AS (SELECT q.q_id, e.vec_id AS neighbor_id, e.embedding AS emb, q.qe
+                FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+          t AS (SELECT q_id, neighbor_id, UNNEST(emb) AS x, UNNEST(qe) AS y
+                FROM p),
+          sc AS (SELECT q_id, neighbor_id,
+                        SUM(CAST(x * y AS DOUBLE)) AS dot,
+                        SUM(CAST(x * x AS DOUBLE)) AS nx,
+                        SUM(CAST(y * y AS DOUBLE)) AS ny
+                 FROM t GROUP BY 1, 2),
+          r AS (SELECT q_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC,
+                                  neighbor_id) AS rnk
+                FROM sc),
+          knn AS (SELECT q_id, neighbor_id FROM r WHERE rnk <= 10),
+          v AS (SELECT k.q_id, e.label, COUNT(*) AS votes
+                FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+                GROUP BY 1, 2)
+          SELECT q_id, pred_label, votes FROM (
+            SELECT q_id, label AS pred_label, votes,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY votes DESC, label) AS rn
+            FROM v) t WHERE rn = 1""",
     "q_ann_lsh" ->
       s"""WITH $bucketCtes,
           q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM bkt

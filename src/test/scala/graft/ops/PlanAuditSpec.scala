@@ -20,7 +20,7 @@ class PlanAuditSpec extends SparkTestBase {
     * aggregate — the correct brute-force/assignment/normalization shape. */
   private val allowedBnlj =
     Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans", "q_mix_weights",
-      "q_doc_tfidf")
+      "q_doc_tfidf", "q_knn_classify")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
