@@ -294,37 +294,46 @@ object CorpusQueries {
     // are then INTEGER sums — exact and order-free on any partitioning.
     // The keep rule `score ≥ n_tokens·65536` is mean-ratio ≥ 1, the
     // arithmetic-mean analogue of DSIR's mean-log-ratio > 0 cut.
-    "q_importance_weights" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val B = 1024
-      val toks = Tables.documents(s, d)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-        .select(col("doc_id"), col("lang"),
-          expr(s"md5_low63(tok) % $B").as("bucket"))
-      val counts = toks.groupBy("bucket")
-        .agg(count(lit(1)).as("r"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
-      // grand totals as a whole-frame window over the ≤B count rows — same
-      // plan stage as the counts, no extra totals job/cross-join (the
-      // window "sorts" B bounded rows, not a data-scaled stream)
-      val whole = Window.partitionBy(lit(1))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val wr = counts
-        .withColumn("rr", sum(col("r")).over(whole))
-        .withColumn("tt", sum(col("t")).over(whole))
-        .select(col("bucket"),
-          round(((col("t") + 1.0) / (col("tt") + lit(B.toDouble))) /
-            ((col("r") + 1.0) / (col("rr") + lit(B.toDouble))) * 65536)
-            .cast("long").as("wr"))
-      toks.join(broadcast(wr), Seq("bucket"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum(col("wr")).as("score"))
-        .select(col("doc_id"), col("n_tokens"), col("score"),
-          (col("score") >= col("n_tokens") * 65536L).as("keep"))
-    })
+    "q_importance_weights" -> ((s, d) =>
+      importanceWeights(Tables.documents(s, d), col("lang") === "en"))
   )
+
+  /** q_importance_weights' pipeline over an arbitrary documents frame
+    * (needs doc_id, text, and the target predicate's columns) — factored so
+    * the property spec can drive it on corpora with a REAL target-vs-raw
+    * vocabulary difference (the fixture's lang label is random, so on it
+    * DSIR correctly finds ~no signal). */
+  private[graft] def importanceWeights(
+      docs: DataFrame, isTarget: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val B = 1024
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"), col("is_t"),
+        expr(s"md5_low63(tok) % $B").as("bucket"))
+    val counts = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("t"))
+    // grand totals as a whole-frame window over the ≤B count rows — same
+    // plan stage as the counts, no extra totals job/cross-join (the
+    // window moves B bounded rows to one task, not a data-scaled stream)
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wr = counts
+      .withColumn("rr", sum(col("r")).over(whole))
+      .withColumn("tt", sum(col("t")).over(whole))
+      .select(col("bucket"),
+        round(((col("t") + 1.0) / (col("tt") + lit(B.toDouble))) /
+          ((col("r") + 1.0) / (col("rr") + lit(B.toDouble))) * 65536)
+          .cast("long").as("wr"))
+    toks.join(broadcast(wr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wr")).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") >= col("n_tokens") * 65536L).as("keep"))
+  }
 
   /** Documents below this id play the held-out benchmark in the fixture. */
   private val BenchmarkMaxId = 50

@@ -255,4 +255,80 @@ class OpPropertiesSpec extends SparkTestBase {
       assert(k > 0 && k < total, s"$src kept $k of $total")
     }
   }
+
+  test("containment bounds: jaccard ≤ min(c_ab, c_ba) ≤ 1 on every candidate pair") {
+    val sfDir = "/root/testdata/sf0.001"
+    val c = DedupQueries.queries("q_containment_pairs")(spark, sfDir)
+    val j = DedupQueries.queries("q_jaccard_pairs")(spark, sfDir)
+    assert(c.count() > 0)
+    // same candidate universe (both derive from one factored pipeline)
+    assert(c.count() === j.count())
+    val joined = c.join(j, Seq("doc_a", "doc_b"))
+    assert(joined.filter(col("c_ab") <= 0 || col("c_ab") > 1 ||
+      col("c_ba") <= 0 || col("c_ba") > 1).isEmpty)
+    // J = |∩|/|∪| ≤ |∩|/max(|A|,|B|) = min(C_ab, C_ba); tiny FP tolerance
+    assert(joined.filter(col("jaccard") >
+      least(col("c_ab"), col("c_ba")) + lit(1e-12)).isEmpty)
+  }
+
+  test("importance weighting separates a distinct target vocabulary") {
+    import spark.implicits._
+    // two disjoint vocabularies: target docs speak A, raw docs speak B —
+    // every A-bucket's ratio exceeds 1, every B-bucket's sits below it, so
+    // DSIR must rank ALL target docs above ALL raw docs (the fixture's
+    // random lang label can't show this — no real signal exists there)
+    val vocabA = Seq("alpha", "beta", "gamma", "delta")
+    val vocabB = Seq("omega", "sigma", "kappa", "lambda")
+    val docs = (0 until 20).map { i =>
+      val v = if (i < 10) vocabA else vocabB
+      (i.toLong, Seq.tabulate(30)(j => v((i + j) % 4)).mkString(" "),
+        if (i < 10) "tgt" else "raw")
+    }.toDF("doc_id", "text", "lang")
+    val w = CorpusQueries.importanceWeights(docs, col("lang") === "tgt")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val minTgt = w.filter(col("lang") === "tgt")
+      .agg(min(col("score"))).head.getLong(0)
+    val maxRaw = w.filter(col("lang") === "raw")
+      .agg(max(col("score"))).head.getLong(0)
+    assert(minTgt > maxRaw,
+      s"worst target score $minTgt not above best raw score $maxRaw")
+    // the keep rule follows: all target docs kept, no raw doc kept
+    assert(w.filter(col("lang") === "tgt" && !col("keep")).isEmpty)
+    assert(w.filter(col("lang") === "raw" && col("keep")).isEmpty)
+    // scores are reproducible on the real fixture (integer fixed-point —
+    // no FP accumulation anywhere)
+    val sfDir = "/root/testdata/sf0.001"
+    val once = CorpusQueries.queries("q_importance_weights")(spark, sfDir)
+    val replay = CorpusQueries.queries("q_importance_weights")(spark, sfDir)
+    assert(once.select("doc_id", "score").exceptAll(
+      replay.select("doc_id", "score")).isEmpty)
+  }
+
+  test("semdedup drops only ids with a lower-id twin in the same cell") {
+    val sfDir = "/root/testdata/sf0.001"
+    val drops = SimilarityQueries.queries("q_semdedup")(spark, sfDir)
+    assert(drops.count() > 0)
+    // cells come from the 16 seed centroids
+    assert(drops.filter(col("cell") < 0 || col("cell") >= 16).isEmpty)
+    assert(drops.filter(col("max_cos") < 0.25 || col("max_cos") > 1.0 + 1e-12).isEmpty)
+    // a drop decision needs at least one better partner
+    assert(drops.filter(col("n_dups") < 1).isEmpty)
+    // the corpus-wide minimum vec_id can never be dropped (no lower id exists)
+    val minVec = graft.tables.Tables.embeddings(spark, sfDir)
+      .agg(min("vec_id")).head.getLong(0)
+    assert(drops.filter(col("drop_id") <= minVec).isEmpty)
+  }
+
+  test("knn label packing is lossless: one in-domain prediction per query") {
+    val sfDir = "/root/testdata/sf0.001"
+    val preds = SimilarityQueries.queries("q_knn_classify")(spark, sfDir)
+    assert(preds.count() === 5) // one prediction per query vector
+    val labelDomain = graft.tables.Tables.embeddings(spark, sfDir)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    preds.collect().foreach { r =>
+      assert(labelDomain.contains(r.getInt(1)), s"label ${r.getInt(1)} out of domain")
+      val votes = r.getLong(2)
+      assert(votes >= 1 && votes <= 10, s"votes $votes out of [1,10]")
+    }
+  }
 }
