@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -104,6 +104,50 @@ object BeaconStreaming {
       coalesce(expr(s"word_grams(lower($textCol), 13)"),
         typedLit(Array.empty[Long])),
       typedLit(benchGrams)))
+  }
+
+  /** Streaming DSIR scoring: FIT the hashed-unigram importance model once
+    * on a STATIC corpus (the batch pipeline's exact fixed-point arithmetic
+    * — see [[graft.ops.CorpusQueries.importanceWeights]]), then score every
+    * streamed document statelessly against the frozen B-entry weight table,
+    * which rides into the stream as a literal array — the same
+    * freeze-the-static-side shape as [[decontaminateStream]]. No state
+    * store, no aggregation in the stream: score and keep-decision are
+    * per-row. Buckets unseen at fit time get the smoothing default
+    * ((1/(T+B))/(1/(R+B)) — add-one smoothing is total, so the model is
+    * defined on the stream's full token space, not just the fit corpus's.
+    * A null text column yields a null score/keep (the caller's gate
+    * decides), matching the batch pipeline which drops such docs. */
+  def importanceScoreStream(stream: DataFrame, fitCorpus: DataFrame,
+                            isTarget: Column, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val B = 1024
+    val counts = fitCorpus.filter(col(textCol).isNotNull)
+      .select(isTarget.as("is_t"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .select(col("is_t"), expr(s"md5_low63(tok) % $B").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("t"))
+      .collect()
+    val rr = counts.map(_.getLong(1)).sum
+    val tt = counts.map(_.getLong(2)).sum
+    // identical IEEE op order to the batch column expression (long→double
+    // exact, two divisions, multiply, half-away round — positive domain)
+    def w(t: Long, r: Long): Long =
+      math.round(((t + 1.0) / (tt + B.toDouble)) /
+        ((r + 1.0) / (rr + B.toDouble)) * 65536)
+    val wrArr = Array.fill(B)(w(0L, 0L))
+    counts.foreach { row => wrArr(row.getLong(0).toInt) = w(row.getLong(2), row.getLong(1)) }
+    stream
+      .withColumn("__toks", split(trim(lower(col(textCol))), "\\s+"))
+      .withColumn("__wr", typedLit(wrArr))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("score", expr(
+        s"aggregate(__toks, 0L, (acc, t) -> " +
+          s"acc + element_at(__wr, CAST(md5_low63(t) % $B AS INT) + 1))"))
+      .withColumn("keep", col("score") >= col("n_tokens") * 65536L)
+      .drop("__toks", "__wr")
   }
 
   /** D6 — dual sink: every micro-batch appends the hourly history layout and

@@ -220,4 +220,61 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(streamed.count() === 1 + 2 + 3 + 1)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming importance scoring equals the batch pipeline on the same rows") {
+    import spark.implicits._
+    // fit corpus with a REAL vocabulary split (target speaks A, raw speaks
+    // B) so keep decisions are non-trivial in both directions
+    val vocabA = Seq("alpha", "beta", "gamma", "delta")
+    val vocabB = Seq("omega", "sigma", "kappa", "lambda")
+    val fitRows = (0 until 20).map { i =>
+      val v = if (i < 10) vocabA else vocabB
+      (i.toLong, Seq.tabulate(30)(j => v((i + j) % 4)).mkString(" "),
+        if (i < 10) "tgt" else "raw")
+    }
+    val fit = fitRows.toDF("doc_id", "text", "lang")
+    val dir = tmpDir("stream-dsir")
+    def json(id: Long, text: String) = s"""{"doc_id": $id, "text": "$text"}"""
+    // two micro-batches; doc 101 mixes vocabularies, doc 103 is UNSEEN
+    // vocabulary (smoothing default path)
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      json(100, fitRows(0)._2), json(101, "alpha omega beta sigma")))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(
+      json(102, fitRows(15)._2), json(103, "zeta theta iota")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = BeaconStreaming
+      .importanceScoreStream(src, fit, col("lang") === "tgt")
+      .writeStream
+      .format("memory").queryName("dsir_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dsir_out")
+      .select("doc_id", "n_tokens", "score", "keep")
+    assert(streamed.count() === 4)
+    // pure-target doc kept, pure-raw doc dropped
+    assert(streamed.filter(col("doc_id") === 100 && col("keep")).count() === 1)
+    assert(streamed.filter(col("doc_id") === 102 && !col("keep")).count() === 1)
+    // batch equivalence on the SEEN-vocabulary docs: score the same rows
+    // through the batch pipeline (fit corpus ∪ scored docs must be the
+    // fit corpus itself for the fits to coincide, so score fit members)
+    val batch = graft.ops.CorpusQueries
+      .importanceWeights(fit, col("lang") === "tgt")
+      .withColumnRenamed("doc_id", "fit_id")
+    val b0 = batch.filter(col("fit_id") === 0).select("score").head.getLong(0)
+    val s100 = streamed.filter(col("doc_id") === 100).select("score").head.getLong(0)
+    assert(s100 === b0, s"stream score $s100 != batch score $b0 for identical text")
+    val b15 = batch.filter(col("fit_id") === 15).select("score").head.getLong(0)
+    val s102 = streamed.filter(col("doc_id") === 102).select("score").head.getLong(0)
+    assert(s102 === b15)
+    // unseen vocabulary takes the smoothing default, never null/failure
+    val s103 = streamed.filter(col("doc_id") === 103)
+    assert(s103.head.getAs[Long]("score") > 0)
+  }
 }
