@@ -30,15 +30,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.parquet` carries an INT64 TIMESTAMP(NANOS) column, which the
-    * vectorized parquet reader rejects unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[graft.GraftSession]]
-    * and the Verify/Bench mains). With that flag `ts` arrives as a Long of
-    * epoch-nanos; we derive a proper microsecond timestamp (truncating, which
-    * matches DuckDB's ns→µs cast) and keep the raw value as `ts_ns`.
+  /** `events.parquet` has shipped `ts` two ways across fixture generations:
+    * INT64 TIMESTAMP(NANOS) (arrives as epoch-nano Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[graft.GraftSession]]) and plain µs timestamp. Adapt on schema: the
+    * Long form gets a truncating ns→µs derivation (matching DuckDB's ns→µs
+    * cast) so every downstream query sees one `ts` timestamp column.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          .drop("ts_ns")
+      case _ => raw
+    }
+  }
 }
