@@ -261,20 +261,41 @@ object DedupQueries {
     lshPairsOf(Tables.documents(s, d))
 
   /** SQL for the sorted in-bucket pair expansion: for each i<j element pair
-    * (a, b) of the array column `ms`, emit `build`; `keep` optionally
-    * filters the emitted struct `p`. ALL band-bucket expansions (LSH
-    * cold/hot, Jaccard, SimHash) share this one template so the slice
-    * arithmetic cannot silently diverge between them. The positional
-    * lambda variable is `__i` — `keep` predicates may reference OUTER
+    * (a, b) of the array column `ms`, emit `build`; `keepAb` optionally
+    * filters the PAIR before the struct is built (it may reference both
+    * lambda sides `a` and `b`, plus outer columns — the first-agreeing-band
+    * and salt predicates live here, so rejected pairs never allocate a
+    * struct); `keep` filters the emitted struct `p`. ALL band-bucket
+    * expansions (LSH cold/hot, Jaccard, SimHash) share this one template so
+    * the slice arithmetic cannot silently diverge between them. The
+    * positional lambda variable is `__i` — predicates may reference OUTER
     * columns (the salted path filters on its group columns i/j), which a
     * lambda variable named `i` would shadow. */
   private def pairExpansionSql(ms: String, build: String,
-                               keep: Option[String] = None): String = {
-    val inner =
-      s"transform(slice($ms, __i + 2, size($ms) - __i - 1), b -> $build)"
+                               keep: Option[String] = None,
+                               keepAb: Option[String] = None): String = {
+    val side =
+      keepAb.fold(s"slice($ms, __i + 2, size($ms) - __i - 1)")(k =>
+        s"filter(slice($ms, __i + 2, size($ms) - __i - 1), b -> $k)")
+    val inner = s"transform($side, b -> $build)"
     val kept = keep.fold(inner)(k => s"filter($inner, p -> $k)")
     s"flatten(transform($ms, (a, __i) -> $kept))"
   }
+
+  /** First-agreeing-band predicate for the 4-band MinHash family (the
+    * Manku-style dedup q_simhash_pairs already uses): a pair whose docs
+    * agree on bands {b₁ < b₂ < …} is emitted ONLY from bucket b₁ — i.e.
+    * from band `band` only when every earlier band's hashes differ. Each
+    * candidate pair therefore surfaces exactly once across the whole band
+    * stream, which deletes the per-pair dedup exchange (the old
+    * groupBy(doc_a, doc_b)) AND computes each pair's payload arithmetic
+    * (set intersection, lane matches) once instead of once per shared
+    * band. Price: the four band hashes ride the bucket payload (32
+    * bytes/doc) so the predicate can look sideways; on the set-carrying
+    * queries that is noise against the shingle sets already aboard. */
+  private val firstAgreeingBand: String =
+    "(band = 0 OR (a.mh0 <> b.mh0 AND (band = 1 OR (a.mh1 <> b.mh1" +
+      " AND (band = 2 OR a.mh2 <> b.mh2)))))"
 
   /** Pair generation from an existing signature relation — split out so
     * q_jaccard_pairs can feed the shared sig+set aggregate through it.
@@ -306,42 +327,54 @@ object DedupQueries {
     val salts =
       conf.getOption("spark.graft.lsh.salt.factor").map(_.toInt).getOrElse(16)
     require(salts >= 1, s"bad lsh salt conf: salts=$salts")
+    // The four band hashes ride each bucket member (struct of 5 longs vs
+    // the bare id) so the pair site can (a) emit each pair only from its
+    // FIRST agreeing band — the per-pair dedup exchange this replaces was
+    // a whole extra shuffle stage — and (b) read shared_bands directly as
+    // the count of agreeing lanes, which equals the old COUNT(per-band
+    // rows) because a doc holds exactly one hash per band. Payload grows
+    // ~2.3× on the bucket shuffle; the dedup exchange, its stage barrier,
+    // and the up-to-4× duplicate pair emission are gone (VERDICT r6 #4).
     val grouped = sig
-      .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
+      .selectExpr("doc_id", "mh0", "mh1", "mh2", "mh3",
+        "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
       .groupBy("band", "h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val sharedBands =
+      "CAST(a.mh0 = b.mh0 AS INT) + CAST(a.mh1 = b.mh1 AS INT) + " +
+        "CAST(a.mh2 = b.mh2 AS INT) + CAST(a.mh3 = b.mh3 AS INT)"
     def expand(buckets: DataFrame): DataFrame = buckets
-      .select(col("band"), explode(expr(
-        pairExpansionSql("ids", "struct(a AS doc_a, b AS doc_b)"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("band"))
-    // threshold <= 0 = salting OFF: the exact single-branch r5 plan
-    val pairs =
-      if (threshold <= 0) expand(grouped)
-      else {
-        val cold = expand(grouped.filter(size(col("ids")) <= threshold))
-        val hot = grouped.filter(size(col("ids")) > threshold)
-          .select(col("band"), col("h"), explode(col("ids")).as("doc_id"))
-          .withColumn("s", pmod(hash(col("doc_id")), lit(salts)))
-          .select(col("band"), col("h"), col("doc_id"), col("s"),
-            explode(expr(s"sequence(0, ${salts - 1})")).as("t"))
-          .select(col("band"), col("h"), col("doc_id"), col("s"),
-            least(col("s"), col("t")).as("i"), greatest(col("s"), col("t")).as("j"))
-          .groupBy("band", "h", "i", "j")
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("s")))).as("ms"))
-          // ms sorted by doc_id (first struct field) ⇒ doc_a < doc_b, as cold
-          .select(col("band"), explode(expr(pairExpansionSql("ms",
-            "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb)",
-            keep = Some("i = j OR p.sa <> p.sb")))).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"), col("band"))
-        cold.union(hot)
-      }
-    pairs
-      .groupBy("doc_a", "doc_b")
-      // a doc holds exactly ONE hash per band, so (doc_a, doc_b, band) rows
-      // are distinct by construction — count(*) equals the oracle's
-      // COUNT(DISTINCT band) without the distinct-aggregate expand+reshuffle
-      .agg(count(lit(1)).as("shared_bands"))
+      .select(explode(expr(pairExpansionSql("ms",
+        s"struct(a.doc_id AS doc_a, b.doc_id AS doc_b, $sharedBands AS sb)",
+        keepAb = Some(firstAgreeingBand)))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        col("p.sb").cast("long").as("shared_bands"))
+    // threshold <= 0 = salting OFF: the single-branch plan
+    if (threshold <= 0) expand(grouped)
+    else {
+      val cold = expand(grouped.filter(size(col("ms")) <= threshold))
+      val hot = grouped.filter(size(col("ms")) > threshold)
+        .select(col("band"), col("h"), explode(col("ms")).as("m"))
+        .withColumn("s", pmod(hash(col("m.doc_id")), lit(salts)))
+        .select(col("band"), col("h"), col("m"), col("s"),
+          explode(expr(s"sequence(0, ${salts - 1})")).as("t"))
+        .select(col("band"), col("h"), col("m"), col("s"),
+          least(col("s"), col("t")).as("i"), greatest(col("s"), col("t")).as("j"))
+        .groupBy("band", "h", "i", "j")
+        .agg(sort_array(collect_list(struct(
+          col("m.doc_id").as("doc_id"), col("s"),
+          col("m.mh0").as("mh0"), col("m.mh1").as("mh1"),
+          col("m.mh2").as("mh2"), col("m.mh3").as("mh3")))).as("ms"))
+        // ms sorted by doc_id (first struct field) ⇒ doc_a < doc_b, as cold
+        .select(explode(expr(pairExpansionSql("ms",
+          s"struct(a.doc_id AS doc_a, b.doc_id AS doc_b, $sharedBands AS sb)",
+          keepAb = Some(s"(i = j OR a.s <> b.s) AND $firstAgreeingBand")))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"),
+          col("p.sb").cast("long").as("shared_bands"))
+      cold.union(hot)
+    }
   }
 
   /** Shared LSH-candidate set arithmetic: (doc_a, doc_b, |A∩B|, |A|, |B|)
@@ -363,24 +396,28 @@ object DedupQueries {
       .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
       .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
         col("g.mh3"), col("g.ss").as("ss"))
+    // First-agreeing-band emission (see [[firstAgreeingBand]]): the four
+    // band hashes ride next to the set (32 bytes against a whole shingle
+    // set — noise), each pair is born exactly once, its intersection is
+    // computed ONCE instead of once per shared band, and the per-pair
+    // dedup exchange the old min()-groupBy provided is gone — one full
+    // shuffle stage removed from q_jaccard_pairs / q_containment_pairs
+    // (VERDICT r6 #4).
     sig
-      .selectExpr("doc_id", "ss",
+      .selectExpr("doc_id", "ss", "mh0", "mh1", "mh2", "mh3",
         "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
       .groupBy("band", "h")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("ss")))).as("ms"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("mh0"),
+        col("mh1"), col("mh2"), col("mh3"), col("ss")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(expr(pairExpansionSql("ms",
-        "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.ss AS sa, b.ss AS sb)")))
+        "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.ss AS sa, b.ss AS sb)",
+        keepAb = Some(firstAgreeingBand))))
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
         size(array_intersect(col("p.sa"), col("p.sb"))).cast("long").as("ni"),
         size(col("p.sa")).cast("long").as("na"),
         size(col("p.sb")).cast("long").as("nb"))
-      // a pair surfaces once per shared band; all occurrences carry the
-      // same ni/na/nb, so min() is pure dedup
-      .groupBy("doc_a", "doc_b")
-      .agg(min(col("ni")).as("ni"), min(col("na")).as("na"),
-        min(col("nb")).as("nb"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -426,14 +463,17 @@ object DedupQueries {
     // band-bucket stream: one PER-ROW expression emits (signature, set)
     // inside the scan, the band grouping collects (doc_id, set) structs per
     // bucket, and the in-bucket pair expansion yields both sides' sets
-    // inline — so |A∩B| is computed where the pair is BORN and only three
-    // longs per pair cross the final dedup shuffle. Two shuffles total.
+    // inline — so |A∩B| is computed where the pair is BORN. ONE shuffle
+    // total: first-agreeing-band emission (candidateSetCounts) makes each
+    // pair surface exactly once, so the old per-pair dedup exchange is
+    // gone and the similarity is a straight projection off the expansion.
     // History: the r4 form materialized a sig AGGREGATE behind an explicit
     // exchange and joined the pair list back to the sets by doc_a then
     // doc_b — two extra shuffle+join stages just to re-attach data the
     // bucket stream already had in hand (measured 2.1× slower interleaved);
     // r5 fused the aggregate itself away (it grouped by the already-unique
-    // doc_id — see minhashSigOf), halving the measured time again.
+    // doc_id — see minhashSigOf), halving the measured time again; r7
+    // removed the dedup exchange via first-band emission.
     //
     // The per-doc set holds the band-0 HASH (8-byte long), not the shingle
     // string: the value is already computed for mh0, the collect_set and
@@ -444,11 +484,11 @@ object DedupQueries {
     //
     // 100 TB view: sets are bounded by doc length and shipped ≤4× (once per
     // band) instead of once per join side — a constant-factor payload trade
-    // for two fewer shuffle stages and no second read of the sig exchange;
-    // a pair caught by k bands computes its intersection k≤4 times, CPU
-    // that is local and embarrassingly parallel where the join stages were
-    // a scheduling barrier. Hot buckets: q_lsh_pairs' pair generation
-    // auto-salts (lshPairsFromSig); HERE the manual
+    // for shuffle stages removed and no second read of the sig exchange;
+    // each pair computes its intersection exactly once, at its first
+    // agreeing band, CPU that is local and embarrassingly parallel where
+    // the join stages were a scheduling barrier. Hot buckets:
+    // q_lsh_pairs' pair generation auto-salts (lshPairsFromSig); HERE the manual
     // [[graft.ops.ScaleOps.saltedJoin]] hatch remains the documented
     // answer — the per-doc set payload makes salt replication S× heavier,
     // so the automatic split deliberately stops at the signature stream.
@@ -483,31 +523,38 @@ object DedupQueries {
     // run signature-only dedup everywhere.
     "q_minhash_est" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // Payload diet (VERDICT r6 #6): the 64 md5p lanes live in Z_{2^31-1}
+      // (MinHashSketch.P), so the signature rides the bucket shuffle as
+      // array<int> — 256 bytes/doc, half the long form, lossless, and lane
+      // equality is unchanged. With first-agreeing-band emission the pair's
+      // set intersection AND lane-match count are computed once (not once
+      // per shared band) and the dedup exchange is gone; only five scalars
+      // leave the pair site. Residual payload over q_jaccard_pairs is the
+      // int signature next to the set — within the 2× bytes budget.
       val sig = Tables.documents(s, d)
         .filter(hasShingles)
         .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"),
-          expr("shingle_minhash(text, 64)").as("sig64"))
+          expr("transform(shingle_minhash(text, 64), x -> int(x))").as("sig64"))
         .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
           col("g.mh3"), col("g.ss").as("ss"), col("sig64"))
       sig
-        .selectExpr("doc_id", "ss", "sig64",
+        .selectExpr("doc_id", "ss", "sig64", "mh0", "mh1", "mh2", "mh3",
           "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
         .groupBy("band", "h")
         .agg(sort_array(collect_list(
-          struct(col("doc_id"), col("ss"), col("sig64")))).as("ms"))
+          struct(col("doc_id"), col("mh0"), col("mh1"), col("mh2"),
+            col("mh3"), col("ss"), col("sig64")))).as("ms"))
         .filter(size(col("ms")) > 1)
         .select(explode(expr(pairExpansionSql("ms",
           "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.ss AS sa, " +
-            "b.ss AS sb, a.sig64 AS ga, b.sig64 AS gb)"))).as("p"))
+            "b.ss AS sb, a.sig64 AS ga, b.sig64 AS gb)",
+          keepAb = Some(firstAgreeingBand)))).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"),
           size(array_intersect(col("p.sa"), col("p.sb"))).cast("long").as("ni"),
           size(col("p.sa")).cast("long").as("na"),
           size(col("p.sb")).cast("long").as("nb"),
           expr("size(filter(zip_with(p.ga, p.gb, (x, y) -> x = y), v -> v))")
             .cast("long").as("nm"))
-        .groupBy("doc_a", "doc_b")
-        .agg(min(col("ni")).as("ni"), min(col("na")).as("na"),
-          min(col("nb")).as("nb"), min(col("nm")).as("nm"))
         .select(col("doc_a"), col("doc_b"), col("ni"),
           (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
             .as("jaccard"),
