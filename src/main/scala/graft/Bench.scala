@@ -97,13 +97,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, med, _) if med >= 0 => med }.sum
     val totalMin = results.collect { case (_, _, min) if min >= 0 => min }.sum
+    // n_queries vs n_registered makes a partial (SPARK_GRAFT_ONLY) artifact
+    // self-describing, and the sf/subset-suffixed default filename keeps a
+    // subset run or a different-SF run from clobbering the full artifact
+    // (ADVICE r7 #4)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir","n_queries":${selected.length},"n_registered":${SparkEntry.queries.size}}"""
     println(json)
     // Also land the artifact as a FILE: BENCH_r06.json was scraped from a
     // truncated log tail and lost its "total" plus 12 queries ("parsed":
     // null). A file write is atomic-enough and self-contained.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val subsetTag = if (only.isDefined) s"_sub${selected.length}" else ""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined || sfTag != "sf0.1") s"BENCH_LOCAL_$sfTag$subsetTag.json"
+      else "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

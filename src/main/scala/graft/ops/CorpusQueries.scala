@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -376,19 +376,30 @@ object CorpusQueries {
   /** q_pack's pipeline over an arbitrary documents frame (needs doc_id,
     * source, text).
     *
-    * Shard count: `spark.graft.pack.shards` if set (>0); otherwise
-    * auto-derived as greatest(8, ceil(count(docs)/4096)) — computed as a
-    * broadcast one-row aggregate INSIDE the plan (no driver-side count),
-    * which also makes the derivation SQL-expressible for the DuckDB twin.
+    * Shard count: `spark.graft.pack.shards` if set (validated > 0, loud
+    * failure on junk like the lsh salt conf); otherwise auto-derived as
+    * greatest(8, ceil(count(packable docs)/4096)) — a SCALAR SUBQUERY
+    * (`Dataset.scalar()`), so the derivation stays inside the plan with no
+    * driver-side count and, unlike the r7 crossJoin(broadcast(...)) shape,
+    * plans no join node at all (the BNLJ that tripped PlanAuditSpec).
+    * Only `text IS NOT NULL` docs count — the same rows pack() shards —
+    * so docs-per-shard means what it says on a corpus with null texts.
     * Any N is reproducible: shard = md5_low63(doc_id) % N rides into the
     * output, and the per-(source,shard) fill bound is N-independent
     * (PackShardSpec proves it at N=8 and N=64). */
   private[ops] def pack(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val confShards = docs.sparkSession.conf
-      .getOption("spark.graft.pack.shards").map(_.toLong).filter(_ > 0)
-    val ch0 = docs
-      .filter(col("text").isNotNull)
+      .getOption("spark.graft.pack.shards").map { raw =>
+        val n = try raw.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad pack shards conf: $raw")
+        }
+        require(n > 0, s"bad pack shards conf: $raw")
+        n
+      }
+    val packable = docs.filter(col("text").isNotNull)
+    val ch0 = packable
       .select(col("doc_id"), col("source"),
         split(trim(lower(col("text"))), "\\s+").as("w"))
       .select(col("doc_id"), col("source"),
@@ -396,19 +407,16 @@ object CorpusQueries {
           "transform(sequence(1, greatest(size(w) - 10, 1), 40)," +
             " st -> size(slice(w, st, 50)))"))
           .as(Seq("chunk_idx", "n_chunk_tokens")))
-    val ch = confShards match {
-      case Some(n) =>
-        ch0.withColumn("shard",
-          expr(s"md5_low63(CAST(doc_id AS STRING)) % ${n}L"))
+    val shardCount: Column = confShards match {
+      case Some(n) => lit(n)
       case None =>
-        val nsh = docs.groupBy().agg(
+        packable.select(
           greatest(lit(8L),
             ceil(count(lit(1)) / lit(PackDocsPerShard)).cast("long")).as("nsh"))
-        ch0.crossJoin(broadcast(nsh))
-          .withColumn("shard",
-            expr("md5_low63(CAST(doc_id AS STRING)) % nsh"))
-          .drop("nsh")
+          .scalar()
     }
+    val ch = ch0.withColumn("shard",
+      expr("md5_low63(CAST(doc_id AS STRING))") % shardCount)
     val w = Window.partitionBy("source", "shard")
       .orderBy("doc_id", "chunk_idx")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -548,7 +556,7 @@ object CorpusQueries {
           WHERE doc_id = keeper""",
     "q_pack" ->
       """WITH nshard AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT)) AS nsh
-                         FROM documents),
+                         FROM documents WHERE text IS NOT NULL),
           ws AS (SELECT doc_id, source,
                             string_split_regex(trim(lower(text)), '\s+') AS w
                      FROM documents WHERE text IS NOT NULL),

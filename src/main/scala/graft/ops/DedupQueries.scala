@@ -292,10 +292,17 @@ object DedupQueries {
     * (set intersection, lane matches) once instead of once per shared
     * band. Price: the four band hashes ride the bucket payload (32
     * bytes/doc) so the predicate can look sideways; on the set-carrying
-    * queries that is noise against the shingle sets already aboard. */
+    * queries that is noise against the shingle sets already aboard.
+    *
+    * Null-SAFE inequality (`NOT (a <=> b)`) on purpose: every current
+    * caller filters hasShingles so mh0..mh3 are non-null, but
+    * lshPairsFromSig is a private[ops] API over arbitrary sig frames, and
+    * a plain `<>` on a NULL band hash would go NULL and silently drop the
+    * pair from bands 1-3 — the exact class of bug the old groupBy-dedup
+    * path (NULL-equal grouping) could not have. */
   private val firstAgreeingBand: String =
-    "(band = 0 OR (a.mh0 <> b.mh0 AND (band = 1 OR (a.mh1 <> b.mh1" +
-      " AND (band = 2 OR a.mh2 <> b.mh2)))))"
+    "(band = 0 OR (NOT (a.mh0 <=> b.mh0) AND (band = 1 OR (NOT (a.mh1 <=> b.mh1)" +
+      " AND (band = 2 OR NOT (a.mh2 <=> b.mh2))))))"
 
   /** Pair generation from an existing signature relation — split out so
     * q_jaccard_pairs can feed the shared sig+set aggregate through it.
@@ -342,9 +349,11 @@ object DedupQueries {
       .agg(sort_array(collect_list(struct(
         col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("ms"))
       .filter(size(col("ms")) > 1)
+    // <=> (not =) so a NULL lane counts as agreeing iff BOTH sides are
+    // NULL — exactly how the old per-band groupBy bucketed NULL keys
     val sharedBands =
-      "CAST(a.mh0 = b.mh0 AS INT) + CAST(a.mh1 = b.mh1 AS INT) + " +
-        "CAST(a.mh2 = b.mh2 AS INT) + CAST(a.mh3 = b.mh3 AS INT)"
+      "CAST(a.mh0 <=> b.mh0 AS INT) + CAST(a.mh1 <=> b.mh1 AS INT) + " +
+        "CAST(a.mh2 <=> b.mh2 AS INT) + CAST(a.mh3 <=> b.mh3 AS INT)"
     def expand(buckets: DataFrame): DataFrame = buckets
       .select(explode(expr(pairExpansionSql("ms",
         s"struct(a.doc_id AS doc_a, b.doc_id AS doc_b, $sharedBands AS sb)",

