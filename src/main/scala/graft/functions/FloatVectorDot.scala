@@ -192,6 +192,12 @@ object GraftFunctions {
           Cast(args(1), org.apache.spark.sql.types.LongType), k)
           .toAggregateExpression()
       }),
+    (new FunctionIdentifier("term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "term_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "term_counts expects 1 argument")
+        TermCounts(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }),
     (new FunctionIdentifier("hplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hplane_sig"),
       (args: Seq[Expression]) => {

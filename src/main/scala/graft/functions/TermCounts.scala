@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `term_counts(text)` — the per-document term-frequency table
+  * `ARRAY<STRUCT<term: STRING, tf: BIGINT>>` (terms sorted ascending), as
+  * one native per-row expression.
+  *
+  * Tokenization contract, shared verbatim with the q_doc_tfidf DuckDB twin
+  * and the composable Spark form it replaces:
+  * `split(trim(lower(text)), '\\s+')` — lower-case first, strip leading and
+  * trailing SPACE (0x20) characters only (SQL `trim` semantics — interior
+  * tabs/newlines separate tokens but a leading tab yields a leading empty
+  * token, exactly as the split form did), then Java-regex `\s+` splitting
+  * with trailing empties kept (Spark's `split` limit = -1).
+  *
+  * Why an expression: a document's tokens are already co-located in its
+  * row, so `groupBy(doc_id, term)` — the composable tf — re-shuffles data
+  * that never needed to move. This computes tf INSIDE the scan: the
+  * vocabulary aggregate downstream consumes (term) pairs straight off the
+  * exploded array, and the per-(doc, term) exchange disappears from the
+  * plan (q_doc_tfidf's scaladoc carries the full stage accounting).
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+  // input typing enforced by the registry builder (Cast to STRING) —
+  // ExpectsInputTypes/AbstractDataType are sql-private in Spark 4
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(t: Any): Any =
+    TermCountsImpl.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TermCountsImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "term_counts"
+}
+
+/** Static helper (separate object so generated Java calls a plain static
+  * method — no companion-forwarder subtleties). */
+object TermCountsImpl {
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** (term, tf) rows for `t`, terms sorted ascending (deterministic output
+    * independent of hash-map iteration order). */
+  def compute(t: UTF8String): ArrayData = {
+    // UTF8String.toLowerCase / trim are the exact kernels Spark's lower()
+    // and trim() evaluate, so tokenization is bit-identical to the
+    // composable form on any input
+    val s = t.toLowerCase.trim.toString
+    val toks = WS.split(s, -1)
+    val counts = new java.util.HashMap[String, Array[Long]](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.get(toks(i))
+      if (c == null) counts.put(toks(i), Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val terms = counts.keySet.toArray(new Array[String](counts.size))
+    java.util.Arrays.sort(terms, java.util.Comparator.naturalOrder[String]())
+    val out = new Array[Any](terms.length)
+    i = 0
+    while (i < terms.length) {
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(terms(i)), counts.get(terms(i))(0))): InternalRow
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

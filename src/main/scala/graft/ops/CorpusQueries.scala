@@ -257,20 +257,17 @@ object CorpusQueries {
     // source and an eval source is contamination). The diagonal (src_a =
     // src_b) is within-dump template duplication; off-diagonal is the leak.
     // Scale shape: pair generation is the verified LSH pipeline; attaching
-    // sources is two equi-joins where the corpus side is pruned to the thin
-    // (doc_id, source) projection — AQE broadcasts the smaller side — and
-    // the final agg collapses to at most |sources|² rows.
-    "q_source_overlap" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val src = docs.select(col("doc_id"), col("source"))
-      DedupQueries.lshPairsOf(docs).select("doc_a", "doc_b")
-        .join(src.toDF("doc_a", "source_a"), "doc_a")
-        .join(src.toDF("doc_b", "source_b"), "doc_b")
+    // sources ride the band stream as a pair payload (r8 — VERDICT r7 #5):
+    // `source` travels in each bucket member struct and surfaces as
+    // source_a/source_b on every emitted pair, so the two corpus re-joins
+    // on doc_id (and their broadcast stages) are gone — the whole query is
+    // the shared candidate pipeline + one ≤|sources|²-row aggregate.
+    "q_source_overlap" -> ((s, d) =>
+      DedupQueries.lshSourcePairs(Tables.documents(s, d))
         .groupBy(
           least(col("source_a"), col("source_b")).as("src_a"),
           greatest(col("source_a"), col("source_b")).as("src_b"))
-        .agg(count(lit(1)).as("n_pairs"))
-    }),
+        .agg(count(lit(1)).as("n_pairs"))),
 
     // DSIR-style importance weighting (Xie et al. 2023, public preprint —
     // "Data Selection for Language Models via Importance Resampling"):
@@ -307,15 +304,21 @@ object CorpusQueries {
       docs: DataFrame, isTarget: org.apache.spark.sql.Column): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val B = 1024
+    // token stream factored through the per-row term_counts table (r8):
+    // md5 hashes each DISTINCT term of a doc once (not every occurrence),
+    // and the exploded stream carries one row per (doc, term) with its
+    // multiplicity instead of one row per token — the bucket totals
+    // (Σ tf) and per-doc scores (Σ tf·wr) are the identical integers, so
+    // the twin and the streaming score path are untouched
     val toks = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), isTarget.as("is_t"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        explode(expr("term_counts(text)")).as("tc"))
       .select(col("doc_id"), col("is_t"),
-        expr(s"md5_low63(tok) % $B").as("bucket"))
+        expr(s"md5_low63(tc.term) % $B").as("bucket"), col("tc.tf").as("cnt"))
     val counts = toks.groupBy("bucket")
-      .agg(count(lit(1)).as("r"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("t"))
+      .agg(sum(col("cnt")).as("r"),
+        sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("t"))
     // grand totals as a whole-frame window over the ≤B count rows — same
     // plan stage as the counts, no extra totals job/cross-join (the
     // window moves B bounded rows to one task, not a data-scaled stream)
@@ -330,7 +333,8 @@ object CorpusQueries {
           .cast("long").as("wr"))
     toks.join(broadcast(wr), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("wr")).as("score"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("wr")).as("score"))
       .select(col("doc_id"), col("n_tokens"), col("score"),
         (col("score") >= col("n_tokens") * 65536L).as("keep"))
   }

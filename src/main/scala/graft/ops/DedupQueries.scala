@@ -86,12 +86,15 @@ object DedupQueries {
   private def hasShingles =
     col("text").isNotNull && size(split(trim(col("text")), "\\s+")) >= 3
 
-  private[ops] def minhashSigOf(docs: DataFrame): DataFrame = {
+  private[ops] def minhashSigOf(docs: DataFrame,
+                                extra: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .filter(hasShingles)
-      .select(col("doc_id"), expr("shingle_sig(text)").as("g"))
-      .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"), col("g.mh3"))
+      .select(Seq(col("doc_id"), expr("shingle_sig(text)").as("g")) ++
+        extra.map(col): _*)
+      .select(Seq(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
+        col("g.mh3")) ++ extra.map(col): _*)
   }
 
   private def minhashSig(s: SparkSession, d: String): DataFrame =
@@ -108,6 +111,13 @@ object DedupQueries {
     * see [[lshPairsFromSig]]'s size-triggered split. */
   private[ops] def lshPairsOf(docs: DataFrame): DataFrame =
     lshPairsFromSig(minhashSigOf(docs))
+
+  /** Candidate pairs with each endpoint's `source` riding the band stream
+    * (q_source_overlap's feed) — same pipeline, pair payload instead of
+    * two corpus re-joins on doc_id. */
+  private[ops] def lshSourcePairs(docs: DataFrame): DataFrame =
+    lshPairsFromSig(minhashSigOf(docs, extra = Seq("source")),
+      extra = Seq("source"))
 
   /** Connected-component labels over `(doc_a, doc_b)` edges: every id in
     * `universe` gets its component's minimum id.
@@ -327,7 +337,13 @@ object DedupQueries {
     * collect_list still lands in one reducer (bytes LINEAR in bucket size,
     * spillable via the object-agg fallback) — the quadratic expansion is
     * what this removes. */
-  private[ops] def lshPairsFromSig(sig: DataFrame): DataFrame = {
+  /** `extra` columns of the sig frame ride each bucket member and come
+    * back as `<c>_a`/`<c>_b` on every emitted pair — so a consumer that
+    * only needs a small per-doc attribute of each pair endpoint (e.g.
+    * q_source_overlap's `source`) gets it straight off the band stream
+    * instead of re-joining the corpus twice on doc_id. */
+  private[ops] def lshPairsFromSig(sig: DataFrame,
+                                   extra: Seq[String] = Nil): DataFrame = {
     val conf = sig.sparkSession.conf
     val threshold =
       conf.getOption("spark.graft.lsh.salt.threshold").map(_.toInt).getOrElse(1 << 16)
@@ -342,28 +358,41 @@ object DedupQueries {
     // rows) because a doc holds exactly one hash per band. Payload grows
     // ~2.3× on the bucket shuffle; the dedup exchange, its stage barrier,
     // and the up-to-4× duplicate pair emission are gone (VERDICT r6 #4).
+    val memberCols =
+      Seq(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3")) ++
+        extra.map(col)
+    val buildExtra =
+      extra.map(c => s", a.$c AS ${c}_a, b.$c AS ${c}_b").mkString
+    val outCols =
+      Seq(col("p.doc_a"), col("p.doc_b"),
+        col("p.sb").cast("long").as("shared_bands")) ++
+        extra.flatMap(c => Seq(col(s"p.${c}_a"), col(s"p.${c}_b")))
     val grouped = sig
-      .selectExpr("doc_id", "mh0", "mh1", "mh2", "mh3",
-        "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
+      .selectExpr(Seq("doc_id", "mh0", "mh1", "mh2", "mh3") ++ extra ++
+        Seq("stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)"): _*)
       .groupBy("band", "h")
-      .agg(sort_array(collect_list(struct(
-        col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("ms"))
+      .agg(sort_array(collect_list(struct(memberCols: _*))).as("ms"))
       .filter(size(col("ms")) > 1)
     // <=> (not =) so a NULL lane counts as agreeing iff BOTH sides are
     // NULL — exactly how the old per-band groupBy bucketed NULL keys
     val sharedBands =
       "CAST(a.mh0 <=> b.mh0 AS INT) + CAST(a.mh1 <=> b.mh1 AS INT) + " +
         "CAST(a.mh2 <=> b.mh2 AS INT) + CAST(a.mh3 <=> b.mh3 AS INT)"
+    val build =
+      s"struct(a.doc_id AS doc_a, b.doc_id AS doc_b, $sharedBands AS sb$buildExtra)"
     def expand(buckets: DataFrame): DataFrame = buckets
-      .select(explode(expr(pairExpansionSql("ms",
-        s"struct(a.doc_id AS doc_a, b.doc_id AS doc_b, $sharedBands AS sb)",
+      .select(explode(expr(pairExpansionSql("ms", build,
         keepAb = Some(firstAgreeingBand)))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"),
-        col("p.sb").cast("long").as("shared_bands"))
+      .select(outCols: _*)
     // threshold <= 0 = salting OFF: the single-branch plan
     if (threshold <= 0) expand(grouped)
     else {
       val cold = expand(grouped.filter(size(col("ms")) <= threshold))
+      val saltedMemberCols =
+        Seq(col("m.doc_id").as("doc_id"), col("s"),
+          col("m.mh0").as("mh0"), col("m.mh1").as("mh1"),
+          col("m.mh2").as("mh2"), col("m.mh3").as("mh3")) ++
+          extra.map(c => col(s"m.$c").as(c))
       val hot = grouped.filter(size(col("ms")) > threshold)
         .select(col("band"), col("h"), explode(col("ms")).as("m"))
         .withColumn("s", pmod(hash(col("m.doc_id")), lit(salts)))
@@ -372,16 +401,11 @@ object DedupQueries {
         .select(col("band"), col("h"), col("m"), col("s"),
           least(col("s"), col("t")).as("i"), greatest(col("s"), col("t")).as("j"))
         .groupBy("band", "h", "i", "j")
-        .agg(sort_array(collect_list(struct(
-          col("m.doc_id").as("doc_id"), col("s"),
-          col("m.mh0").as("mh0"), col("m.mh1").as("mh1"),
-          col("m.mh2").as("mh2"), col("m.mh3").as("mh3")))).as("ms"))
+        .agg(sort_array(collect_list(struct(saltedMemberCols: _*))).as("ms"))
         // ms sorted by doc_id (first struct field) ⇒ doc_a < doc_b, as cold
-        .select(explode(expr(pairExpansionSql("ms",
-          s"struct(a.doc_id AS doc_a, b.doc_id AS doc_b, $sharedBands AS sb)",
+        .select(explode(expr(pairExpansionSql("ms", build,
           keepAb = Some(s"(i = j OR a.s <> b.s) AND $firstAgreeingBand")))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"),
-          col("p.sb").cast("long").as("shared_bands"))
+        .select(outCols: _*)
       cold.union(hot)
     }
   }

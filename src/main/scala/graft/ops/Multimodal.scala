@@ -187,6 +187,85 @@ object Multimodal {
     }
   }
 
+  /** Real video-CONTAINER binding with zero external deps (VERDICT r7
+    * stretch): walks the ISO base-media-file-format box tree (MP4/MOV —
+    * the `[u32 size][4cc type]` layout of ISO/IEC 14496-12, public spec)
+    * and emits `[duration_ms, n_tracks, movie_timescale, n_top_boxes,
+    * ...]`. Duration/timescale come from `moov/mvhd` (both version 0 and
+    * 1 layouts), track count from the `moov/trak` children. This is
+    * container METADATA, not frame decoding — no JRE codec exists for
+    * H.264 et al., so pixel work stays behind [[sampleFrames]]'s
+    * chunk-shaped stand-in — but the parse is real: a non-BMFF payload
+    * (wrong magic, truncated box, no moov) degrades per-ROW to
+    * [[StubDecoder]], the same contract as the image/audio bindings. */
+  object Mp4Decoder extends Decoder {
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Top-level (or child) boxes of `b[from, to)`: (type, payloadStart,
+      * payloadEnd). Returns null on any structural violation — a size that
+      * overruns, a box smaller than its header — so callers can degrade. */
+    private def boxes(b: Array[Byte], from: Int, to: Int): List[(String, Int, Int)] = {
+      var out = List.empty[(String, Int, Int)]
+      var o = from
+      while (o < to) {
+        if (o + 8 > to) return null
+        var size = u32(b, o)
+        var hdr = 8
+        if (size == 1) { // 64-bit largesize follows the type
+          if (o + 16 > to) return null
+          size = u64(b, o + 8); hdr = 16
+        } else if (size == 0) size = (to - o).toLong // box runs to EOF
+        if (size < hdr || o + size > to) return null
+        out = (fourcc(b, o + 4), o + hdr, o + size.toInt) :: out
+        o += size.toInt
+      }
+      out.reverse
+    }
+
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (payload == null || payload.isEmpty || dim == 0) return out
+      val top = boxes(payload, 0, payload.length)
+      // BMFF sanity: parseable box walk whose first box is one of the
+      // legal file-level openers (every real MP4 starts with ftyp/styp;
+      // moov-first covers fragmented-capture edge files)
+      val openers = Set("ftyp", "styp", "moov", "free", "skip", "wide", "pdin")
+      if (top == null || top.isEmpty || !openers.contains(top.head._1))
+        return StubDecoder.decode(payload, dim)
+      top.find(_._1 == "moov") match {
+        case None => StubDecoder.decode(payload, dim)
+        case Some((_, ms, me)) =>
+          val kids = boxes(payload, ms, me)
+          if (kids == null) return StubDecoder.decode(payload, dim)
+          val mvhd = kids.find(_._1 == "mvhd")
+          val (timescale, duration) = mvhd match {
+            case Some((_, s, e)) if e - s >= 4 =>
+              val version = payload(s) & 0xff
+              // v0: creation(4) modification(4) timescale(4) duration(4)
+              // v1: creation(8) modification(8) timescale(4) duration(8)
+              if (version == 0 && e - s >= 16)
+                (u32(payload, s + 12), u32(payload, s + 16))
+              else if (version == 1 && e - s >= 28)
+                (u32(payload, s + 20), u64(payload, s + 24))
+              else (0L, 0L)
+            case _ => (0L, 0L)
+          }
+          if (timescale <= 0) return StubDecoder.decode(payload, dim)
+          if (dim >= 1) out(0) = (duration.toDouble / timescale * 1000.0).toFloat
+          if (dim >= 2) out(1) = kids.count(_._1 == "trak").toFloat
+          if (dim >= 3) out(2) = timescale.toFloat
+          if (dim >= 4) out(3) = top.length.toFloat
+          out
+      }
+    }
+  }
+
   /** Feature extraction over payload batches: one `mapPartitions` pass,
     * decoder initialized once per partition (the expensive-library-init
     * pattern), rows processed in a tight loop. */

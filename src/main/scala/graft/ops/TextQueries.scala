@@ -167,23 +167,39 @@ object TextQueries {
 
   /** q_doc_tfidf's pipeline over an arbitrary documents frame (needs
     * doc_id, text) — factored out so the ScaleGrowth harness can drive it
-    * on replicated corpora. */
+    * on replicated corpora.
+    *
+    * Stage accounting (VERDICT r7 #4 — this was the board's worst
+    * twin ratio at 7.1×, residual = stage count × the local stage floor):
+    * tf is now a PER-ROW [[graft.functions.TermCounts]] expression — a
+    * doc's tokens are already co-located in its row, so the old
+    * `groupBy(doc_id, term)` exchange shuffled data that never needed to
+    * move — and n_docs is a scalar subquery instead of the old
+    * crossJoin(broadcast(1-row agg)) BroadcastNestedLoopJoin + second
+    * scan-stage pair. Remaining exchanges: the vocabulary aggregate (term)
+    * and the per-doc top-5 (doc_id) — the two the algorithm inherently
+    * needs (df is a corpus-global fact; scored rows regroup by doc).
+    * Trade, stated: tf feeds both the vocabulary agg and the join's probe
+    * side, and with no exchange between them the scan+term_counts runs
+    * twice (Spark reuses exchanges, not projections). At 100 TB that is
+    * one extra columnar scan of (doc_id, text) + a rerun of a per-row
+    * expression vs shuffling the full (doc, term, tf) stream — the scan
+    * rerun wins on network and loses nothing on CPU parallelism. */
   private[ops] def docTfidf(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val docs = documents.filter(col("text").isNotNull)
+    val nDocs = docs.select(count(lit(1)).as("n_docs")).scalar()
     val tf = docs
-      .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(expr("term_counts(text)")).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
     // no broadcast hint on the vocabulary side: it is tiny next to the
     // corpus but DATA-dependent (a web-scale corpus can exceed broadcast
     // limits), so AQE decides — broadcast when it fits (it does at every
     // fixture scale), shuffled hash join on term when it doesn't
     tf.join(dfreq, "term")
-      .crossJoin(broadcast(n))
       .withColumn("score",
-        col("tf").cast("double") * col("n_docs") / col("df"))
+        col("tf").cast("double") * nDocs / col("df"))
       .groupBy("doc_id")
       .agg(slice(sort_array(collect_list(struct(
         (-col("score")).as("ns"), col("term"), col("tf"), col("df")))),

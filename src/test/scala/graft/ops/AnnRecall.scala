@@ -68,9 +68,13 @@ object AnnRecall {
 
     println(f"${"vecs"}%8s ${"planes"}%6s ${"bandcfg"}%8s ${"cells"}%6s " +
       f"${"nprobe"}%6s ${"lsh1_r@10"}%9s ${"lshb_r@10"}%9s ${"ivf_r@10"}%9s")
-    for ((n, planes, perBand, bands, cells, nprobe) <-
-           Seq((25000L, 10, 6, 4, 16, 2), (100000L, 12, 6, 4, 32, 2),
-               (400000L, 14, 6, 4, 64, 2))) {
+    for ((n, planes, perBand, bands, cells) <-
+           Seq((25000L, 10, 6, 4, 16), (100000L, 12, 6, 4, 32),
+               (400000L, 14, 6, 4, 64))) {
+      // the production default policy (constant probed fraction), not a
+      // hardcoded count — this harness is what proves the policy holds
+      // recall flat (VERDICT r7 #3)
+      val nprobe = SimilarityQueries.ivfNprobe(spark, cells)
       val e = SimCorpus.emb(spark, n).select(col("vec_id"), col("embedding"),
         sqrt(expr("vector_dot(embedding, embedding)")).as("nrm"))
       val q = broadcast(e.filter(isQuery(col("vec_id")))

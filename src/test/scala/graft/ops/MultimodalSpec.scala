@@ -173,6 +173,61 @@ class MultimodalSpec extends SparkTestBase {
       s"float PCM must take the stub path, got ${f3.mkString(",")}")
   }
 
+  test("Mp4Decoder walks a generated BMFF box tree through the batch path") {
+    import spark.implicits._
+    // a minimal-but-real MP4: ftyp + moov(mvhd v0 + 2 empty trak) + mdat,
+    // built box-by-box per ISO/IEC 14496-12 ([u32 size][4cc] headers)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val mvhd = { // version 0: creation, modification, timescale, duration
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0)            // version+flags
+      b.putInt(0).putInt(0)  // creation, modification
+      b.putInt(1000)         // timescale: 1000 units/sec
+      b.putInt(7500)         // duration: 7.5 s
+      box("mvhd", b.array())
+    }
+    val moov = box("moov",
+      mvhd ++ box("trak", Array.emptyByteArray) ++ box("trak", Array.emptyByteArray))
+    val mp4 = box("ftyp", "isom   isomiso2".getBytes("US-ASCII")) ++
+      moov ++ box("mdat", Array.fill[Byte](32)(7))
+
+    // v1 variant (64-bit creation/modification/duration) in a moov-first
+    // file with no ftyp — the fragmented-capture opener case
+    val mvhd1 = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+      b.putLong(0L).putLong(0L)                 // creation, modification
+      b.putInt(600)                             // timescale
+      b.putLong(1200L)                          // duration: 2 s
+      box("mvhd", b.array())
+    }
+    val mp4v1 = box("moov", mvhd1 ++ box("trak", Array.emptyByteArray))
+
+    val truncated = mp4.take(20) // box size overruns the payload
+    val out = Multimodal
+      .extractFeatures(
+        Seq((1L, mp4), (2L, mp4v1), (3L, truncated),
+          (4L, "not a video".getBytes("UTF-8"))).toDF("media_id", "payload"),
+        dim = 4, decoder = Multimodal.Mp4Decoder)
+      .orderBy("media_id").collect()
+    val f1 = out(0).getSeq[Float](3)
+    assert(f1(0) === 7500.0f) // duration ms
+    assert(f1(1) === 2.0f)    // tracks
+    assert(f1(2) === 1000.0f) // timescale
+    assert(f1(3) === 3.0f)    // top-level boxes: ftyp moov mdat
+    val f2 = out(1).getSeq[Float](3)
+    assert(f2(0) === 2000.0f && f2(1) === 1.0f && f2(2) === 600.0f)
+    // structural violations degrade per ROW to the stub, no job failure
+    val f3 = out(2).getSeq[Float](3)
+    assert(f3.length == 4 && f3.forall(v => !v.isNaN))
+    val f4 = out(3).getSeq[Float](3)
+    assert(math.abs(f4(0) - 'n'.toInt / 255.0f) < 1e-7)
+  }
+
   test("fromDocuments builds the binary+metadata schema from testdata") {
     val df = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     assert(df.schema("payload").dataType.typeName === "binary")

@@ -17,10 +17,12 @@ class PlanAuditSpec extends SparkTestBase {
   /** Queries whose BroadcastNestedLoopJoins are intentional and linear:
     * a tiny broadcast side (5 query vectors / 16 centroids / a 1-row
     * grand-total) streamed against the corpus or a #sources-row
-    * aggregate — the correct brute-force/assignment/normalization shape. */
+    * aggregate — the correct brute-force/assignment/normalization shape.
+    * (q_doc_tfidf and q_pack left this set in r8: their 1-row grand
+    * totals became scalar subqueries, so no join node remains.) */
   private val allowedBnlj =
     Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans", "q_mix_weights",
-      "q_doc_tfidf", "q_knn_classify")
+      "q_knn_classify")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
