@@ -389,17 +389,30 @@ object SimilarityQueries {
       val assigned = ivfAssigned(s, d)
         .select(col("vec_id").as("neighbor_id"), col("emb"),
           col("nv").as("nn"), col("cell"))
-      // search only the probed cells; exact top-3 per query
-      val wTop = Window.partitionBy("q_id")
-        .orderBy(col("score").desc, col("neighbor_id").asc)
+      // search only the probed cells; exact top-3 per query. The top-k is
+      // the bounded topk_by heap (map-side partials, k rows per group per
+      // partition over the shuffle) — the r8 replacement for the last
+      // WindowExec in the similarity family, which sorted every scored
+      // candidate into one reducer per query (at a probed fraction of a
+      // 100 TB corpus, that sort IS the job). The candidate's cell rides
+      // the heap packed into the id lane (id·16 + cell — cells < 16 by
+      // construction, so the packing is lossless and order-preserving:
+      // equal-score ties still break by neighbor_id because cell is a
+      // function of the neighbor), the q_knn_classify label trick.
       assigned
         .join(broadcast(probes), Seq("cell"))
         .filter(col("neighbor_id") =!= col("q_id"))
-        .select(col("q_id"), col("neighbor_id"), col("cell"),
-          (expr("vector_dot(emb, qe)") / (col("nn") * col("nq"))).as("score"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 3)
-        .select("q_id", "neighbor_id", "cell", "rnk", "score")
+        .select(col("q_id"),
+          (expr("vector_dot(emb, qe)") / (col("nn") * col("nq"))).as("score"),
+          (col("neighbor_id") * 16L + col("cell")).as("packed"))
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, packed, 3)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"),
+          expr("t.id div 16").as("neighbor_id"),
+          pmod(col("t.id"), lit(16L)).as("cell"),
+          (col("pos") + 1).as("rnk"),
+          col("t.score").as("score"))
     }),
 
     // Symmetric int8 quantization of the embedding column — the storage

@@ -84,16 +84,19 @@ class PlanAuditSpec extends SparkTestBase {
       "corpus side must not sort-merge on the gram key")
   }
 
-  test("q_cosine_topk plans no window over the unbounded scored stream") {
-    // VERDICT r5 #2: the full-stream Window.partitionBy(q_id) top-k became
+  test("the similarity family plans no window over any scored stream") {
+    // VERDICT r5 #2 (q_cosine_topk) and r8 (q_ann_ivf — the family's last
+    // WindowExec, cell now packed into the heap's id lane): every top-k is
     // the bounded topk_by aggregate — partial per-partition heaps, k rows
     // per (group, partition) across the shuffle, no sort of the stream.
-    val plan = physical("q_cosine_topk")
-    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
-      "q_cosine_topk regressed to a full-stream window top-k")
-    assert(plan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
-      "expected the topk_by ObjectHashAggregate")
+    for (name <- Seq("q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_knn_classify")) {
+      val plan = physical(name)
+      assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$name regressed to a full-stream window top-k")
+      assert(plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+        s"$name: expected the topk_by ObjectHashAggregate")
+    }
   }
 
   test("filtered parquet scans push their predicates down") {
