@@ -121,6 +121,39 @@ object BeaconStreaming {
       typedLit(benchGrams)))
   }
 
+  /** Streaming corpus curation (r8): the batch q_corpus_curate chain in
+    * streaming form, composed from the pieces above — per-row quality +
+    * repetition gates (stateless, evaluated inside the scan with the batch
+    * pipeline's exact thresholds), benchmark decontamination
+    * ([[decontaminateStream]] — static side frozen to a broadcast
+    * literal), then the signature-keyed near-dup dedup as the stateful
+    * tail. Every stage before the dedup adds NO state and NO shuffle, so
+    * the stream's only state is [[nearDupDedup]]'s 32-byte signature per
+    * surviving doc within the watermark — and the gates run FIRST, so
+    * state is only ever spent on documents worth keeping (the same
+    * cut-before-anything-moves economics as the batch chain). Dedup
+    * semantics are nearDupDedup's, gap statement included: exact and
+    * normalization-equivalent dups drop; 1-of-4-band LSH near-dups pass
+    * (run the nightly batch pass for recall). */
+  def curateStream(stream: DataFrame, benchmark: DataFrame, tsCol: String,
+                   textCol: String = "text",
+                   watermark: String = "2 hours"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val gated = stream
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= 20 &&
+        (length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
+          length(col(textCol))) >= 0.8 &&
+        col("lang").isin("en", "de", "fr"))
+      .withColumn("__r", expr(s"repetition_stats(lower($textCol))"))
+      .filter(
+        (lit(1.0) - col("__r.n_distinct").cast("double") /
+          col("__r.n_tokens")) <= 0.6 &&
+        (col("__r.top_count").cast("double") / col("__r.n_tokens")) <= 0.15)
+      .drop("__r")
+    nearDupDedup(decontaminateStream(gated, benchmark, textCol),
+      tsCol, textCol, watermark)
+  }
+
   /** Streaming DSIR scoring: FIT the hashed-unigram importance model once
     * on a STATIC corpus (the batch pipeline's exact fixed-point arithmetic
     * — see [[graft.ops.CorpusQueries.importanceWeights]]), then score every

@@ -202,6 +202,50 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(kept === Seq(1L, 2L))
   }
 
+  test("curateStream composes gates, decontamination and dedup over micro-batches") {
+    import spark.implicits._
+    val dir = tmpDir("stream-curate")
+    // 25 distinct words → passes the ≥20-token and repetition gates
+    val good = (1 to 25).map(i => s"word$i").mkString(" ")
+    val good2 = (1 to 25).map(i => s"other$i").mkString(" ")
+    val repetitive = Seq.fill(25)("spam").mkString(" ") // top_count/n = 1 > 0.15
+    val short = "too short"
+    val benchText = (1 to 25).map(i => s"bench$i").mkString(" ")
+    def doc(id: Long, text: String, lang: String = "en") =
+      s"""{"doc_id": $id, "ts": "2024-01-01T00:0$id:00.000Z", "lang": "$lang", "text": "$text"}"""
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      doc(1, good),
+      doc(2, short),            // quality gate
+      doc(3, repetitive),       // repetition gate
+      doc(4, benchText),        // contaminated (shares 13-grams with benchmark)
+      doc(5, good2, lang = "zz") // language gate
+    ))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(
+      doc(6, s"  $good"),       // near-dup of doc 1 (whitespace-normalized)
+      doc(7, good2)             // genuinely new survivor
+    ))
+    val benchmark = Seq(benchText).toDF("text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = BeaconStreaming.curateStream(src, benchmark, "ts").writeStream
+      .format("memory").queryName("curate_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.table("curate_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(1L, 7L))
+  }
+
   test("streaming decontamination drops 13-gram overlap with the static benchmark") {
     import spark.implicits._
     val dir = tmpDir("stream-decon")
