@@ -122,8 +122,8 @@ object DedupQueries {
   /** Connected-component labels over `(doc_a, doc_b)` edges: every id in
     * `universe` gets its component's minimum id.
     *
-    * Two strategies, selected by the session conf
-    * `spark.graft.cc.strategy` (default `propagate`):
+    * Three strategies, selected by the session conf
+    * `spark.graft.cc.strategy` (default `auto`):
     * - `propagate` — min-label propagation with path halving
     *   ([[clusterLabelsPropagate]]): best for the clique-like components
     *   near-dup dedup actually produces (1–3 rounds);
@@ -133,13 +133,59 @@ object DedupQueries {
     *   round; star contraction rewrites the EDGE LIST itself, keeping every
     *   round's shuffle proportional to the (shrinking) edge count and
     *   converging in O(log² n) rounds even on a path graph — the shape that
-    *   survives a pathological chain at 100 TB. */
+    *   survives a pathological chain at 100 TB;
+    * - `auto` (r8, default) — [[clusterLabelsAuto]]: propagate up to
+    *   `spark.graft.cc.handoff` rounds (default 8), and if unconverged,
+    *   CONTRACT the edge list by the partial labels and finish the (much
+    *   smaller) contracted graph with star. On every graph the dedup
+    *   pipeline actually produces, propagation converges inside the cap
+    *   and auto executes the exact propagate plans; a pathological
+    *   high-diameter graph no longer needs an operator to have set the
+    *   conf — the escalation is the default. */
   private[ops] def clusterLabels(universe: DataFrame, edges: DataFrame): DataFrame =
     universe.sparkSession.conf.getOption("spark.graft.cc.strategy")
-      .getOrElse("propagate") match {
-      case "star" => clusterLabelsStar(universe, edges)._1
-      case _      => clusterLabelsPropagate(universe, edges)
+      .getOrElse("auto") match {
+      case "star"      => clusterLabelsStar(universe, edges)._1
+      case "propagate" => clusterLabelsPropagate(universe, edges)._1
+      case "auto"      => clusterLabelsAuto(universe, edges)
+      case other =>
+        throw new IllegalArgumentException(s"bad cc strategy conf: $other")
     }
+
+  /** Propagate-then-contract-then-star (the `auto` strategy): run
+    * propagation at most `handoffRounds` rounds; if the fixed point was
+    * not reached, rewrite every edge through the partial labels
+    * ((a, b) → (label(a), label(b)), self-loops dropped, deduped — after
+    * k rounds of halving this graph has one node per surviving partial
+    * label, typically orders of magnitude smaller than the input), finish
+    * it with star contraction, and compose the two label maps. Labels
+    * only ever decrease toward the component minimum in both phases, and
+    * contraction preserves connectivity, so the composition is the same
+    * fixed point either pure strategy reaches (StarCcOracleSpec proves
+    * label-identity on chains, cliques and mixed graphs). */
+  private[ops] def clusterLabelsAuto(universe: DataFrame,
+                                     edges: DataFrame): DataFrame = {
+    val handoff = universe.sparkSession.conf
+      .getOption("spark.graft.cc.handoff").map(_.toInt).getOrElse(8)
+    require(handoff >= 1, s"bad cc handoff conf: $handoff")
+    val (partial, converged) =
+      clusterLabelsPropagate(universe, edges, maxRounds = handoff)
+    if (converged) partial
+    else {
+      val la = partial.select(col("doc_id").as("doc_a"), col("cluster").as("ca"))
+      val lb = partial.select(col("doc_id").as("doc_b"), col("cluster").as("cb"))
+      val contracted = edges
+        .join(la, "doc_a").join(lb, "doc_b")
+        .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .distinct()
+      val reps = partial.select(col("cluster").as("doc_id")).distinct()
+      val fin = clusterLabelsStar(reps, contracted)._1
+        .select(col("doc_id").as("cluster"), col("cluster").as("final"))
+      partial.join(fin, "cluster")
+        .select(col("doc_id"), col("final").as("cluster"))
+    }
+  }
 
   /** Alternating large-star/small-star connected components (the classic
     * MapReduce formulation: Kiveris et al., "Connected Components in
@@ -216,8 +262,15 @@ object DedupQueries {
     * (diameter-many narrow shuffles; near-dup components are clique-like so
     * a handful of rounds converge even at 100 TB). `localCheckpoint`
     * truncates the growing lineage each round — without it the plan doubles
-    * per iteration and re-executes the whole history. */
-  private[ops] def clusterLabelsPropagate(universe: DataFrame, edges: DataFrame): DataFrame = {
+    * per iteration and re-executes the whole history.
+    *
+    * Returns (labels, converged): with the default unbounded `maxRounds`
+    * the flag is always true; the `auto` strategy caps the rounds and
+    * reads the flag to decide whether to escalate. A capped, unconverged
+    * return still holds valid PARTIAL labels (every label is some
+    * component member ≤ the id it labels — monotone toward the min). */
+  private[ops] def clusterLabelsPropagate(universe: DataFrame, edges: DataFrame,
+                                          maxRounds: Int = Int.MaxValue): (DataFrame, Boolean) = {
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true) // the edge list is re-read every iteration
@@ -225,7 +278,7 @@ object DedupQueries {
       .localCheckpoint(true)
     var converged = false
     var round = 0
-    while (!converged) {
+    while (!converged && round < maxRounds) {
       round += 1
       val viaEdge = sym.join(labels, sym("doc_b") === labels("doc_id"))
         .select(sym("doc_a").as("doc_id"), col("cluster"))
@@ -264,7 +317,7 @@ object DedupQueries {
       labels = next.select("doc_id", "cluster")
     }
     ScaleOps.freeBlocks(sym) // the loop was the edge list's only reader
-    labels
+    (labels, converged)
   }
 
   private def lshPairs(s: SparkSession, d: String): DataFrame =

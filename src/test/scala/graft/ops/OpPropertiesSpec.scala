@@ -158,7 +158,7 @@ class OpPropertiesSpec extends SparkTestBase {
       val edges = ps.toDF("doc_a", "doc_b")
       val star = DedupQueries.clusterLabelsStar(universe, edges)._1
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val prop = DedupQueries.clusterLabelsPropagate(universe, edges)
+      val prop = DedupQueries.clusterLabelsPropagate(universe, edges)._1
         .select("doc_id", "cluster")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star === prop)
