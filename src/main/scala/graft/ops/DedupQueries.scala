@@ -119,6 +119,45 @@ object DedupQueries {
     lshPairsFromSig(minhashSigOf(docs, extra = Seq("source")),
       extra = Seq("source"))
 
+  /** Incremental near-dup dedup (r8, beyond reference): screen a DELTA
+    * batch against an existing CORPUS — the operation a daily ingestion
+    * pipeline actually runs, where re-deriving corpus×corpus pairs every
+    * day is the cost that kills you. Both relations flow through ONE
+    * signature union and ONE band shuffle, and the in-bucket pair
+    * expansion REJECTS corpus×corpus pairs before any struct allocates
+    * (`pairFilter` — the corpus side contributes bucket membership only,
+    * never quadratic expansion), so per-run cost is driven by the delta
+    * and the bucket overlap it touches, not by the corpus size.
+    *
+    * Per delta doc: `n_corpus_matches` (banded near-dup partners in the
+    * corpus), `n_prior_delta_matches` (smaller-id partners within the
+    * delta — the standard greedy first-wins rule, deterministic on any
+    * partitioning), and `keep` = no match of either kind. Deliberately
+    * NOT transitive (a delta doc whose only match was itself dropped
+    * still drops): greedy incremental dedup trades that recall sliver
+    * for a closed-form per-doc decision; the nightly batch
+    * q_dedup_clusters pass reconciles. */
+  private[ops] def dedupDelta(corpus: DataFrame, delta: DataFrame): DataFrame = {
+    val sig = minhashSigOf(corpus).withColumn("side", lit(0))
+      .unionByName(minhashSigOf(delta).withColumn("side", lit(1)))
+    val pairs = lshPairsFromSig(sig, extra = Seq("side"),
+      pairFilter = Some("a.side = 1 OR b.side = 1"))
+    val contrib = pairs.select(
+      when(col("side_a") === 1 && col("side_b") === 0, col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"), // (0,1) → doc_b; (1,1) → larger id doc_b
+      when(col("side_a") === 0 || col("side_b") === 0, 1L).otherwise(0L).as("cm"),
+      when(col("side_a") === 1 && col("side_b") === 1, 1L).otherwise(0L).as("dm"))
+    val agg = contrib.groupBy("doc_id")
+      .agg(sum("cm").as("cm"), sum("dm").as("dm"))
+    delta.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cm"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("dm"), lit(0L)).as("n_prior_delta_matches"))
+      .withColumn("keep",
+        col("n_corpus_matches") === 0L && col("n_prior_delta_matches") === 0L)
+  }
+
   /** Connected-component labels over `(doc_a, doc_b)` edges: every id in
     * `universe` gets its component's minimum id.
     *
@@ -394,9 +433,15 @@ object DedupQueries {
     * back as `<c>_a`/`<c>_b` on every emitted pair — so a consumer that
     * only needs a small per-doc attribute of each pair endpoint (e.g.
     * q_source_overlap's `source`) gets it straight off the band stream
-    * instead of re-joining the corpus twice on doc_id. */
+    * instead of re-joining the corpus twice on doc_id.
+    *
+    * `pairFilter` (a SQL predicate over lambda sides `a`/`b`, like the
+    * band predicate itself) rejects pairs INSIDE the expansion, before
+    * any struct allocates — dedupDelta uses it to never expand the
+    * corpus×corpus side of an incremental run. */
   private[ops] def lshPairsFromSig(sig: DataFrame,
-                                   extra: Seq[String] = Nil): DataFrame = {
+                                   extra: Seq[String] = Nil,
+                                   pairFilter: Option[String] = None): DataFrame = {
     val conf = sig.sparkSession.conf
     val threshold =
       conf.getOption("spark.graft.lsh.salt.threshold").map(_.toInt).getOrElse(1 << 16)
@@ -433,9 +478,10 @@ object DedupQueries {
         "CAST(a.mh2 <=> b.mh2 AS INT) + CAST(a.mh3 <=> b.mh3 AS INT)"
     val build =
       s"struct(a.doc_id AS doc_a, b.doc_id AS doc_b, $sharedBands AS sb$buildExtra)"
+    val pf = pairFilter.map(f => s"($f) AND ").getOrElse("")
     def expand(buckets: DataFrame): DataFrame = buckets
       .select(explode(expr(pairExpansionSql("ms", build,
-        keepAb = Some(firstAgreeingBand)))).as("p"))
+        keepAb = Some(s"$pf$firstAgreeingBand")))).as("p"))
       .select(outCols: _*)
     // threshold <= 0 = salting OFF: the single-branch plan
     if (threshold <= 0) expand(grouped)
@@ -457,7 +503,7 @@ object DedupQueries {
         .agg(sort_array(collect_list(struct(saltedMemberCols: _*))).as("ms"))
         // ms sorted by doc_id (first struct field) ⇒ doc_a < doc_b, as cold
         .select(explode(expr(pairExpansionSql("ms", build,
-          keepAb = Some(s"(i = j OR a.s <> b.s) AND $firstAgreeingBand")))).as("p"))
+          keepAb = Some(s"$pf(i = j OR a.s <> b.s) AND $firstAgreeingBand")))).as("p"))
         .select(outCols: _*)
       cold.union(hot)
     }
@@ -543,6 +589,16 @@ object DedupQueries {
     }),
 
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
+
+    // Incremental dedup: the last 20% of the id space plays today's delta
+    // batch, the first 80% the standing corpus (the split is an in-plan
+    // scalar subquery so the same query runs at every SF — see dedupDelta
+    // for the no-corpus×corpus-expansion contract).
+    "q_dedup_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = docs.select((max("doc_id") * lit(0.8)).cast("long")).scalar()
+      dedupDelta(docs.filter(col("doc_id") < k), docs.filter(col("doc_id") >= k))
+    }),
 
     // n-gram Jaccard, verified only on LSH candidates (never all-pairs).
     // Each doc's distinct shingle SET rides WITH its signature through the
@@ -789,6 +845,31 @@ object DedupQueries {
     "q_lsh_pairs" ->
       s"""WITH $shingleCte
           SELECT doc_a, doc_b, shared_bands FROM pairs""",
+    // pairs is one row per banded pair (grouped), exactly the Spark side's
+    // first-agreeing-band multiplicity; the 80/20 split threshold is the
+    // same MAX(doc_id)*0.8 scalar both engines compute
+    "q_dedup_delta" ->
+      s"""WITH $shingleCte,
+          kk AS (SELECT CAST(MAX(doc_id) * 0.8 AS BIGINT) AS k FROM documents),
+          cand AS (SELECT doc_a, doc_b FROM pairs
+                   WHERE doc_a >= (SELECT k FROM kk) OR doc_b >= (SELECT k FROM kk)),
+          contrib AS (SELECT CASE WHEN doc_a >= (SELECT k FROM kk)
+                                   AND doc_b < (SELECT k FROM kk) THEN doc_a
+                                  ELSE doc_b END AS doc_id,
+                             CASE WHEN doc_a < (SELECT k FROM kk)
+                                    OR doc_b < (SELECT k FROM kk) THEN 1 ELSE 0 END AS cm,
+                             CASE WHEN doc_a >= (SELECT k FROM kk)
+                                   AND doc_b >= (SELECT k FROM kk) THEN 1 ELSE 0 END AS dm
+                      FROM cand),
+          agg AS (SELECT doc_id, SUM(cm) AS cm, SUM(dm) AS dm
+                  FROM contrib GROUP BY doc_id)
+          SELECT d.doc_id,
+                 CAST(COALESCE(agg.cm, 0) AS BIGINT) AS n_corpus_matches,
+                 CAST(COALESCE(agg.dm, 0) AS BIGINT) AS n_prior_delta_matches,
+                 COALESCE(agg.cm, 0) = 0 AND COALESCE(agg.dm, 0) = 0 AS keep
+          FROM (SELECT doc_id FROM documents
+                WHERE doc_id >= (SELECT k FROM kk)) d
+          LEFT JOIN agg USING (doc_id)""",
     // transitive closure (recursive CTE) reaches the same fixed point the
     // Spark propagation loop converges to: min reachable doc_id
     "q_dedup_clusters" ->

@@ -151,6 +151,33 @@ class OpPropertiesSpec extends SparkTestBase {
     (n until n + 5).foreach(i => assert(out(i) === i))
   }
 
+  test("dedupDelta: corpus matches drop, first delta wins, fresh and tiny docs keep") {
+    import spark.implicits._
+    // ≥3 tokens → has a signature. corpusText near-dups deltaText1 exactly
+    // (same text → same signature → all 4 bands agree); fresh is disjoint.
+    val corpusText = "alpha beta gamma delta epsilon zeta"
+    val fresh = "one two three four five six"
+    val dupInDelta = "seven eight nine ten eleven twelve"
+    val corpus = Seq((1L, corpusText), (2L, "some other corpus body here now"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, corpusText),   // corpus near-dup → drop
+      (11L, fresh),        // fresh → keep
+      (12L, dupInDelta),   // first of an in-delta pair → keep
+      (13L, dupInDelta),   // second → drop (smaller-id delta match)
+      (14L, "hi")          // sub-3-token: no signature, never pairs → keep
+    ).toDF("doc_id", "text")
+    val out = DedupQueries.dedupDelta(corpus, delta).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(10L) === ((1L, 0L, false)))
+    assert(out(11L) === ((0L, 0L, true)))
+    assert(out(12L) === ((0L, 0L, true)))
+    assert(out(13L) === ((0L, 1L, false)))
+    assert(out(14L) === ((0L, 0L, true)))
+    assert(out.size === 5) // every delta doc decided, corpus docs absent
+  }
+
   test("star and propagate strategies agree on a random edge set") {
     import spark.implicits._
     forAll(List.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))) { ps =>
