@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CorpusQueries, DedupQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.ops.{CorpusQueries, DedupQueries, MultimodalQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries ++ CorpusQueries.queries
+      MultimodalQueries.queries ++ CorpusQueries.queries ++
+      RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, LSH bucketing)
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++
-      MultimodalQueries.oracle ++ CorpusQueries.oracle
+      MultimodalQueries.oracle ++ CorpusQueries.oracle ++
+      RetrievalQueries.oracle
 }

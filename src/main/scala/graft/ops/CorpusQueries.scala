@@ -206,6 +206,60 @@ object CorpusQueries {
             (col("tokens").cast("double") / col("tot_tokens"))).as("boost"))
     }),
 
+    // Temperature-scaled source sampling (the multilingual-mixing rule of
+    // XLM-R/mT5: sample source s with p ∝ n_s^α, α < 1 flattening the
+    // head so low-resource sources are seen more than their natural
+    // share). α here is 1/4 — DYADIC on purpose: n^0.25 = sqrt(sqrt(n))
+    // is two correctly-rounded IEEE sqrts, so the weights are bit-exact
+    // cross-engine where a pow() call would differ by libm (any dyadic α
+    // composes from sqrts; 0.25 is the closest dyadic to XLM-R's 0.3).
+    // The mass is then FIXED-POINT (round(·1e6) → BIGINT) so the
+    // normalizing total is an exact integer sum — accumulation-order-free
+    // — and shares/epochs are single correctly-rounded divisions of exact
+    // integers (the q_mix_weights determinism discipline). `epochs` is the
+    // practical knob: how many passes over source s the temperature mix
+    // implies (>1 = upsampled). Scale shape: one partial+final agg to
+    // #sources rows; the grand totals are a scalar subquery over those
+    // rows — nothing after the first combine scales with the corpus.
+    "q_mix_temperature" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tokens"))
+        .withColumn("w_raw",
+          round(sqrt(sqrt(col("n_tokens").cast("double"))) * lit(1000000))
+            .cast("long"))
+      val tot = per
+        .agg(sum("w_raw").as("tw"), sum("n_tokens").as("tn"))
+        .select(struct(col("tw"), col("tn")).as("s")).scalar()
+      per.withColumn("st", tot)
+        .select(col("source"), col("n_tokens"), col("w_raw"),
+          (col("w_raw").cast("double") / col("st.tw")).as("share"),
+          (((col("w_raw").cast("double") / col("st.tw")) *
+            col("st.tn").cast("double")) / col("n_tokens").cast("double"))
+            .as("epochs"))
+    }),
+
+    // Denylist scrubbing — the PII-redaction shape (mask every match of a
+    // sensitive-pattern alternation, count what was masked) over the
+    // term denylist this corpus can actually exercise. The regex runs
+    // per-row inside the scan (zero shuffle); emitting the redacted
+    // text's fingerprint + length rather than the text keeps the audit
+    // output narrow. Swapping the alternation for email/phone/SSN
+    // patterns is a literal change — \b and alternation are the regex
+    // surface Java regex and RE2 agree on, which is why the pattern
+    // avoids lookarounds (RE2 has none).
+    "q_redact" -> ((s, d) => {
+      val pat = "\\b(customer|supplier)\\b"
+      val red = regexp_replace(col("text"), pat, "[REDACTED]")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(pat)).as("n_hits"),
+        md5(red).as("redacted_fp"),
+        length(red).as("n_chars_red"))
+    }),
+
     // Deterministic stratified sampling — reproducible per-source mixing
     // weights (keep 25% of src0, 50% of src1, everything else whole). The
     // sampling key is a content-independent md5 bucket of the doc_id, so
@@ -603,6 +657,28 @@ object CorpusQueries {
                  (CAST(w_smooth AS DOUBLE) / tot_smooth)
                    / (CAST(tokens AS DOUBLE) / tot_tokens) AS boost
           FROM per2, tot""",
+    "q_mix_temperature" ->
+      """WITH per AS (SELECT source,
+                             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+                      FROM documents WHERE text IS NOT NULL
+                      GROUP BY source),
+          w AS (SELECT source, n_tokens,
+                       CAST(round(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1000000) AS BIGINT) AS w_raw
+                FROM per),
+          tot AS (SELECT SUM(w_raw) AS tw, SUM(n_tokens) AS tn FROM w)
+          SELECT source, n_tokens, w_raw,
+                 CAST(w_raw AS DOUBLE) / tw AS share,
+                 ((CAST(w_raw AS DOUBLE) / tw) * CAST(tn AS DOUBLE))
+                   / CAST(n_tokens AS DOUBLE) AS epochs
+          FROM w, tot""",
+    "q_redact" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS n_hits,
+                md5(regexp_replace(text, '\b(customer|supplier)\b',
+                                   '[REDACTED]', 'g')) AS redacted_fp,
+                length(regexp_replace(text, '\b(customer|supplier)\b',
+                                      '[REDACTED]', 'g')) AS n_chars_red
+         FROM documents""",
     "q_sample_stratified" ->
       """SELECT doc_id, source, lang,
                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR))

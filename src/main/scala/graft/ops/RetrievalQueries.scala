@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Lexical + hybrid retrieval over the documents corpus — the query side of
+  * a training-data pipeline (mining demonstrations, decontamination probes,
+  * RAG evals all start with "find the docs most relevant to this query").
+  *
+  * - `q_bm25`: Okapi BM25 top-10 for a fixed 4-term query. tf/dl are
+  *   per-ROW expressions inside the scan (a doc's tokens never leave its
+  *   row); the five corpus-global stats (N, total tokens, per-term df)
+  *   come from ONE aggregate consumed as a scalar subquery — no join node;
+  *   top-k is the bounded [[graft.functions.TopKByScore]] heap, not a
+  *   window. The idf is the RATIONAL form (N - df + ½)/(df + ½) WITHOUT
+  *   the log: every arithmetic op stays a correctly-rounded IEEE +,-,*,/
+  *   (ln differs across libm implementations), so the DuckDB twin is
+  *   bit-identical — same determinism discipline as DSIR's fixed-point
+  *   model. Monotone in df like the classic form; scores are not
+  *   drop-in-comparable with log-idf BM25 and are not meant to be.
+  * - `q_hybrid_rrf`: reciprocal-rank fusion (Cormack et al., k = 60) of
+  *   the BM25 top-20 with the cosine top-20 of one query embedding —
+  *   1/(60+rank) contributions unioned then summed per doc (one exchange;
+  *   a doc gets at most two contributions, and two-term double addition is
+  *   order-free, so the sum is exact cross-engine). Final cut is
+  *   orderBy+limit → TakeOrderedAndProject: per-partition top-20 then a
+  *   driver merge of 20-row heads, never a full sort. Contract: `vec_id`
+  *   and `doc_id` are the same id space (embeddings are OF the documents —
+  *   TESTDATA.md fixture layout).
+  *
+  * Scale shape at 100 TB: BM25 is scan → per-row features → 1-row stats
+  * agg (partial+final) → per-row score → heap partials; nothing shuffles
+  * except k rows per partition and the stats partials. RRF fuses two
+  * ALREADY-bounded top-k lists (≤ 2k rows total regardless of corpus
+  * size), so its joins/aggregates are constant-size.
+  */
+object RetrievalQueries {
+
+  /** The fixed lexical query. Terms chosen with distinct df on the
+    * fixture corpus so the idf spread is exercised. */
+  private[ops] val QueryTerms: Seq[String] =
+    Seq("spark", "window", "merge", "customer")
+
+  /** BM25 constants (Robertson's defaults). 0.25 = 1-b and 2.2 = k1+1 are
+    * written as literals on BOTH engines so no derived arithmetic runs. */
+  private val K1 = "1.2"
+  private val OneMinusB = "0.25"
+  private val B = "0.75"
+  private val K1Plus1 = "2.2"
+
+  /** Per-term BM25 summand, one source string for BOTH engines (Spark SQL
+    * and DuckDB agree on this surface once tokenization is inlined):
+    * rational idf × saturated tf, every op an IEEE +,-,*,/ in fixed order. */
+  private def termScore(i: Int): String =
+    s"((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+      s" * ((CAST(tf$i AS DOUBLE) * $K1Plus1) / (CAST(tf$i AS DOUBLE)" +
+      s" + ($K1 * ($OneMinusB + $B * (CAST(dl AS DOUBLE) / avgdl)))))"
+
+  /** Left-associated sum over the query terms — the association order is
+    * part of the cross-engine contract. */
+  private def scoreSql: String =
+    QueryTerms.indices.map(termScore).reduce((a, b) => s"($a) + ($b)")
+
+  /** Per-doc (dl, tf0..tf3) features + the corpus stats scalar, scored.
+    * Everything per-row until the single stats aggregate. */
+  private[ops] def bm25Scored(docs: DataFrame): DataFrame = {
+    val feats = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id") ::
+        expr("CAST(size(w) AS BIGINT)").as("dl") ::
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          expr(s"CAST(size(filter(w, x -> x = '$t')) AS BIGINT)").as(s"tf$i")
+        }.toList: _*)
+    // ONE aggregate for all five stats, consumed as a scalar subquery so
+    // the plan carries no 1-row join node (the shape PlanAuditSpec polices)
+    val aggs: List[Column] =
+      count(lit(1)).as("n_docs") :: sum("dl").as("total_tokens") ::
+        QueryTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")).toList
+    val stats: Column = feats.agg(aggs.head, aggs.tail: _*)
+      .select(struct(col("n_docs") :: col("total_tokens") ::
+        QueryTerms.indices.map(i => col(s"df$i")).toList: _*).as("s"))
+      .scalar()
+    feats.withColumn("st", stats)
+      .select(col("doc_id") :: col("dl") ::
+        QueryTerms.indices.map(i => col(s"tf$i")).toList :::
+        List(col("st.n_docs").as("n_docs"),
+          (col("st.total_tokens").cast("double") / col("st.n_docs"))
+            .as("avgdl")) :::
+        QueryTerms.indices.map(i => col(s"st.df$i").as(s"df$i")).toList: _*)
+      .withColumn("score", expr(scoreSql))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** rnk-ed top-k of a (doc_id, score) stream via the bounded heap —
+    * selection and order identical to ROW_NUMBER(score DESC, doc_id). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(scored.sparkSession)
+    scored.groupBy()
+      .agg(expr(s"topk_by(score, doc_id, $k)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").as("doc_id"), (col("pos") + 1).as("rnk"),
+        col("t.score").as("score"))
+  }
+
+  /** 1/(60 + rank) — written as CAST(1 AS DOUBLE) on the oracle side so
+    * DuckDB's decimal literals never enter the arithmetic. */
+  private def rrfContrib: Column = lit(1.0) / (lit(60L) + col("rnk"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      topK(bm25Scored(Tables.documents(s, d)), 10)
+    }),
+
+    "q_hybrid_rrf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val bm = topK(bm25Scored(Tables.documents(s, d)), 20)
+        .select(col("doc_id"), rrfContrib.as("contrib"))
+      // one query vector (q_id = 0): the q_id predicate pushes into the
+      // broadcast query side, so the corpus pass scores against 1 vector
+      val cos = SimilarityQueries.cosineScored(s, d)
+        .filter(col("q_id") === 0)
+        .select(col("neighbor_id").as("doc_id"), col("score"))
+      val cosTop = topK(cos, 20)
+        .select(col("doc_id"), rrfContrib.as("contrib"))
+      bm.unionByName(cosTop)
+        .groupBy("doc_id")
+        .agg(sum("contrib").as("rrf"), count(lit(1)).as("n_lists"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    })
+  )
+
+  /** DuckDB-dialect BM25 CTE chain shared by both oracles: identical
+    * tokenization (string_split_regex ↔ split, list_filter ↔ filter) and
+    * the SAME `termScore`/`scoreSql` strings — the arithmetic text is
+    * generated once in Scala and inlined into both engines. */
+  private def bm25Ctes: String = {
+    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n                     ")
+    val dfCols = QueryTerms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(",\n                      ")
+    s"""bd AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents WHERE text IS NOT NULL),
+          bf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                     $tfCols
+                 FROM bd),
+          bst AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+                      $dfCols
+                  FROM bf),
+          bsc AS (SELECT doc_id, ($scoreSql) AS score
+                  FROM (SELECT bf.*, bst.n_docs,
+                               CAST(bst.total_tokens AS DOUBLE) / bst.n_docs
+                                 AS avgdl,
+                               ${QueryTerms.indices.map(i => s"bst.df$i")
+                                   .mkString(", ")}
+                        FROM bf, bst) j)"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH $bm25Ctes
+          SELECT doc_id, rnk, score FROM (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM bsc WHERE score > 0) r
+          WHERE rnk <= 10""",
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+          bmr AS (SELECT doc_id,
+                         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                           AS rnk
+                  FROM bsc WHERE score > 0),
+          bmc AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rnk) AS contrib
+                  FROM bmr WHERE rnk <= 20),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          p AS (SELECT e.vec_id AS neighbor_id, e.embedding AS emb, q.qe
+                FROM embeddings e, q WHERE e.vec_id <> 0),
+          t AS (SELECT neighbor_id, UNNEST(emb) AS x, UNNEST(qe) AS y
+                FROM p),
+          s2 AS (SELECT neighbor_id, SUM(CAST(x * y AS DOUBLE)) AS dot,
+                        SUM(CAST(x * x AS DOUBLE)) AS nx,
+                        SUM(CAST(y * y AS DOUBLE)) AS ny
+                 FROM t GROUP BY 1),
+          cr AS (SELECT neighbor_id AS doc_id,
+                        ROW_NUMBER() OVER (
+                          ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC,
+                                   neighbor_id) AS rnk
+                 FROM s2),
+          cc AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rnk) AS contrib
+                 FROM cr WHERE rnk <= 20),
+          u AS (SELECT * FROM bmc UNION ALL SELECT * FROM cc),
+          g AS (SELECT doc_id, SUM(contrib) AS rrf, COUNT(*) AS n_lists
+                FROM u GROUP BY doc_id)
+          SELECT doc_id, rrf, n_lists FROM g
+          ORDER BY rrf DESC, doc_id LIMIT 20"""
+  )
+}

@@ -211,7 +211,8 @@ object SimilarityQueries {
         negate(greatest(assignCand: _*).getField("n")).as("cell"))
   }
 
-  private def cosineScored(s: SparkSession, d: String): DataFrame = {
+  // private[ops]: RetrievalQueries' hybrid fusion reuses the scored stream
+  private[ops] def cosineScored(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // driver-owned sessions too
     // norms once per side, not per pair: each corpus row then costs one dot
     // + one own-norm against ALL queries (bit-identical scores — same

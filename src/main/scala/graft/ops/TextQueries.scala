@@ -154,6 +154,29 @@ object TextQueries {
               (col("r.n_tokens") - 1)).as("dup_bigram_frac"))
     }),
 
+    // Corpus-level n-gram statistics: the top-20 bigrams by frequency —
+    // the first table a tokenizer-training or repetition-audit run asks
+    // for. Bigrams are built per-row (a doc's adjacent-token pairs never
+    // leave its row), counted by one hash aggregate (partial+final: each
+    // partition collapses to its distinct bigrams before the exchange),
+    // and the cut is orderBy+limit → TakeOrderedAndProject: every
+    // partition keeps its own top-20, the driver merges 20-row heads —
+    // no full sort, no window, bounded memory at any vocabulary size.
+    // Tie at the boundary breaks on the bigram string (binary ASC) so the
+    // kept SET is deterministic cross-engine.
+    "q_ngram_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)),
+
     // Multimodal metadata pass: text treated as an opaque payload — byte
     // length + content hash, the same schema shape used for image/audio
     // binary columns (see graft.ops.Multimodal for the binary pipeline).
@@ -268,6 +291,15 @@ object TextQueries {
                        ${hits("fr")} AS fr_hits
                 FROM (SELECT doc_id, lower(text) AS t FROM documents) n) h"""
     },
+    "q_ngram_stats" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents WHERE text IS NOT NULL),
+          b AS (SELECT UNNEST(list_transform(
+                         generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i + 1])) AS bigram
+                FROM d WHERE len(w) >= 2)
+          SELECT bigram, COUNT(*) AS cnt FROM b
+          GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 md5(text) AS content_hash, n_chars

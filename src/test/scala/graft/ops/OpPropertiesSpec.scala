@@ -399,4 +399,70 @@ class OpPropertiesSpec extends SparkTestBase {
       assert(votes >= 1 && votes <= 10, s"votes $votes out of [1,10]")
     }
   }
+
+  test("temperature mix: exact fixed-point masses, α<1 flattens the shares") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q_mix_temperature")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val tw = rows.map(_._3).sum
+    val tn = rows.map(_._2).sum
+    rows.foreach { case (src, n, w, share, epochs) =>
+      // the mass is exactly round(n^(1/4) · 1e6) — nested sqrt, no pow
+      assert(w === math.round(math.sqrt(math.sqrt(n.toDouble)) * 1e6), src)
+      assert(share === w.toDouble / tw, src)
+      assert(epochs === share * tn.toDouble / n.toDouble, src)
+    }
+    // α<1 flattening, pairwise: bigger source keeps a bigger share
+    // (monotone) but a SMALLER boost over its natural share — the
+    // share/natural ratio is ∝ n^(α-1), strictly decreasing in n
+    for (Seq((sa, na, _, pa, _), (sb, nb, _, pb, _)) <-
+           rows.sortBy(_._2).toSeq.combinations(2) if na < nb) {
+      assert(pa < pb, s"$sa vs $sb: share must grow with size")
+      assert(pa / (na.toDouble / tn) > pb / (nb.toDouble / tn),
+        s"$sa vs $sb: smaller source must get the larger temperature boost")
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+  }
+
+  test("redact: hit counts equal token-level denylist counts, fp flips iff hit") {
+    val sfDir = "/root/testdata/sf0.001"
+    val deny = Set("customer", "supplier")
+    val out = CorpusQueries.queries("q_redact")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val texts = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === texts.keySet)
+    var hits = 0
+    texts.foreach { case (id, t) =>
+      // space-separated word soup: \b matches exactly at token boundaries
+      val expected = t.trim.split("\\s+").count(deny)
+      val (n, fp) = out(id)
+      assert(n === expected, s"doc $id")
+      val origFp = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert((fp != origFp) === (n > 0), s"doc $id")
+      hits += n
+    }
+    assert(hits > 0, "denylist must bite on the fixture")
+  }
+
+  test("ngram stats equal an in-memory recount of the corpus bigrams") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = TextQueries.queries("q_ngram_stats")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    graft.tables.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0)).foreach { t =>
+        val w = t.trim.toLowerCase.split("\\s+")
+        w.iterator.zip(w.iterator.drop(1))
+          .foreach { case (a, b) =>
+            val bg = s"$a $b"; counts(bg) = counts.getOrElse(bg, 0L) + 1 }
+      }
+    val expected = counts.toSeq.sortBy { case (bg, c) => (-c, bg) }.take(20)
+    assert(got.toSeq === expected)
+  }
 }

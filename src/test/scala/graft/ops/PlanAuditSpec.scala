@@ -22,7 +22,9 @@ class PlanAuditSpec extends SparkTestBase {
     * totals became scalar subqueries, so no join node remains.) */
   private val allowedBnlj =
     Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans", "q_mix_weights",
-      "q_knn_classify")
+      "q_knn_classify",
+      // reuses cosineScored's broadcast query side (1 vector at q_id=0)
+      "q_hybrid_rrf")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
@@ -89,7 +91,10 @@ class PlanAuditSpec extends SparkTestBase {
     // WindowExec, cell now packed into the heap's id lane): every top-k is
     // the bounded topk_by aggregate — partial per-partition heaps, k rows
     // per (group, partition) across the shuffle, no sort of the stream.
-    for (name <- Seq("q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_knn_classify")) {
+    // q_bm25/q_hybrid_rrf joined the contract in r8: lexical top-k and the
+    // fused cut are the same bounded-heap / TakeOrdered shapes
+    for (name <- Seq("q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_knn_classify",
+        "q_bm25", "q_hybrid_rrf")) {
       val plan = physical(name)
       assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
         s"$name regressed to a full-stream window top-k")

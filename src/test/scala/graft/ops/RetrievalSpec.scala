@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkTestBase
+
+/** The retrieval family's semantic contracts: the heap-based BM25 top-k
+  * equals the naive window formulation, the scorer behaves like BM25
+  * (saturation, idf ordering, dl normalization), and RRF fusion is the
+  * exact 1/(60+rank) sum over the two bounded lists. */
+class RetrievalSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  private def docs(rows: (Long, String)*) =
+    mkDf(docSchema, rows.map { case (id, t) => Row(id, "src", t) })
+
+  test("q_bm25 equals the ROW_NUMBER window formulation on the fixture") {
+    val heap = RetrievalQueries.queries("q_bm25")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    // independent path: same scored stream, naive window rank
+    val scored = RetrievalQueries.bm25Scored(
+      graft.tables.Tables.documents(spark, sfDir))
+    val win = scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(1))).toSet
+    assert(heap === win)
+  }
+
+  test("BM25 scorer: more query-term hits outranks fewer at equal dl") {
+    // identical length, differing only in how often 'spark' appears
+    val d = docs(
+      (1L, "spark spark spark pad1 pad2 pad3"),
+      (2L, "spark spark pad0 pad1 pad2 pad3"),
+      (3L, "spark pad9 pad0 pad1 pad2 pad3"),
+      (4L, "pad8 pad9 pad0 pad1 pad2 pad3"))
+    val s = RetrievalQueries.bm25Scored(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.keySet === Set(1L, 2L, 3L), "zero-hit docs must be filtered")
+    assert(s(1L) > s(2L) && s(2L) > s(3L))
+    // saturation: the tf=3 gain over tf=2 is smaller than tf=2 over tf=1
+    assert(s(1L) - s(2L) < s(2L) - s(3L))
+  }
+
+  test("BM25 scorer: longer documents score lower at equal tf (dl norm)") {
+    val d = docs(
+      (1L, "spark pad1 pad2"),
+      (2L, "spark pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8 pad9"))
+    val s = RetrievalQueries.bm25Scored(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L))
+  }
+
+  test("q_hybrid_rrf is the exact contribution sum of the two top-20 lists") {
+    val fused = RetrievalQueries.queries("q_hybrid_rrf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(fused.length === 20)
+
+    // rebuild both rank lists independently (window form)
+    def ranks(scored: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      scored.withColumn("rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= 20)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rnk"))
+        .toMap
+    val bm = ranks(RetrievalQueries.bm25Scored(
+      graft.tables.Tables.documents(spark, sfDir)))
+    val cos = ranks(SimilarityQueries.cosineScored(spark, sfDir)
+      .filter(col("q_id") === 0)
+      .select(col("neighbor_id").as("doc_id"), col("score")))
+
+    val expected = (bm.keySet ++ cos.keySet).map { id =>
+      val c = bm.get(id).map(r => 1.0 / (60L + r)).getOrElse(0.0) +
+        cos.get(id).map(r => 1.0 / (60L + r)).getOrElse(0.0)
+      id -> (c, (bm.contains(id), cos.contains(id)))
+    }.toMap
+    fused.foreach { case (id, rrf, nLists) =>
+      val (c, (inBm, inCos)) = expected(id)
+      assert(rrf === c, s"doc $id")
+      assert(nLists === Seq(inBm, inCos).count(identity).toLong)
+    }
+    // the fused cut is the top-20 of the expected map by (rrf desc, id asc)
+    val top = expected.toSeq.map { case (id, (c, _)) => (id, c) }
+      .sortBy { case (id, c) => (-c, id) }.take(20).map(_._1).toSet
+    assert(fused.map(_._1).toSet === top)
+  }
+}
