@@ -198,6 +198,18 @@ object GraftFunctions {
         require(args.length == 1, "term_counts expects 1 argument")
         TermCounts(Cast(args.head, org.apache.spark.sql.types.StringType))
       }),
+    (new FunctionIdentifier("query_term_stats"),
+      new ExpressionInfo(classOf[QueryTermStats].getName, "query_term_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "query_term_stats expects (text, term, ...)")
+        val terms = args.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"query_term_stats terms must be string literals, got $other")
+        }
+        QueryTermStats(Cast(args.head, org.apache.spark.sql.types.StringType), terms)
+      }),
     (new FunctionIdentifier("hplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hplane_sig"),
       (args: Seq[Expression]) => {

@@ -50,6 +50,72 @@ case class TermCounts(child: Expression) extends UnaryExpression {
   override def prettyName: String = "term_counts"
 }
 
+/** `query_term_stats(text, 'a', 'b', ...)` — document length + per-query-term
+  * frequencies `STRUCT<dl: BIGINT, tf0: BIGINT, ...>` in ONE pass over the
+  * tokens, as a native codegen'd per-row expression.
+  *
+  * Same tokenization contract as [[TermCounts]] (lower → trim → `\s+`
+  * split, trailing empties kept). Why an expression: the composable form —
+  * `size(split(...))` plus one `size(filter(w, x -> x = 't'))` per term —
+  * evaluates N interpreted lambda passes over the token array per row
+  * (higher-order functions never enter codegen), and BM25 needs the same
+  * features on both the stats-aggregate side and the scoring side of its
+  * scalar subquery, doubling that cost. This walks the tokens once per
+  * row with direct string compares against the (literal, tiny) query term
+  * list.
+  */
+case class QueryTermStats(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  require(terms.nonEmpty, "query_term_stats needs at least one term")
+
+  override def dataType: DataType = StructType(
+    StructField("dl", LongType, nullable = false) +:
+      terms.indices.map(i => StructField(s"tf$i", LongType, nullable = false)))
+
+  override def nullable: Boolean = child.nullable
+
+  private lazy val termArr: Array[String] = terms.toArray
+
+  override def nullSafeEval(t: Any): Any =
+    QueryTermStatsImpl.compute(t.asInstanceOf[UTF8String], termArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qterms", termArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.QueryTermStatsImpl.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QueryTermStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "query_term_stats"
+}
+
+object QueryTermStatsImpl {
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(t: UTF8String, terms: Array[String]): InternalRow = {
+    val toks = WS.split(t.toLowerCase.trim.toString, -1)
+    val out = new Array[Any](terms.length + 1)
+    out(0) = toks.length.toLong
+    var k = 0
+    while (k < terms.length) { out(k + 1) = 0L; k += 1 }
+    var j = 0
+    while (j < toks.length) {
+      k = 0
+      while (k < terms.length) {
+        if (terms(k).equals(toks(j)))
+          out(k + 1) = out(k + 1).asInstanceOf[Long] + 1L
+        k += 1
+      }
+      j += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
+
 /** Static helper (separate object so generated Java calls a plain static
   * method — no companion-forwarder subtleties). */
 object TermCountsImpl {

@@ -64,15 +64,20 @@ object RetrievalQueries {
     QueryTerms.indices.map(termScore).reduce((a, b) => s"($a) + ($b)")
 
   /** Per-doc (dl, tf0..tf3) features + the corpus stats scalar, scored.
-    * Everything per-row until the single stats aggregate. */
+    * Everything per-row until the single stats aggregate. Features come
+    * from ONE [[graft.functions.QueryTermStats]] pass per row (codegen'd;
+    * the composable split + per-term `filter` lambdas are interpreted and
+    * run on BOTH sides of the stats subquery — measured 2.3× slower at
+    * sf0.1). */
   private[ops] def bm25Scored(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
     val feats = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"),
+        expr(s"query_term_stats(text, $termList)").as("q"))
       .select(col("doc_id") ::
-        expr("CAST(size(w) AS BIGINT)").as("dl") ::
-        QueryTerms.zipWithIndex.map { case (t, i) =>
-          expr(s"CAST(size(filter(w, x -> x = '$t')) AS BIGINT)").as(s"tf$i")
-        }.toList: _*)
+        col("q.dl").as("dl") ::
+        QueryTerms.indices.map(i => col(s"q.tf$i").as(s"tf$i")).toList: _*)
     // ONE aggregate for all five stats, consumed as a scalar subquery so
     // the plan carries no 1-row join node (the shape PlanAuditSpec polices)
     val aggs: List[Column] =

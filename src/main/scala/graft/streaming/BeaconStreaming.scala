@@ -82,11 +82,73 @@ object BeaconStreaming {
     * two distinct docs (BeaconStreamingSpec pins this with such a pair).
     * This is deliberate: "any band agrees" is an OR over four state keys,
     * and `dropDuplicatesWithinWatermark` (one key, one state row, 32
-    * bytes/doc) cannot express it — a faithful streaming port needs two
-    * chained stateful stages (per-band-bucket membership, then per-doc
-    * AND), a state/complexity cliff not worth crossing for a dedup whose
-    * batch form runs nightly anyway. Use this stream as the cheap
-    * high-precision prefilter; run the batch banded pass for recall. */
+    * bytes/doc) cannot express it — the faithful port needs two chained
+    * stateful stages (per-band-bucket membership, then per-doc AND),
+    * which is exactly what [[nearDupDedupBanded]] implements (r8) at 4×
+    * the state entries and window-close emission latency. Use this stream
+    * as the cheap low-latency high-precision prefilter; use the banded
+    * variant (or the nightly batch pass) for recall. */
+  /** Streaming BANDED near-dup dedup (r8) — closes [[nearDupDedup]]'s
+    * documented semantic gap: a doc is kept only if NONE of its 4 LSH band
+    * hashes was claimed by an earlier in-watermark doc, i.e. exactly the
+    * batch banded-LSH pairing rule (ANY 1-of-4 agreeing band ⇒ near-dup),
+    * where nearDupDedup needs the WHOLE signature to collide.
+    *
+    * The "OR over four state keys" that a single
+    * `dropDuplicatesWithinWatermark` cannot express becomes TWO chained
+    * stateful stages (supported in append mode since Spark 3.5's
+    * multiple-stateful-operator work):
+    *
+    *   1. explode each doc into its 4 (band_idx, band_hash) rows and
+    *      dedup on that key — the FIRST in-watermark claimant of each
+    *      band survives;
+    *   2. tumbling-window count per doc — a doc that got ALL 4 of its
+    *      band rows through claimed every band first ⇒ no earlier
+    *      near-dup exists ⇒ keep; any doc with < 4 survivors lost at
+    *      least one band to an earlier doc ⇒ drop.
+    *
+    * Chain behaviour matches batch CC more closely than pairwise checks:
+    * a DROPPED doc's unshared bands stay claimed (its stage-1 survivors
+    * are state, even though stage 2 discards the doc), so a later doc
+    * touching only the dropped doc's bands is also dropped — the
+    * transitive chain A–B–C collapses to A exactly as the batch
+    * connected-components labelling would.
+    *
+    * Costs, stated: state is one entry per distinct (band, hash) within
+    * the watermark (vs one 32-byte signature per doc for nearDupDedup —
+    * 4× the entries) plus the stage-2 window buffers; and emission waits
+    * for the event-time window to close (append-mode aggregate), where
+    * nearDupDedup emits in the arrival micro-batch. Use this variant when
+    * batch-equivalent recall matters more than latency; the cheap
+    * prefilter remains [[nearDupDedup]].
+    *
+    * Sub-3-token docs (null signature) fall back to 4 copies of an exact
+    * text key — `raw:`-prefixed to keep the key spaces disjoint — so tiny
+    * exact dups dedup and distinct tiny docs pass, mirroring nearDupDedup.
+    */
+  def nearDupDedupBanded(df: DataFrame, tsCol: String,
+                         textCol: String = "text",
+                         watermark: String = "2 hours",
+                         emitWindow: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val banded = df
+      .withColumn("__sig", expr(s"shingle_sig($textCol)"))
+      .withColumn("__bands", when(col("__sig").isNotNull,
+          array(col("__sig.mh0"), col("__sig.mh1"),
+            col("__sig.mh2"), col("__sig.mh3")))
+        .otherwise(expr(
+          s"array_repeat(md5_low63(concat('raw:', coalesce($textCol, ''))), 4)")))
+      .withWatermark(tsCol, watermark)
+      .select(col("doc_id"), col(tsCol), col(textCol),
+        posexplode(col("__bands")).as(Seq("band", "bhash")))
+    banded
+      .dropDuplicatesWithinWatermark("band", "bhash")
+      .groupBy(window(col(tsCol), emitWindow).as("w"), col("doc_id"))
+      .agg(count(lit(1)).as("bands_claimed"), first(col(textCol)).as(textCol))
+      .filter(col("bands_claimed") === 4)
+      .select(col("doc_id"), col("w.start").as("window_start"), col(textCol))
+  }
+
   def nearDupDedup(df: DataFrame, tsCol: String, textCol: String = "text",
                    watermark: String = "2 hours"): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

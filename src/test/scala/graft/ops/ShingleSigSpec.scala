@@ -162,4 +162,30 @@ class ShingleSigSpec extends SparkTestBase {
       assert(got === exp)
     }
   }
+
+  test("query_term_stats equals the composed split+filter form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val terms = Seq("the", "dup", "wörds", "absent")
+    def composed(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id") ::
+        expr("CAST(size(w) AS BIGINT)").as("dl") ::
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"CAST(size(filter(w, x -> x = '$t')) AS BIGINT)").as(s"tf$i")
+        }.toList: _*)
+    def rowForm(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        expr(s"query_term_stats(text, ${terms.map(t => s"'$t'").mkString(", ")})")
+          .as("q"))
+      .select(col("doc_id") :: col("q.dl").as("dl") ::
+        terms.indices.map(i => col(s"q.tf$i").as(s"tf$i")).toList: _*)
+    for (docs <- Seq(edgeDocs.toDF("doc_id", "text"),
+                     graft.tables.Tables.documents(spark, "/root/testdata/sf0.001"))) {
+      val exp = composed(docs).orderBy("doc_id").collect().toSeq
+      val got = rowForm(docs).orderBy("doc_id").collect().toSeq
+      assert(exp.nonEmpty)
+      assert(got === exp)
+    }
+  }
 }
