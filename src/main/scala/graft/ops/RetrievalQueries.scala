@@ -125,11 +125,23 @@ object RetrievalQueries {
       graft.functions.GraftFunctions.register(s)
       val bm = topK(bm25Scored(Tables.documents(s, d)), 20)
         .select(col("doc_id"), rrfContrib.as("contrib"))
-      // one query vector (q_id = 0): the q_id predicate pushes into the
-      // broadcast query side, so the corpus pass scores against 1 vector
-      val cos = SimilarityQueries.cosineScored(s, d)
-        .filter(col("q_id") === 0)
-        .select(col("neighbor_id").as("doc_id"), col("score"))
+      // ONE query vector (vec_id = 0): its embedding and norm are scalar
+      // subqueries, so the corpus scoring pass is pure per-row work with
+      // NO join node (cosineScored's broadcast non-equi join earns its
+      // BNLJ for nq query vectors; for nq = 1 the subquery shape is
+      // strictly better and keeps this query off the plan-audit
+      // allowlist). Same arithmetic as cosineScored/the twin:
+      // dot / (own_norm * query_norm), each factor one correctly-rounded
+      // sqrt/division.
+      val emb = Tables.embeddings(s, d)
+      val qe = emb.filter(col("vec_id") === 0).select(col("embedding")).scalar()
+      val nq = emb.filter(col("vec_id") === 0)
+        .select(sqrt(expr("vector_dot(embedding, embedding)"))).scalar()
+      val cos = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          (call_function("vector_dot", col("embedding"), qe) /
+            (sqrt(expr("vector_dot(embedding, embedding)")) * nq))
+            .as("score"))
       val cosTop = topK(cos, 20)
         .select(col("doc_id"), rrfContrib.as("contrib"))
       bm.unionByName(cosTop)

@@ -228,6 +228,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f4(0) - 'n'.toInt / 255.0f) < 1e-7)
   }
 
+  test("sampleFramesMjpeg decodes real JPEG frames out of a generated AVI") {
+    import spark.implicits._
+    // build a real MJPEG-AVI: RIFF('AVI ') → LIST('movi') → '00dc' chunks,
+    // each body a genuine JPEG written by the JRE encoder; sizes are
+    // LITTLE-endian and chunks pad to even offsets per the RIFF spec
+    def jpeg(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array()
+    }
+    val frames = Seq(
+      jpeg(0xff0000, 6, 4), jpeg(0x0000ff, 6, 4), jpeg(0x00ff00, 6, 4))
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.map(chunk("00dc", _)).reduce(_ ++ _)
+    val listMovi = chunk("LIST", movi)
+    val avi = {
+      val body = "AVI ".getBytes("US-ASCII") ++ listMovi
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+
+    val df = Seq((1L, avi), (2L, "not an avi".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val all = Multimodal.sampleFramesMjpeg(df, dim = 5)
+      .orderBy("media_id", "frame_no").collect()
+    // the non-AVI payload contributes ZERO frames (per-row degradation)
+    assert(all.forall(_.getLong(0) == 1L))
+    assert(all.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    val feats = all.map(_.getSeq[Float](3))
+    feats.foreach { f => assert(f(0) === 6.0f && f(1) === 4.0f) } // w, h
+    // JPEG is lossy — check the dominant channel, generously
+    assert(feats(0)(2) > 0.8f && feats(0)(4) < 0.2f) // red frame
+    assert(feats(1)(4) > 0.8f && feats(1)(2) < 0.2f) // blue frame
+    assert(feats(2)(3) > 0.8f)                       // green frame
+
+    // every-k sampling keeps SOURCE ordinals (0, 2), not a re-numbering
+    val sampled = Multimodal.sampleFramesMjpeg(df, dim = 2, everyK = 2)
+      .orderBy("frame_no").collect()
+    assert(sampled.map(_.getInt(1)).toSeq === Seq(0, 2))
+  }
+
   test("fromDocuments builds the binary+metadata schema from testdata") {
     val df = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     assert(df.schema("payload").dataType.typeName === "binary")

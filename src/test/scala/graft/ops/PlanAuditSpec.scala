@@ -22,9 +22,7 @@ class PlanAuditSpec extends SparkTestBase {
     * totals became scalar subqueries, so no join node remains.) */
   private val allowedBnlj =
     Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans", "q_mix_weights",
-      "q_knn_classify",
-      // reuses cosineScored's broadcast query side (1 vector at q_id=0)
-      "q_hybrid_rrf")
+      "q_knn_classify")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
