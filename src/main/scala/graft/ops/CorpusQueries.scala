@@ -176,6 +176,27 @@ object CorpusQueries {
           sum(size(split(trim(col("text")), "\\s+"))).as("total_tokens"),
           avg(length(col("text"))).as("avg_chars"))),
 
+    // Token-length distribution histogram — the corpus report card's
+    // distribution view (length percentiles drive chunking budgets and
+    // the Gopher length gates, but exact percentiles need either a
+    // corpus-wide sort or an unbounded per-group collect; a fixed-width
+    // integer histogram answers the same planning questions with one
+    // partial+final hash aggregate and is bit-exact on any engine — the
+    // bucket id is integer division, the counts are integers). Bucket
+    // width 8 tokens; emitted per source so mixing decisions can read
+    // per-source shapes side by side.
+    "q_len_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          expr("n_tokens div 8").as("bucket"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))),
+
     // Temperature-smoothed source mixing weights — the step that turns the
     // report card into a training recipe: upsample small sources, damp the
     // giants (the multilingual-sampling convention, alpha = 0.5). Every
@@ -657,6 +678,16 @@ object CorpusQueries {
                  (CAST(w_smooth AS DOUBLE) / tot_smooth)
                    / (CAST(tokens AS DOUBLE) / tot_tokens) AS boost
           FROM per2, tot""",
+    "q_len_hist" ->
+      """WITH t AS (SELECT source,
+                           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                             AS n_tokens
+                    FROM documents WHERE text IS NOT NULL)
+          SELECT source, n_tokens // 8 AS bucket,
+                 COUNT(*) AS n_docs,
+                 MIN(n_tokens) AS min_tokens,
+                 MAX(n_tokens) AS max_tokens
+          FROM t GROUP BY source, n_tokens // 8""",
     "q_mix_temperature" ->
       """WITH per AS (SELECT source,
                              CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens

@@ -177,6 +177,27 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)),
 
+    // BPE merge learning (Sennrich et al. 2016) — the first R rounds of
+    // byte-pair-encoding tokenizer training, distributed. Round r: count
+    // adjacent symbol pairs over the VOCABULARY (word types weighted by
+    // corpus frequency — pair work is vocab-bound, not corpus-bound, which
+    // is what makes BPE trainable at 100 TB), pick the most frequent pair
+    // (count DESC, then symbol strings ASC — deterministic), merge it
+    // everywhere, repeat. Output: the learned merge table.
+    //
+    // Cross-engine exactness: symbol sequences live as space-joined
+    // padded strings, and a merge is `replace(replace(seq, ' l r ', ' lr '))`
+    // — TWO sequential left-to-right non-overlapping scans, the same
+    // primitive with the same semantics on both engines, so the result is
+    // identical by construction. (One scan leaves the even occurrences of
+    // a self-adjacent chain unmerged because the match consumes the
+    // boundary space; the second scan catches them. Chains needing a
+    // third scan are left for the next round's count — a documented,
+    // deterministic approximation of greedy-left.) The per-round argmax
+    // is a 1-row orderBy+limit consumed as a scalar subquery, so the
+    // whole R-round loop is ONE declarative plan with no driver state.
+    "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
+
     // Multimodal metadata pass: text treated as an opaque payload — byte
     // length + content hash, the same schema shape used for image/audio
     // binary columns (see graft.ops.Multimodal for the binary pipeline).
@@ -208,6 +229,51 @@ object TextQueries {
     * one extra columnar scan of (doc_id, text) + a rerun of a per-row
     * expression vs shuffling the full (doc, term, tf) stream — the scan
     * rerun wins on network and loses nothing on CPU parallelism. */
+  /** q_bpe_merges' pipeline: R unrolled BPE rounds over the corpus
+    * vocabulary. Scale shape: ONE corpus-sized token aggregate collapses
+    * to word types; every round after that is vocab-sized (pair explode →
+    * partial+final count → 1-row TakeOrdered argmax as a scalar
+    * subquery → per-row double-replace merge). */
+  private[ops] def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val vocab = documents.filter(col("text").isNotNull)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", expr(
+        "concat(' ', array_join(transform(sequence(1, length(w))," +
+          " i -> substring(w, i, 1)), ' '), ' ')"))
+      .select(col("cnt"), col("seq"))
+    var cur = vocab
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val top = cur
+        .select(col("cnt"), expr("split(trim(seq), ' ')").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"))
+          .as("pr"))
+        .select(col("cnt"), col("pr.l").as("l"), col("pr.r").as("r"))
+        .groupBy("l", "r").agg(sum("cnt").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+      val row = top.select(lit(r).as("round"), col("l").as("left_sym"),
+        col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
+        col("pair_count"))
+      out = if (out == null) row else out.unionByName(row)
+      if (r < rounds) {
+        val m = top.select(struct(col("l"), col("r")).as("s")).scalar()
+        val pat = concat(lit(" "), col("m.l"), lit(" "), col("m.r"), lit(" "))
+        val rep = concat(lit(" "), col("m.l"), col("m.r"), lit(" "))
+        cur = cur.withColumn("m", m)
+          .select(col("cnt"),
+            call_function("replace",
+              call_function("replace", col("seq"), pat, rep), pat, rep)
+              .as("seq"))
+      }
+    }
+    out
+  }
+
   private[ops] def docTfidf(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val docs = documents.filter(col("text").isNotNull)
@@ -290,6 +356,46 @@ object TextQueries {
                        ${hits("de")} AS de_hits,
                        ${hits("fr")} AS fr_hits
                 FROM (SELECT doc_id, lower(text) AS t FROM documents) n) h"""
+    },
+    "q_bpe_merges" -> {
+      // unrolled-round CTE chain, same technique as the kmeans oracle;
+      // the merge is the SAME double-replace primitive the Spark side runs
+      val rounds = 3
+      def countCtes(r: Int): String =
+        s"""pe$r AS (SELECT cnt, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+                  FROM (SELECT cnt, string_split(trim(seq), ' ') AS t
+                        FROM v${r - 1}) s$r
+                  WHERE len(t) >= 2),
+          p$r AS (SELECT t[i] AS l, t[i + 1] AS r, SUM(cnt) AS pair_count
+                  FROM pe$r GROUP BY 1, 2),
+          m$r AS (SELECT l, r, pair_count FROM p$r
+                  ORDER BY pair_count DESC, l, r LIMIT 1)"""
+      def mergeCte(r: Int): String =
+        s"""v$r AS (SELECT cnt,
+                    replace(replace(seq,
+                        ' ' || m.l || ' ' || m.r || ' ',
+                        ' ' || m.l || m.r || ' '),
+                        ' ' || m.l || ' ' || m.r || ' ',
+                        ' ' || m.l || m.r || ' ') AS seq
+                  FROM v${r - 1}, m$r m)"""
+      val ctes = (1 to rounds).map { r =>
+        if (r < rounds) countCtes(r) + ",\n          " + mergeCte(r)
+        else countCtes(r)
+      }.mkString(",\n          ")
+      val finals = (1 to rounds).map { r =>
+        s"""SELECT $r AS round, l AS left_sym, r AS right_sym,
+                   l || r AS merged, pair_count FROM m$r"""
+      }.mkString("\n          UNION ALL ")
+      s"""WITH v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                      ' ' || array_to_string(
+                          list_transform(generate_series(1, length(w)),
+                            i -> substring(w, i, 1)), ' ') || ' ' AS seq
+               FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                     FROM documents WHERE text IS NOT NULL) toks
+               WHERE length(w) > 0
+               GROUP BY w),
+          $ctes
+          $finals"""
     },
     "q_ngram_stats" ->
       """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w

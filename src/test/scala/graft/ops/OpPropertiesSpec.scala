@@ -450,6 +450,37 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(hits > 0, "denylist must bite on the fixture")
   }
 
+  test("bpe merges: hand-computed rounds on a tiny corpus, invariants on the fixture") {
+    import spark.implicits._
+    // corpus: "aaab" ×2, "ab" ×1.
+    // round 1: pairs (a,a)=4 (two per aaab), (a,b)=3 → merge aa
+    // round 2: aaab=[aa,a,b] → (aa,a)=2, (a,b)=2; ab=[a,b] → (a,b)=3 → ab
+    // round 3: aaab=[aa,ab] → (aa,ab)=2 → aaab
+    val tiny = Seq("aaab aaab ab").toDF("text")
+    val got = TextQueries.bpeMerges(tiny)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+
+    val fixture = TextQueries.queries("q_bpe_merges")(
+      spark, "/root/testdata/sf0.001").orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(fixture.map(_._1) === Seq(1, 2, 3))
+    fixture.foreach { case (_, l, r, m, c) =>
+      assert(m === l + r); assert(c > 0)
+    }
+    // a merge can only create pairs bounded by existing pair counts, so
+    // the winning count never increases across rounds
+    assert(fixture.map(_._5) === fixture.map(_._5).sorted.reverse)
+    // the same pair is never learned twice
+    assert(fixture.map(t => (t._2, t._3)).distinct.size === 3)
+  }
+
   test("ngram stats equal an in-memory recount of the corpus bigrams") {
     val sfDir = "/root/testdata/sf0.001"
     val got = TextQueries.queries("q_ngram_stats")(spark, sfDir)
