@@ -198,6 +198,12 @@ object TextQueries {
     // whole R-round loop is ONE declarative plan with no driver state.
     "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
 
+    // The APPLY side of the learned tokenizer: every document's size under
+    // the 3-merge vocabulary, plus the chars-per-token compression the
+    // merges bought. Per-row double-replace work; the learned pairs enter
+    // as scalar subqueries (train once, apply embarrassingly parallel).
+    "q_bpe_tokenize" -> ((s, d) => bpeTokenize(Tables.documents(s, d))),
+
     // Multimodal metadata pass: text treated as an opaque payload — byte
     // length + content hash, the same schema shape used for image/audio
     // binary columns (see graft.ops.Multimodal for the binary pipeline).
@@ -234,7 +240,60 @@ object TextQueries {
     * to word types; every round after that is vocab-sized (pair explode →
     * partial+final count → 1-row TakeOrdered argmax as a scalar
     * subquery → per-row double-replace merge). */
-  private[ops] def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame = {
+  /** BPE training rounds — one value feeding the Spark loop AND the
+    * unrolled oracle CTE chain so the two can never drift. */
+  private[ops] val BpeRounds = 3
+
+  /** The shared DuckDB CTE chain: vocabulary v0, then per round r the pair
+    * count p_r, winner m_r and (between rounds) merged vocabulary v_r —
+    * the same unrolled-round technique as the kmeans oracle, with the
+    * merge as the identical double-replace primitive the Spark side runs. */
+  private def bpeOracleCtes(rounds: Int): String = {
+    def countCtes(r: Int): String =
+      s"""pe$r AS (SELECT cnt, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+                FROM (SELECT cnt, string_split(trim(seq), ' ') AS t
+                      FROM v${r - 1}) s$r
+                WHERE len(t) >= 2),
+        p$r AS (SELECT t[i] AS l, t[i + 1] AS r, SUM(cnt) AS pair_count
+                FROM pe$r GROUP BY 1, 2),
+        m$r AS (SELECT l, r, pair_count FROM p$r
+                ORDER BY pair_count DESC, l, r LIMIT 1)"""
+    def mergeCte(r: Int): String =
+      s"""v$r AS (SELECT cnt,
+                  replace(replace(seq,
+                      ' ' || m.l || ' ' || m.r || ' ',
+                      ' ' || m.l || m.r || ' '),
+                      ' ' || m.l || ' ' || m.r || ' ',
+                      ' ' || m.l || m.r || ' ') AS seq
+                FROM v${r - 1}, m$r m)"""
+    val chain = (1 to rounds).map { r =>
+      if (r < rounds) countCtes(r) + ",\n        " + mergeCte(r)
+      else countCtes(r)
+    }.mkString(",\n        ")
+    s"""v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                ' ' || array_to_string(
+                    list_transform(generate_series(1, length(w)),
+                      i -> substring(w, i, 1)), ' ') || ' ' AS seq
+         FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w
+               FROM documents WHERE text IS NOT NULL) toks
+         WHERE length(w) > 0
+         GROUP BY w),
+        $chain"""
+  }
+
+  /** The double-replace merge of pair `m` (a struct<l,r> scalar) applied to
+    * a space-joined padded symbol string — the exact cross-engine merge
+    * primitive (see q_bpe_merges' scaladoc). */
+  private def bpeMergeStep(seq: Column, m: Column): Column = {
+    val pat = concat(lit(" "), m.getField("l"), lit(" "),
+      m.getField("r"), lit(" "))
+    val rep = concat(lit(" "), m.getField("l"), m.getField("r"), lit(" "))
+    call_function("replace", call_function("replace", seq, pat, rep), pat, rep)
+  }
+
+  /** The per-round winning pairs (1-row frames, columns l/r/pair_count) of
+    * R BPE rounds over the corpus vocabulary. */
+  private def bpeTops(documents: DataFrame, rounds: Int): Seq[DataFrame] = {
     val vocab = documents.filter(col("text").isNotNull)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -244,7 +303,7 @@ object TextQueries {
           " i -> substring(w, i, 1)), ' '), ' ')"))
       .select(col("cnt"), col("seq"))
     var cur = vocab
-    var out: DataFrame = null
+    val tops = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val top = cur
         .select(col("cnt"), expr("split(trim(seq), ' ')").as("t"))
@@ -256,22 +315,48 @@ object TextQueries {
         .select(col("cnt"), col("pr.l").as("l"), col("pr.r").as("r"))
         .groupBy("l", "r").agg(sum("cnt").as("pair_count"))
         .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
-      val row = top.select(lit(r).as("round"), col("l").as("left_sym"),
-        col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
-        col("pair_count"))
-      out = if (out == null) row else out.unionByName(row)
+      tops += top
       if (r < rounds) {
         val m = top.select(struct(col("l"), col("r")).as("s")).scalar()
-        val pat = concat(lit(" "), col("m.l"), lit(" "), col("m.r"), lit(" "))
-        val rep = concat(lit(" "), col("m.l"), col("m.r"), lit(" "))
         cur = cur.withColumn("m", m)
-          .select(col("cnt"),
-            call_function("replace",
-              call_function("replace", col("seq"), pat, rep), pat, rep)
-              .as("seq"))
+          .select(col("cnt"), bpeMergeStep(col("seq"), col("m")).as("seq"))
       }
     }
-    out
+    tops.result()
+  }
+
+  private[ops] def bpeMerges(documents: DataFrame, rounds: Int = BpeRounds): DataFrame =
+    bpeTops(documents, rounds).zipWithIndex.map { case (top, i) =>
+      top.select(lit(i + 1).as("round"), col("l").as("left_sym"),
+        col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
+        col("pair_count"))
+    }.reduce(_ unionByName _)
+
+  /** q_bpe_tokenize: apply the R learned merges to every document and
+    * report its size under the learned vocabulary. Words are separated by
+    * DOUBLE spaces in the symbol string, so a merge pattern (single
+    * interior spaces) can never span a word boundary. Per-row work plus R
+    * scalar subqueries — the apply side of the tokenizer is embarrassingly
+    * parallel, exactly as it must be at 100 TB. */
+  private[ops] def bpeTokenize(documents: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val tops = bpeTops(documents, rounds)
+    var df = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("concat(' ', array_join(transform(split(trim(lower(text)), '\\\\s+')," +
+          " w -> array_join(transform(sequence(1, length(w))," +
+          " i -> substring(w, i, 1)), ' ')), '  '), ' ')").as("seq"),
+        length(regexp_replace(trim(lower(col("text"))), "\\s+", ""))
+          .cast("long").as("n_chars"))
+    tops.foreach { top =>
+      val m = top.select(struct(col("l"), col("r")).as("s")).scalar()
+      df = df.withColumn("m", m)
+        .select(col("doc_id"), bpeMergeStep(col("seq"), col("m")).as("seq"),
+          col("n_chars"))
+    }
+    df.select(col("doc_id"), col("n_chars"),
+      expr("CAST(size(split(trim(seq), ' +')) AS BIGINT)").as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_bpe_tokens"))
   }
 
   private[ops] def docTfidf(documents: DataFrame): DataFrame = {
@@ -358,44 +443,45 @@ object TextQueries {
                 FROM (SELECT doc_id, lower(text) AS t FROM documents) n) h"""
     },
     "q_bpe_merges" -> {
-      // unrolled-round CTE chain, same technique as the kmeans oracle;
-      // the merge is the SAME double-replace primitive the Spark side runs
-      val rounds = 3
-      def countCtes(r: Int): String =
-        s"""pe$r AS (SELECT cnt, t, UNNEST(generate_series(1, len(t) - 1)) AS i
-                  FROM (SELECT cnt, string_split(trim(seq), ' ') AS t
-                        FROM v${r - 1}) s$r
-                  WHERE len(t) >= 2),
-          p$r AS (SELECT t[i] AS l, t[i + 1] AS r, SUM(cnt) AS pair_count
-                  FROM pe$r GROUP BY 1, 2),
-          m$r AS (SELECT l, r, pair_count FROM p$r
-                  ORDER BY pair_count DESC, l, r LIMIT 1)"""
-      def mergeCte(r: Int): String =
-        s"""v$r AS (SELECT cnt,
+      val finals = (1 to BpeRounds).map { r =>
+        s"""SELECT $r AS round, l AS left_sym, r AS right_sym,
+                   l || r AS merged, pair_count FROM m$r"""
+      }.mkString("\n          UNION ALL ")
+      s"""WITH ${bpeOracleCtes(BpeRounds)}
+          $finals"""
+    },
+    "q_bpe_tokenize" -> {
+      // same learned-merge CTE chain, applied per document; double-space
+      // word separators keep merges from spanning word boundaries
+      def applyCte(r: Int): String = {
+        val prev = if (r == 1) "ds" else s"a${r - 1}"
+        s"""a$r AS (SELECT doc_id, n_chars,
                     replace(replace(seq,
                         ' ' || m.l || ' ' || m.r || ' ',
                         ' ' || m.l || m.r || ' '),
                         ' ' || m.l || ' ' || m.r || ' ',
                         ' ' || m.l || m.r || ' ') AS seq
-                  FROM v${r - 1}, m$r m)"""
-      val ctes = (1 to rounds).map { r =>
-        if (r < rounds) countCtes(r) + ",\n          " + mergeCte(r)
-        else countCtes(r)
-      }.mkString(",\n          ")
-      val finals = (1 to rounds).map { r =>
-        s"""SELECT $r AS round, l AS left_sym, r AS right_sym,
-                   l || r AS merged, pair_count FROM m$r"""
-      }.mkString("\n          UNION ALL ")
-      s"""WITH v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-                      ' ' || array_to_string(
-                          list_transform(generate_series(1, length(w)),
-                            i -> substring(w, i, 1)), ' ') || ' ' AS seq
-               FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w
-                     FROM documents WHERE text IS NOT NULL) toks
-               WHERE length(w) > 0
-               GROUP BY w),
-          $ctes
-          $finals"""
+                  FROM $prev, m$r m)"""
+      }
+      s"""WITH ${bpeOracleCtes(BpeRounds)},
+          ds AS (SELECT doc_id,
+                   ' ' || array_to_string(list_transform(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       w -> array_to_string(list_transform(
+                              generate_series(1, length(w)),
+                              i -> substring(w, i, 1)), ' ')), '  ') || ' '
+                     AS seq,
+                   CAST(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g'))
+                     AS BIGINT) AS n_chars
+                 FROM documents WHERE text IS NOT NULL),
+          ${(1 to BpeRounds).map(applyCte).mkString(",\n          ")}
+          SELECT doc_id, n_chars,
+                 CAST(len(string_split_regex(trim(seq), ' +')) AS BIGINT)
+                   AS n_bpe_tokens,
+                 CAST(n_chars AS DOUBLE)
+                   / CAST(len(string_split_regex(trim(seq), ' +')) AS BIGINT)
+                   AS compression
+          FROM a$BpeRounds"""
     },
     "q_ngram_stats" ->
       """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w

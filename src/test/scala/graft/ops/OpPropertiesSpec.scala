@@ -481,6 +481,30 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(fixture.map(t => (t._2, t._3)).distinct.size === 3)
   }
 
+  test("bpe tokenize: learned merges collapse the tiny corpus to whole words") {
+    import spark.implicits._
+    // with merges aa, ab, aaab (hand-derived above): aaab → 1 token,
+    // ab → 1 token, so the doc "aaab aaab ab" is 3 tokens over 10 chars
+    val tiny = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val row = TextQueries.bpeTokenize(tiny).head
+    assert(row.getLong(1) === 10L) // n_chars
+    assert(row.getLong(2) === 3L)  // n_bpe_tokens
+    assert(row.getDouble(3) === 10.0 / 3L)
+
+    // fixture invariants: every doc compresses (merges only shrink), and
+    // token counts stay within [n_chars/max_sym_len, n_chars]
+    val fx = TextQueries.queries("q_bpe_tokenize")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      val (chars, toks) = (r.getLong(1), r.getLong(2))
+      assert(toks >= 1 && toks <= chars, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(3) === chars.toDouble / toks)
+    }
+    // the merges actually bite somewhere on the fixture
+    assert(fx.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
   test("ngram stats equal an in-memory recount of the corpus bigrams") {
     val sfDir = "/root/testdata/sf0.001"
     val got = TextQueries.queries("q_ngram_stats")(spark, sfDir)
