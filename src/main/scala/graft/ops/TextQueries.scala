@@ -292,7 +292,17 @@ object TextQueries {
   }
 
   /** The per-round winning pairs (1-row frames, columns l/r/pair_count) of
-    * R BPE rounds over the corpus vocabulary. */
+    * R BPE rounds over the corpus vocabulary.
+    *
+    * Each round's vocabulary is `localCheckpoint`ed (the clusterLabels
+    * pattern): round r's argmax rides into round r+1's merge as a scalar
+    * subquery, so without the cut the nested subquery chain re-derives the
+    * corpus-sized token aggregate once per PLAN INSTANCE — measured ~10
+    * corpus scans for 3 rounds (2.85 s at sf0.1 vs 0.9 s checkpointed).
+    * With the cut, the corpus is scanned exactly once (the v0 collapse to
+    * word types) and every round is a vocab-sized job. The checkpointed
+    * frames are word-type-sized and session-freed by the callers'
+    * existing block hygiene. */
   private def bpeTops(documents: DataFrame, rounds: Int): Seq[DataFrame] = {
     val vocab = documents.filter(col("text").isNotNull)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -302,7 +312,7 @@ object TextQueries {
         "concat(' ', array_join(transform(sequence(1, length(w))," +
           " i -> substring(w, i, 1)), ' '), ' ')"))
       .select(col("cnt"), col("seq"))
-    var cur = vocab
+    var cur = vocab.localCheckpoint(true)
     val tops = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val top = cur
@@ -320,6 +330,7 @@ object TextQueries {
         val m = top.select(struct(col("l"), col("r")).as("s")).scalar()
         cur = cur.withColumn("m", m)
           .select(col("cnt"), bpeMergeStep(col("seq"), col("m")).as("seq"))
+          .localCheckpoint(true)
       }
     }
     tops.result()
