@@ -39,8 +39,9 @@ import graft.tables.Tables
 object RetrievalQueries {
 
   /** The fixed lexical query. Terms chosen with distinct df on the
-    * fixture corpus so the idf spread is exercised. */
-  private[ops] val QueryTerms: Seq[String] =
+    * fixture corpus so the idf spread is exercised. (private[graft]: the
+    * streaming scorer freezes stats for the same query.) */
+  private[graft] val QueryTerms: Seq[String] =
     Seq("spark", "window", "merge", "customer")
 
   /** BM25 constants (Robertson's defaults). 0.25 = 1-b and 2.2 = k1+1 are
@@ -59,8 +60,10 @@ object RetrievalQueries {
       s" + ($K1 * ($OneMinusB + $B * (CAST(dl AS DOUBLE) / avgdl)))))"
 
   /** Left-associated sum over the query terms — the association order is
-    * part of the cross-engine contract. */
-  private def scoreSql: String =
+    * part of the cross-engine contract. (private[graft]: the streaming
+    * scorer evaluates the SAME expression text over frozen-literal stats,
+    * so stream and batch scores are identical by construction.) */
+  private[graft] def scoreSql: String =
     QueryTerms.indices.map(termScore).reduce((a, b) => s"($a) + ($b)")
 
   /** Per-doc (dl, tf0..tf3) features + the corpus stats scalar, scored.
@@ -69,7 +72,7 @@ object RetrievalQueries {
     * the composable split + per-term `filter` lambdas are interpreted and
     * run on BOTH sides of the stats subquery — measured 2.3× slower at
     * sf0.1). */
-  private[ops] def bm25Scored(docs: DataFrame): DataFrame = {
+  private[graft] def bm25Scored(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
     val feats = docs.filter(col("text").isNotNull)

@@ -260,6 +260,48 @@ object BeaconStreaming {
       .drop("__toks", "__wr")
   }
 
+  /** Streaming BM25 scoring (late r8): FIT the corpus statistics once on a
+    * STATIC corpus — the same 1-row aggregate the batch q_bm25 consumes as
+    * a scalar subquery, read driver-side (one bounded collect, the
+    * freeze-the-static-side shape of [[decontaminateStream]] /
+    * [[importanceScoreStream]]) — then score every streamed document
+    * STATELESSLY: per-row [[graft.functions.QueryTermStats]] features and
+    * the batch scorer's exact expression text evaluated over the frozen
+    * stats as literals. Because the arithmetic is the same IEEE op
+    * sequence over the same values, stream and batch scores are identical
+    * by construction (spec-pinned). No state store, no shuffle — composes
+    * with any downstream watermark/sink; at 100 TB/day of stream this is
+    * scan-rate work. */
+  def bm25ScoreStream(stream: DataFrame, fitCorpus: DataFrame,
+                      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    graft.functions.GraftFunctions.register(fitCorpus.sparkSession)
+    val terms = graft.ops.RetrievalQueries.QueryTerms
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val aggs: List[Column] =
+      count(lit(1)).as("n_docs") :: sum("q.dl").as("total_tokens") ::
+        terms.indices.map(i =>
+          sum(when(col(s"q.tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")).toList
+    val st = fitCorpus.filter(col(textCol).isNotNull)
+      .select(expr(s"query_term_stats($textCol, $termList)").as("q"))
+      .agg(aggs.head, aggs.tail: _*)
+      .head()
+    val nDocs = st.getLong(0)
+    val totalTokens = st.getLong(1)
+    var df = stream
+      .withColumn("__q", expr(s"query_term_stats($textCol, $termList)"))
+      .withColumn("dl", col("__q.dl"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(totalTokens).cast("double") / lit(nDocs))
+    terms.indices.foreach { i =>
+      df = df.withColumn(s"tf$i", col(s"__q.tf$i"))
+        .withColumn(s"df$i", lit(st.getLong(2 + i)))
+    }
+    df.withColumn("bm25", expr(graft.ops.RetrievalQueries.scoreSql))
+      .drop(("__q" :: "dl" :: "n_docs" :: "avgdl" ::
+        terms.indices.flatMap(i => Seq(s"tf$i", s"df$i")).toList): _*)
+  }
+
   /** D6 — dual sink: every micro-batch appends the hourly history layout and
     * overwrites the `latest` snapshot — `foreachBatch` is the streaming
     * form of the reference's validators dual write

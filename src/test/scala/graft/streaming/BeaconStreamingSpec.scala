@@ -405,6 +405,43 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming bm25 scoring equals the batch scorer on the same rows") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val fit = graft.tables.Tables.documents(spark, sfDir)
+    // stream two fit-corpus docs (frozen stats coincide with the batch
+    // subquery exactly) + one zero-hit doc
+    val texts = fit.filter(col("doc_id").isin(3L, 7L))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dir = tmpDir("stream-bm25")
+    def json(id: Long, text: String) = s"""{"doc_id": $id, "text": "$text"}"""
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      json(3, texts(3L)), json(7, texts(7L)),
+      json(900, "no query terms here at all")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in")
+    val q = BeaconStreaming.bm25ScoreStream(src, fit).writeStream
+      .format("memory").queryName("bm25_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("bm25_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(streamed.keySet === Set(3L, 7L, 900L))
+    assert(streamed(900L) === 0.0)
+    val batch = graft.ops.RetrievalQueries.bm25Scored(fit)
+      .filter(col("doc_id").isin(3L, 7L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bit-identical: same expression text over the same stats values
+    assert(streamed(3L) === batch(3L))
+    assert(streamed(7L) === batch(7L))
+  }
+
   test("streaming importance scoring equals the batch pipeline on the same rows") {
     import spark.implicits._
     // fit corpus with a REAL vocabulary split (target speaks A, raw speaks
