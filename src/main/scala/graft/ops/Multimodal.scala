@@ -76,8 +76,13 @@ object Multimodal {
       val out = new Array[Float](dim)
       if (payload == null || payload.isEmpty || dim == 0) return out
       val img =
+        // NonFatal, not just IOException: a JPEG-magic payload with a CMYK
+        // or corrupt color profile drives ImageIO into CMMException /
+        // IllegalArgumentException, and the contract is per-ROW
+        // degradation, never a failed partition (same rationale as
+        // WavDecoder's catch)
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return StubDecoder.decode(payload, dim)
       if (dim >= 1) out(0) = img.getWidth.toFloat
       if (dim >= 2) out(1) = img.getHeight.toFloat

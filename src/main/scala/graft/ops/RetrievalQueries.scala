@@ -66,6 +66,16 @@ object RetrievalQueries {
   private[graft] def scoreSql: String =
     QueryTerms.indices.map(termScore).reduce((a, b) => s"($a) + ($b)")
 
+  /** The five corpus-stat aggregates (n_docs, total_tokens, per-term df) —
+    * ONE definition feeding both the batch scalar subquery and the
+    * streaming freeze ([[graft.streaming.BeaconStreaming.bm25ScoreStream]]),
+    * so the stats that feed the shared `scoreSql` cannot drift between the
+    * two paths. */
+  private[graft] def bm25StatsAggs(dl: Column, tf: Int => Column): List[Column] =
+    count(lit(1)).as("n_docs") :: sum(dl).as("total_tokens") ::
+      QueryTerms.indices.map(i =>
+        sum(when(tf(i) > 0, 1L).otherwise(0L)).as(s"df$i")).toList
+
   /** Per-doc (dl, tf0..tf3) features + the corpus stats scalar, scored.
     * Everything per-row until the single stats aggregate. Features come
     * from ONE [[graft.functions.QueryTermStats]] pass per row (codegen'd;
@@ -83,10 +93,7 @@ object RetrievalQueries {
         QueryTerms.indices.map(i => col(s"q.tf$i").as(s"tf$i")).toList: _*)
     // ONE aggregate for all five stats, consumed as a scalar subquery so
     // the plan carries no 1-row join node (the shape PlanAuditSpec polices)
-    val aggs: List[Column] =
-      count(lit(1)).as("n_docs") :: sum("dl").as("total_tokens") ::
-        QueryTerms.indices.map(i =>
-          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")).toList
+    val aggs = bm25StatsAggs(col("dl"), i => col(s"tf$i"))
     val stats: Column = feats.agg(aggs.head, aggs.tail: _*)
       .select(struct(col("n_docs") :: col("total_tokens") ::
         QueryTerms.indices.map(i => col(s"df$i")).toList: _*).as("s"))
@@ -137,13 +144,16 @@ object RetrievalQueries {
       // dot / (own_norm * query_norm), each factor one correctly-rounded
       // sqrt/division.
       val emb = Tables.embeddings(s, d)
-      val qe = emb.filter(col("vec_id") === 0).select(col("embedding")).scalar()
-      val nq = emb.filter(col("vec_id") === 0)
-        .select(sqrt(expr("vector_dot(embedding, embedding)"))).scalar()
+      // vector + norm packed into ONE struct scalar (the q_bm25 stats
+      // shape), so the query side costs one subquery scan, not two
+      val q = emb.filter(col("vec_id") === 0)
+        .select(struct(col("embedding").as("qe"),
+          sqrt(expr("vector_dot(embedding, embedding)")).as("nq")).as("s"))
+        .scalar()
       val cos = emb.filter(col("vec_id") =!= 0)
         .select(col("vec_id").as("doc_id"),
-          (call_function("vector_dot", col("embedding"), qe) /
-            (sqrt(expr("vector_dot(embedding, embedding)")) * nq))
+          (call_function("vector_dot", col("embedding"), q.getField("qe")) /
+            (sqrt(expr("vector_dot(embedding, embedding)")) * q.getField("nq")))
             .as("score"))
       val cosTop = topK(cos, 20)
         .select(col("doc_id"), rrfContrib.as("contrib"))

@@ -211,7 +211,9 @@ object SimilarityQueries {
         negate(greatest(assignCand: _*).getField("n")).as("cell"))
   }
 
-  // private[ops]: RetrievalQueries' hybrid fusion reuses the scored stream
+  // private[ops]: RetrievalSpec rebuilds q_hybrid_rrf's cosine ranks from
+  // this stream as the independent-path check (the production hybrid query
+  // scores its single query vector via scalar subqueries instead)
   private[ops] def cosineScored(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // driver-owned sessions too
     // norms once per side, not per pair: each corpus row then costs one dot

@@ -89,38 +89,35 @@ object BeaconStreaming {
     * as the cheap low-latency high-precision prefilter; use the banded
     * variant (or the nightly batch pass) for recall. */
   /** Streaming BANDED near-dup dedup (r8) — closes [[nearDupDedup]]'s
-    * documented semantic gap: a doc is kept only if NONE of its 4 LSH band
-    * hashes was claimed by an earlier in-watermark doc, i.e. exactly the
-    * batch banded-LSH pairing rule (ANY 1-of-4 agreeing band ⇒ near-dup),
-    * where nearDupDedup needs the WHOLE signature to collide.
+    * documented semantic gap: a doc is dropped when ANY of its 4 LSH band
+    * hashes was already claimed by an in-watermark KEPT doc — the batch
+    * banded-LSH pairing rule (1-of-4 agreeing band ⇒ near-dup), where
+    * nearDupDedup needs the WHOLE signature to collide.
     *
-    * The "OR over four state keys" that a single
-    * `dropDuplicatesWithinWatermark` cannot express becomes TWO chained
-    * stateful stages (supported in append mode since Spark 3.5's
-    * multiple-stateful-operator work):
+    * The "OR over four state keys" a single dedup cannot express becomes
+    * FOUR chained `dropDuplicatesWithinWatermark` stages, one per band
+    * (multiple chained stateful operators are supported in append mode
+    * since Spark 3.5): stage k drops any doc whose band-k hash is already
+    * claimed, and the survivor claims it. Each stage resolves its own key
+    * conflicts ALONE, so two near-dups arriving in the SAME micro-batch
+    * always leave exactly one survivor — a design a first draft with
+    * explode + (band,hash)-keyed dedup + count==4 could not give: its
+    * per-key winners were independent, so a same-batch pair could split
+    * the claims (A wins band 0, B wins band 1) and BOTH vanish. (The
+    * obvious repair — sort by doc_id before the dedup — is rejected by
+    * Spark: Sort is unsupported on append-mode streams.)
     *
-    *   1. explode each doc into its 4 (band_idx, band_hash) rows and
-    *      dedup on that key — the FIRST in-watermark claimant of each
-    *      band survives;
-    *   2. tumbling-window count per doc — a doc that got ALL 4 of its
-    *      band rows through claimed every band first ⇒ no earlier
-    *      near-dup exists ⇒ keep; any doc with < 4 survivors lost at
-    *      least one band to an earlier doc ⇒ drop.
-    *
-    * Chain behaviour matches batch CC more closely than pairwise checks:
-    * a DROPPED doc's unshared bands stay claimed (its stage-1 survivors
-    * are state, even though stage 2 discards the doc), so a later doc
-    * touching only the dropped doc's bands is also dropped — the
-    * transitive chain A–B–C collapses to A exactly as the batch
-    * connected-components labelling would.
-    *
-    * Costs, stated: state is one entry per distinct (band, hash) within
-    * the watermark (vs one 32-byte signature per doc for nearDupDedup —
-    * 4× the entries) plus the stage-2 window buffers; and emission waits
-    * for the event-time window to close (append-mode aggregate), where
-    * nearDupDedup emits in the arrival micro-batch. Use this variant when
-    * batch-equivalent recall matters more than latency; the cheap
-    * prefilter remains [[nearDupDedup]].
+    * Semantics, stated precisely: a doc is kept iff it survives all four
+    * stages; a dropped doc's bands from stages BEFORE its dropping stage
+    * remain claimed, later ones do not. So pairwise 1-of-4 agreement with
+    * a kept doc always drops, but a transitive chain A–B–C (C near-dups
+    * only the DROPPED B) may keep C — deliberate over-KEEP, never
+    * over-drop: the nightly batch pass (q_dedup_clusters) recovers full
+    * chain transitivity, and a stream that can lose every copy of a
+    * cluster would be strictly worse. Emission is in the arrival
+    * micro-batch (no window-close latency). State: 4 single-hash entries
+    * per kept doc within the watermark (vs 1 whole-signature entry for
+    * nearDupDedup).
     *
     * Sub-3-token docs (null signature) fall back to 4 copies of an exact
     * text key — `raw:`-prefixed to keep the key spaces disjoint — so tiny
@@ -128,25 +125,21 @@ object BeaconStreaming {
     */
   def nearDupDedupBanded(df: DataFrame, tsCol: String,
                          textCol: String = "text",
-                         watermark: String = "2 hours",
-                         emitWindow: String = "1 hour"): DataFrame = {
+                         watermark: String = "2 hours"): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val banded = df
+    val rawKey = expr(
+      s"md5_low63(concat('raw:', coalesce($textCol, '')))")
+    var out = df
       .withColumn("__sig", expr(s"shingle_sig($textCol)"))
-      .withColumn("__bands", when(col("__sig").isNotNull,
-          array(col("__sig.mh0"), col("__sig.mh1"),
-            col("__sig.mh2"), col("__sig.mh3")))
-        .otherwise(expr(
-          s"array_repeat(md5_low63(concat('raw:', coalesce($textCol, ''))), 4)")))
+      .withColumn("__b0", coalesce(col("__sig.mh0"), rawKey))
+      .withColumn("__b1", coalesce(col("__sig.mh1"), rawKey))
+      .withColumn("__b2", coalesce(col("__sig.mh2"), rawKey))
+      .withColumn("__b3", coalesce(col("__sig.mh3"), rawKey))
+      .drop("__sig")
       .withWatermark(tsCol, watermark)
-      .select(col("doc_id"), col(tsCol), col(textCol),
-        posexplode(col("__bands")).as(Seq("band", "bhash")))
-    banded
-      .dropDuplicatesWithinWatermark("band", "bhash")
-      .groupBy(window(col(tsCol), emitWindow).as("w"), col("doc_id"))
-      .agg(count(lit(1)).as("bands_claimed"), first(col(textCol)).as(textCol))
-      .filter(col("bands_claimed") === 4)
-      .select(col("doc_id"), col("w.start").as("window_start"), col(textCol))
+    for (k <- 0 until 4)
+      out = out.dropDuplicatesWithinWatermark(s"__b$k")
+    out.drop("__b0", "__b1", "__b2", "__b3")
   }
 
   def nearDupDedup(df: DataFrame, tsCol: String, textCol: String = "text",
@@ -278,15 +271,27 @@ object BeaconStreaming {
     graft.functions.GraftFunctions.register(fitCorpus.sparkSession)
     val terms = graft.ops.RetrievalQueries.QueryTerms
     val termList = terms.map(t => s"'$t'").mkString(", ")
-    val aggs: List[Column] =
-      count(lit(1)).as("n_docs") :: sum("q.dl").as("total_tokens") ::
-        terms.indices.map(i =>
-          sum(when(col(s"q.tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")).toList
+    // the internal column names scoreSql references would silently
+    // OVERWRITE same-named user columns (and the final drop would delete
+    // them) — fail loudly instead of losing stream data
+    val internal = ("dl" :: "n_docs" :: "avgdl" :: "bm25" ::
+      terms.indices.flatMap(i => Seq(s"tf$i", s"df$i")).toList).toSet
+    val clash = stream.columns.filter(internal)
+    require(clash.isEmpty,
+      s"bm25ScoreStream: stream columns ${clash.mkString(", ")} collide " +
+        "with the scorer's internal names — rename them upstream")
+    // same aggregate definition as the batch scalar subquery (shared
+    // helper — the stats feeding the shared scoreSql cannot drift)
+    val aggs = graft.ops.RetrievalQueries
+      .bm25StatsAggs(col("q.dl"), i => col(s"q.tf$i"))
     val st = fitCorpus.filter(col(textCol).isNotNull)
       .select(expr(s"query_term_stats($textCol, $termList)").as("q"))
       .agg(aggs.head, aggs.tail: _*)
       .head()
     val nDocs = st.getLong(0)
+    require(nDocs > 0,
+      "bm25ScoreStream: fit corpus has no non-null-text documents — " +
+        "corpus statistics are undefined")
     val totalTokens = st.getLong(1)
     var df = stream
       .withColumn("__q", expr(s"query_term_stats($textCol, $termList)"))

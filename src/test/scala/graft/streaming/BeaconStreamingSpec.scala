@@ -202,11 +202,9 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(kept === Seq(1L, 2L))
   }
 
-  test("banded streaming dedup drops 1-of-4-band near-dups and collapses chains") {
+  test("banded streaming dedup drops 1-of-4-band near-dups the plain stream keeps") {
     // the gap nearDupDedup pins open, nearDupDedupBanded must close: a doc
-    // agreeing with an EARLIER doc on any single band is dropped; and a
-    // doc touching only a DROPPED doc's bands is dropped too (chain
-    // A–B–C collapses to A, matching the batch CC labelling).
+    // agreeing with an EARLIER kept doc on any single band is dropped.
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     def sig(t: String): Seq[Long] = {
@@ -216,58 +214,27 @@ class BeaconStreamingSpec extends SparkTestBase {
     }
     val base = (1 to 30).map(i => s"alpha$i bravo$i").mkString(" ")
     val sigA = sig(base)
-    // B: agrees with A on exactly ONE band. A 40-word tail roughly doubles
-    // the shingle set, so each lane's minimum lands in the new half with
-    // ~0.4 probability and single-shared-band variants are common (a tiny
-    // tail leaves 3-4 lanes shared — measured — and makes the chain-C
-    // search below infeasible). One shared band is still a batch candidate
-    // pair: banded LSH pairs on ANY agreeing band.
-    val bCands = (0 until 400)
-      .map(v => s"$base " +
-        (1 to 40).map(i => s"charlie${v}x$i").mkString(" "))
-      .map(t => (t, sig(t)))
-      .filter { case (_, s) =>
-        (0 until 4).count(k => s(k) == sigA(k)) == 1 }
-    assert(bCands.nonEmpty, "no 1-band B variant in 400 — hashing changed?")
-    val (bText, sigB) = bCands.head
-    // C: agrees with B on a band where B differs from A, and with A on
-    // NONE. Appending fresh words can only LOWER a lane's minhash, so a
-    // C candidate qualifies when its extra shingles displace the minima
-    // of exactly the A-shared lanes (any displaced lane differs from A
-    // automatically: B is a superset of A's shingles, so B < A wherever
-    // they differ, and C ≤ B). Eight extra words give each lane a real
-    // chance of displacement; the search stays deterministic.
-    val cCand = (0 until 4000).iterator
-      .map(v => s"$bText golf$v hotel$v india$v juliet$v " +
-        s"kilo$v lima$v mike$v november$v")
+    // B: agrees with A on 1..3 bands (the same search the plain-stream gap
+    // test uses) — a batch candidate pair that nearDupDedup keeps
+    val bCand = (0 until 400).iterator
+      .map(v => s"$base charlie$v delta$v")
       .map(t => (t, sig(t)))
       .find { case (_, s) =>
-        (0 until 4).exists(k => s(k) == sigB(k) && sigB(k) != sigA(k)) &&
-          (0 until 4).forall(k => s(k) != sigA(k)) }
-    assert(cCand.nonEmpty, "no chain-only C variant found — hashing changed?")
-    val cText = cCand.get._1
+        val sh = (0 until 4).count(k => s(k) == sigA(k)); sh >= 1 && sh <= 3 }
+    assert(bCand.nonEmpty, "no partial-band B variant found — hashing changed?")
+    val bText = bCand.get._1
 
     val dir = tmpDir("stream-neardup-banded")
     def doc(id: Long, ts: String, text: String) =
       s"""{"doc_id": $id, "ts": "$ts", "text": "$text"}"""
-    // one doc per micro-batch (arrival order = claim order); the two
-    // trailing flush docs only advance the watermark past the emit window
     BeaconFixtures.write(s"$dir/in/b1.json", Seq(
       doc(1, "2024-01-01T00:01:00.000Z", base),
       doc(5, "2024-01-01T00:05:00.000Z", "tiny doc")))
     BeaconFixtures.write(s"$dir/in/b2.json", Seq(
       doc(2, "2024-01-01T00:02:00.000Z", bText),
       doc(6, "2024-01-01T00:06:00.000Z", "tiny doc"))) // exact tiny replay
-    BeaconFixtures.write(s"$dir/in/b3.json", Seq(
-      doc(3, "2024-01-01T00:03:00.000Z", cText)))
-    BeaconFixtures.write(s"$dir/in/b4.json", Seq(
-      doc(90, "2024-01-01T06:00:00.000Z", "flush one")))
-    BeaconFixtures.write(s"$dir/in/b5.json", Seq(
-      doc(91, "2024-01-01T07:00:00.000Z", "flush two")))
-    // the file source orders batches by modification time, and the five
-    // writes above can land inside one clock tick — pin strictly
-    // increasing mtimes so claim order is the intended arrival order
-    (1 to 5).foreach { i =>
+    // pin strictly increasing mtimes so claim order is arrival order
+    (1 to 2).foreach { i =>
       java.nio.file.Files.setLastModifiedTime(
         java.nio.file.Paths.get(s"$dir/in/b$i.json"),
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
@@ -287,10 +254,43 @@ class BeaconStreamingSpec extends SparkTestBase {
       .start()
     q.awaitTermination(180000)
     val kept = spark.table("neardup_banded_out").collect()
-      .map(_.getAs[Long]("doc_id")).filter(_ < 90).sorted.toSeq
-    // A kept; B dropped (shares a band with A); C dropped (shares only
-    // B's bands — chain transitivity); tiny doc kept ONCE (raw fallback)
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // A kept; B dropped (1-of-4 band agreement — the pair nearDupDedup's
+    // gap test proves the PLAIN stream keeps); tiny doc kept ONCE
     assert(kept === Seq(1L, 5L))
+  }
+
+  test("banded streaming dedup: a same-micro-batch duplicate pair leaves ONE survivor") {
+    // the hazard that shaped the operator: with per-(band,hash) claims and
+    // a count==4 keep rule, two identical docs in one batch could split
+    // their band claims so NEITHER survived. The chained per-band stages
+    // resolve each key's conflicts alone, so exactly one of the pair must
+    // come out — never zero.
+    val text = (1 to 30).map(i => s"zulu$i yankee$i").mkString(" ")
+    val dir = tmpDir("stream-neardup-banded-batch")
+    def doc(id: Long, ts: String, t: String) =
+      s"""{"doc_id": $id, "ts": "$ts", "text": "$t"}"""
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      doc(11, "2024-01-01T00:01:00.000Z", text),
+      doc(10, "2024-01-01T00:02:00.000Z", text))) // identical, same batch
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in")
+    val q = BeaconStreaming.nearDupDedupBanded(src, "ts").writeStream
+      .format("memory").queryName("neardup_banded_batch_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val kept = spark.table("neardup_banded_batch_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept.length === 1, s"exactly one of the pair must survive: $kept")
+    assert(Set(10L, 11L).contains(kept.head))
   }
 
   test("curateStream composes gates, decontamination and dedup over micro-batches") {
