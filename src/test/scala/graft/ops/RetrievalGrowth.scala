@@ -49,16 +49,26 @@ object RetrievalGrowth {
         .select(posexplode(col("top")).as(Seq("pos", "t")))
     }
 
-    // warm-up: JIT + codegen on the 1x shape, untimed
+    // warm-up: JIT + codegen on the 1x shapes, untimed
     bm25(1).queryExecution.toRdd.count()
+    TextQueries.bpeMerges(docsTimes(1)).queryExecution.toRdd.count()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 
-    println(f"${"scale"}%-6s ${"docs"}%9s ${"bm25_s"}%8s ${"rows"}%5s")
+    // bpe with UNPREFIXED replication: the vocabulary is constant while
+    // the corpus grows, so the vocab-bound rounds should stay flat and
+    // only the single v0 token-aggregate scan should grow — measuring the
+    // "BPE training is vocab-bound, not corpus-bound" claim directly
+    println(f"${"scale"}%-6s ${"docs"}%9s ${"bm25_s"}%8s ${"rows"}%5s ${"bpe_s"}%8s")
     for (n <- Seq(1, 2, 4, 8)) {
       val nDocs = docsTimes(n).count()
       val t0 = System.nanoTime()
       val rows = bm25(n).queryExecution.toRdd.count()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"${n.toString + "x"}%-6s $nDocs%9d $t%8.2f $rows%5d")
+      val t1 = System.nanoTime()
+      TextQueries.bpeMerges(docsTimes(n)).queryExecution.toRdd.count()
+      val tb = (System.nanoTime() - t1) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      println(f"${n.toString + "x"}%-6s $nDocs%9d $t%8.2f $rows%5d $tb%8.2f")
     }
     spark.stop()
   }
