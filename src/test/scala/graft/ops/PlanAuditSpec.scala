@@ -63,7 +63,9 @@ class PlanAuditSpec extends SparkTestBase {
     // spread legitimately exchanges the one-row-group fixture scan)
     val zeroShuffle = Seq("q_minhash_sig", "q_minhash_native",
       "q_fingerprint", "q_token_count", "q_text_quality", "q_lang_guess",
-      "q_vector_norms")
+      "q_vector_norms",
+      // late r8: denylist scrubbing is pure per-row regex inside the scan
+      "q_redact")
     val offenders = zeroShuffle.filter { name =>
       physical(name).exists(
         _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
