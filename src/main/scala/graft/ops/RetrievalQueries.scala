@@ -51,13 +51,16 @@ object RetrievalQueries {
   private val B = "0.75"
   private val K1Plus1 = "2.2"
 
-  /** Per-term BM25 summand, one source string for BOTH engines (Spark SQL
-    * and DuckDB agree on this surface once tokenization is inlined):
-    * rational idf × saturated tf, every op an IEEE +,-,*,/ in fixed order. */
-  private def termScore(i: Int): String =
-    s"((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
-      s" * ((CAST(tf$i AS DOUBLE) * $K1Plus1) / (CAST(tf$i AS DOUBLE)" +
+  /** Per-term BM25 summand over named tf/df columns, one source string for
+    * BOTH engines (Spark SQL and DuckDB agree on this surface once
+    * tokenization is inlined): rational idf × saturated tf, every op an
+    * IEEE +,-,*,/ in fixed order. */
+  private def termScoreNamed(tf: String, df: String): String =
+    s"((CAST(n_docs - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5))" +
+      s" * ((CAST($tf AS DOUBLE) * $K1Plus1) / (CAST($tf AS DOUBLE)" +
       s" + ($K1 * ($OneMinusB + $B * (CAST(dl AS DOUBLE) / avgdl)))))"
+
+  private def termScore(i: Int): String = termScoreNamed(s"tf$i", s"df$i")
 
   /** Left-associated sum over the query terms — the association order is
     * part of the cross-engine contract. (private[graft]: the streaming
@@ -71,9 +74,10 @@ object RetrievalQueries {
     * streaming freeze ([[graft.streaming.BeaconStreaming.bm25ScoreStream]]),
     * so the stats that feed the shared `scoreSql` cannot drift between the
     * two paths. */
-  private[graft] def bm25StatsAggs(dl: Column, tf: Int => Column): List[Column] =
+  private[graft] def bm25StatsAggs(dl: Column, tf: Int => Column,
+                                   nTerms: Int = QueryTerms.size): List[Column] =
     count(lit(1)).as("n_docs") :: sum(dl).as("total_tokens") ::
-      QueryTerms.indices.map(i =>
+      (0 until nTerms).map(i =>
         sum(when(tf(i) > 0, 1L).otherwise(0L)).as(s"df$i")).toList
 
   /** Per-doc (dl, tf0..tf3) features + the corpus stats scalar, scored.
@@ -125,10 +129,72 @@ object RetrievalQueries {
     * DuckDB's decimal literals never enter the arithmetic. */
   private def rrfContrib: Column = lit(1.0) / (lit(60L) + col("rnk"))
 
+  /** The fixed multi-query batch (q_bm25_multi): three queries of
+    * different lengths, sharing a term ("window") across queries so the
+    * distinct-term union path is exercised. */
+  private[ops] val MultiQueries: Seq[Seq[String]] = Seq(
+    Seq("spark", "window"),
+    Seq("merge", "customer", "table"),
+    Seq("filter", "join", "window", "row"))
+
+  /** Distinct term union, in first-appearance order — ONE
+    * `query_term_stats` pass computes tf for all of them. */
+  private[ops] val MultiTerms: Seq[String] = MultiQueries.flatten.distinct
+
+  /** Per-query left-associated score over the shared term features. */
+  private def multiScoreSql(q: Int): String =
+    MultiQueries(q)
+      .map(t => MultiTerms.indexOf(t))
+      .map(i => termScoreNamed(s"tf$i", s"df$i"))
+      .reduce((a, b) => s"($a) + ($b)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       topK(bm25Scored(Tables.documents(s, d)), 10)
+    }),
+
+    // Multi-query BM25 — the nq-queries retrieval shape where the bounded
+    // heap earns its keep: per-query top-5 over a 3-query batch. ONE
+    // query_term_stats pass computes tf for the distinct term UNION of all
+    // queries, each query's score is a row-local expression over those
+    // shared features, and stack() turns the Q scores into (q_id, score)
+    // rows WITHOUT any query-dimension join — the scan fans out to Q rows
+    // per doc only at the already-scored stage, and the per-(q_id) heap
+    // keeps 5 rows per query per partition across the one exchange. At
+    // nq queries × 100 TB this is the plan you want: no nq-way corpus
+    // replication before scoring, no window, no join.
+    "q_bm25_multi" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val termList = MultiTerms.map(t => s"'$t'").mkString(", ")
+      val feats = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          expr(s"query_term_stats(text, $termList)").as("q"))
+        .select(col("doc_id") :: col("q.dl").as("dl") ::
+          MultiTerms.indices.map(i => col(s"q.tf$i").as(s"tf$i")).toList: _*)
+      val aggs = bm25StatsAggs(col("dl"), i => col(s"tf$i"), MultiTerms.size)
+      val stats = feats.agg(aggs.head, aggs.tail: _*)
+        .select(struct(col("n_docs") :: col("total_tokens") ::
+          MultiTerms.indices.map(i => col(s"df$i")).toList: _*).as("s"))
+        .scalar()
+      val scored = feats.withColumn("st", stats)
+        .select(col("doc_id") :: col("dl") ::
+          MultiTerms.indices.map(i => col(s"tf$i")).toList :::
+          List(col("st.n_docs").as("n_docs"),
+            (col("st.total_tokens").cast("double") / col("st.n_docs"))
+              .as("avgdl")) :::
+          MultiTerms.indices.map(i => col(s"st.df$i").as(s"df$i")).toList: _*)
+      val stackArgs = MultiQueries.indices
+        .map(q => s"${q}L, (${multiScoreSql(q)})").mkString(", ")
+      scored
+        .selectExpr("doc_id",
+          s"stack(${MultiQueries.size}, $stackArgs) AS (q_id, score)")
+        .filter(col("score") > 0)
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, doc_id, 5)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("doc_id"),
+          (col("pos") + 1).as("rnk"), col("t.score").as("score"))
     }),
 
     "q_hybrid_rrf" -> ((s, d) => {
@@ -195,6 +261,42 @@ object RetrievalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_bm25_multi" -> {
+      val tfCols = MultiTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n                     ")
+      val dfCols = MultiTerms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(",\n                      ")
+      val scoreCols = MultiQueries.indices.map(q =>
+        s"(${multiScoreSql(q)}) AS s$q").mkString(",\n                      ")
+      val unions = MultiQueries.indices.map(q =>
+        s"SELECT doc_id, $q AS q_id, s$q AS score FROM sc")
+        .mkString("\n               UNION ALL ")
+      s"""WITH md AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents WHERE text IS NOT NULL),
+          mf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                     $tfCols
+                 FROM md),
+          mst AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+                      $dfCols
+                  FROM mf),
+          sc AS (SELECT doc_id,
+                      $scoreCols
+                 FROM (SELECT mf.*, mst.n_docs,
+                              CAST(mst.total_tokens AS DOUBLE) / mst.n_docs
+                                AS avgdl,
+                              ${MultiTerms.indices.map(i => s"mst.df$i")
+                                  .mkString(", ")}
+                       FROM mf, mst) j),
+          u AS ($unions),
+          r AS (SELECT q_id, doc_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, doc_id) AS rnk
+                FROM u WHERE score > 0)
+          SELECT q_id, doc_id, rnk, score FROM r WHERE rnk <= 5"""
+    },
     "q_bm25" ->
       s"""WITH $bm25Ctes
           SELECT doc_id, rnk, score FROM (

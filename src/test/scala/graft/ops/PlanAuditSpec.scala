@@ -94,7 +94,7 @@ class PlanAuditSpec extends SparkTestBase {
     // q_bm25/q_hybrid_rrf joined the contract in r8: lexical top-k and the
     // fused cut are the same bounded-heap / TakeOrdered shapes
     for (name <- Seq("q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_knn_classify",
-        "q_bm25", "q_hybrid_rrf")) {
+        "q_bm25", "q_bm25_multi", "q_hybrid_rrf")) {
       val plan = physical(name)
       assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
         s"$name regressed to a full-stream window top-k")

