@@ -86,33 +86,40 @@ object RetrievalQueries {
     * the composable split + per-term `filter` lambdas are interpreted and
     * run on BOTH sides of the stats subquery — measured 2.3× slower at
     * sf0.1). */
-  private[graft] def bm25Scored(docs: DataFrame): DataFrame = {
+  /** Shared scaffolding of every BM25 variant (single-query, multi-query):
+    * per-doc features + unpacked corpus stats for `terms`. Output columns:
+    * doc_id, dl, tf0..tfN-1, n_docs, avgdl, df0..dfN-1 — exactly the
+    * names the generated score expressions reference. The stats ride ONE
+    * aggregate consumed as a scalar subquery, so the plan carries no
+    * 1-row join node (the shape PlanAuditSpec polices). */
+  private def bm25Prep(docs: DataFrame, terms: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
     val feats = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         expr(s"query_term_stats(text, $termList)").as("q"))
       .select(col("doc_id") ::
         col("q.dl").as("dl") ::
-        QueryTerms.indices.map(i => col(s"q.tf$i").as(s"tf$i")).toList: _*)
-    // ONE aggregate for all five stats, consumed as a scalar subquery so
-    // the plan carries no 1-row join node (the shape PlanAuditSpec polices)
-    val aggs = bm25StatsAggs(col("dl"), i => col(s"tf$i"))
+        terms.indices.map(i => col(s"q.tf$i").as(s"tf$i")).toList: _*)
+    val aggs = bm25StatsAggs(col("dl"), i => col(s"tf$i"), terms.size)
     val stats: Column = feats.agg(aggs.head, aggs.tail: _*)
       .select(struct(col("n_docs") :: col("total_tokens") ::
-        QueryTerms.indices.map(i => col(s"df$i")).toList: _*).as("s"))
+        terms.indices.map(i => col(s"df$i")).toList: _*).as("s"))
       .scalar()
     feats.withColumn("st", stats)
       .select(col("doc_id") :: col("dl") ::
-        QueryTerms.indices.map(i => col(s"tf$i")).toList :::
+        terms.indices.map(i => col(s"tf$i")).toList :::
         List(col("st.n_docs").as("n_docs"),
           (col("st.total_tokens").cast("double") / col("st.n_docs"))
             .as("avgdl")) :::
-        QueryTerms.indices.map(i => col(s"st.df$i").as(s"df$i")).toList: _*)
+        terms.indices.map(i => col(s"st.df$i").as(s"df$i")).toList: _*)
+  }
+
+  private[graft] def bm25Scored(docs: DataFrame): DataFrame =
+    bm25Prep(docs, QueryTerms)
       .withColumn("score", expr(scoreSql))
       .filter(col("score") > 0)
       .select(col("doc_id"), col("score"))
-  }
 
   /** rnk-ed top-k of a (doc_id, score) stream via the bounded heap —
     * selection and order identical to ROW_NUMBER(score DESC, doc_id). */
@@ -166,27 +173,9 @@ object RetrievalQueries {
     // replication before scoring, no window, no join.
     "q_bm25_multi" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val termList = MultiTerms.map(t => s"'$t'").mkString(", ")
-      val feats = Tables.documents(s, d).filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          expr(s"query_term_stats(text, $termList)").as("q"))
-        .select(col("doc_id") :: col("q.dl").as("dl") ::
-          MultiTerms.indices.map(i => col(s"q.tf$i").as(s"tf$i")).toList: _*)
-      val aggs = bm25StatsAggs(col("dl"), i => col(s"tf$i"), MultiTerms.size)
-      val stats = feats.agg(aggs.head, aggs.tail: _*)
-        .select(struct(col("n_docs") :: col("total_tokens") ::
-          MultiTerms.indices.map(i => col(s"df$i")).toList: _*).as("s"))
-        .scalar()
-      val scored = feats.withColumn("st", stats)
-        .select(col("doc_id") :: col("dl") ::
-          MultiTerms.indices.map(i => col(s"tf$i")).toList :::
-          List(col("st.n_docs").as("n_docs"),
-            (col("st.total_tokens").cast("double") / col("st.n_docs"))
-              .as("avgdl")) :::
-          MultiTerms.indices.map(i => col(s"st.df$i").as(s"df$i")).toList: _*)
       val stackArgs = MultiQueries.indices
         .map(q => s"${q}L, (${multiScoreSql(q)})").mkString(", ")
-      scored
+      bm25Prep(Tables.documents(s, d), MultiTerms)
         .selectExpr("doc_id",
           s"stack(${MultiQueries.size}, $stackArgs) AS (q_id, score)")
         .filter(col("score") > 0)
@@ -235,61 +224,51 @@ object RetrievalQueries {
     * tokenization (string_split_regex ↔ split, list_filter ↔ filter) and
     * the SAME `termScore`/`scoreSql` strings — the arithmetic text is
     * generated once in Scala and inlined into both engines. */
-  private def bm25Ctes: String = {
-    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+  /** Shared DuckDB feature/stats CTE chain for `terms` under name prefix
+    * `p` — the oracle-side twin of [[bm25Prep]]: `${p}d` tokens, `${p}f`
+    * features (dl, tf0..), `${p}st` stats, `${p}j` features × stats with
+    * the exact column names the generated score expressions reference. */
+  private def bmFeatureCtes(terms: Seq[String], p: String): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n                     ")
-    val dfCols = QueryTerms.indices.map(i =>
+    val dfCols = terms.indices.map(i =>
       s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
       .mkString(",\n                      ")
-    s"""bd AS (SELECT doc_id,
+    s"""${p}d AS (SELECT doc_id,
                       string_split_regex(trim(lower(text)), '\\s+') AS w
                FROM documents WHERE text IS NOT NULL),
-          bf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+          ${p}f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
                      $tfCols
-                 FROM bd),
-          bst AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+                 FROM ${p}d),
+          ${p}st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
                       $dfCols
-                  FROM bf),
-          bsc AS (SELECT doc_id, ($scoreSql) AS score
-                  FROM (SELECT bf.*, bst.n_docs,
-                               CAST(bst.total_tokens AS DOUBLE) / bst.n_docs
-                                 AS avgdl,
-                               ${QueryTerms.indices.map(i => s"bst.df$i")
-                                   .mkString(", ")}
-                        FROM bf, bst) j)"""
+                  FROM ${p}f),
+          ${p}j AS (SELECT ${p}f.*, ${p}st.n_docs,
+                           CAST(${p}st.total_tokens AS DOUBLE) / ${p}st.n_docs
+                             AS avgdl,
+                           ${terms.indices.map(i => s"${p}st.df$i")
+                               .mkString(", ")}
+                    FROM ${p}f, ${p}st)"""
   }
+
+  /** Single-query chain: shared features + the scored stage q_bm25 and
+    * q_hybrid_rrf read from (`bsc`). */
+  private def bm25Ctes: String =
+    s"""${bmFeatureCtes(QueryTerms, "b")},
+          bsc AS (SELECT doc_id, ($scoreSql) AS score FROM bj)"""
 
   val oracle: Map[String, String] = Map(
     "q_bm25_multi" -> {
-      val tfCols = MultiTerms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
-      }.mkString(",\n                     ")
-      val dfCols = MultiTerms.indices.map(i =>
-        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-        .mkString(",\n                      ")
       val scoreCols = MultiQueries.indices.map(q =>
         s"(${multiScoreSql(q)}) AS s$q").mkString(",\n                      ")
       val unions = MultiQueries.indices.map(q =>
         s"SELECT doc_id, $q AS q_id, s$q AS score FROM sc")
         .mkString("\n               UNION ALL ")
-      s"""WITH md AS (SELECT doc_id,
-                      string_split_regex(trim(lower(text)), '\\s+') AS w
-               FROM documents WHERE text IS NOT NULL),
-          mf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
-                     $tfCols
-                 FROM md),
-          mst AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
-                      $dfCols
-                  FROM mf),
+      s"""WITH ${bmFeatureCtes(MultiTerms, "m")},
           sc AS (SELECT doc_id,
                       $scoreCols
-                 FROM (SELECT mf.*, mst.n_docs,
-                              CAST(mst.total_tokens AS DOUBLE) / mst.n_docs
-                                AS avgdl,
-                              ${MultiTerms.indices.map(i => s"mst.df$i")
-                                  .mkString(", ")}
-                       FROM mf, mst) j),
+                 FROM mj),
           u AS ($unions),
           r AS (SELECT q_id, doc_id, score,
                        ROW_NUMBER() OVER (PARTITION BY q_id

@@ -312,7 +312,15 @@ object TextQueries {
         "concat(' ', array_join(transform(sequence(1, length(w))," +
           " i -> substring(w, i, 1)), ' '), ' ')"))
       .select(col("cnt"), col("seq"))
-    var cur = vocab.localCheckpoint(true)
+    // LAZY checkpoints (eager = false): the cut still guarantees each
+    // vocab-level frame materializes once at EXECUTION (the first subquery
+    // to touch it computes it, later references read the blocks), but
+    // plan-only callers — PlanAuditSpec walks every registered query's
+    // physical plan — no longer trigger the training jobs just by
+    // CONSTRUCTING the query. Blocks live until the caller's unpersist
+    // hygiene (Verify per query, Bench per rep) releases them, like every
+    // other checkpointing operator here.
+    var cur = vocab.localCheckpoint(false)
     val tops = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val top = cur
@@ -330,7 +338,7 @@ object TextQueries {
         val m = top.select(struct(col("l"), col("r")).as("s")).scalar()
         cur = cur.withColumn("m", m)
           .select(col("cnt"), bpeMergeStep(col("seq"), col("m")).as("seq"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     tops.result()

@@ -127,6 +127,13 @@ object BeaconStreaming {
                          textCol: String = "text",
                          watermark: String = "2 hours"): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // internal working columns would silently overwrite (and the final
+    // drop delete) same-named user columns — fail loudly instead
+    val clash = df.columns
+      .filter(Set("__sig", "__b0", "__b1", "__b2", "__b3"))
+    require(clash.isEmpty,
+      s"nearDupDedupBanded: stream columns ${clash.mkString(", ")} collide " +
+        "with the dedup's internal names — rename them upstream")
     val rawKey = expr(
       s"md5_low63(concat('raw:', coalesce($textCol, '')))")
     var out = df
@@ -264,7 +271,10 @@ object BeaconStreaming {
     * sequence over the same values, stream and batch scores are identical
     * by construction (spec-pinned). No state store, no shuffle — composes
     * with any downstream watermark/sink; at 100 TB/day of stream this is
-    * scan-rate work. */
+    * scan-rate work. A null text column yields a null score — the
+    * caller's gate decides, the same contract as
+    * [[importanceScoreStream]] (the batch path instead drops such rows
+    * before scoring; a stream must not silently swallow rows). */
   def bm25ScoreStream(stream: DataFrame, fitCorpus: DataFrame,
                       textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(stream.sparkSession)
@@ -274,7 +284,7 @@ object BeaconStreaming {
     // the internal column names scoreSql references would silently
     // OVERWRITE same-named user columns (and the final drop would delete
     // them) — fail loudly instead of losing stream data
-    val internal = ("dl" :: "n_docs" :: "avgdl" :: "bm25" ::
+    val internal = ("__q" :: "dl" :: "n_docs" :: "avgdl" :: "bm25" ::
       terms.indices.flatMap(i => Seq(s"tf$i", s"df$i")).toList).toSet
     val clash = stream.columns.filter(internal)
     require(clash.isEmpty,
