@@ -137,9 +137,20 @@ object DedupQueries {
     * still drops): greedy incremental dedup trades that recall sliver
     * for a closed-form per-doc decision; the nightly batch
     * q_dedup_clusters pass reconciles. */
-  private[ops] def dedupDelta(corpus: DataFrame, delta: DataFrame): DataFrame = {
-    val sig = minhashSigOf(corpus).withColumn("side", lit(0))
-      .unionByName(minhashSigOf(delta).withColumn("side", lit(1)))
+  private[ops] def dedupDelta(corpus: DataFrame, delta: DataFrame): DataFrame =
+    dedupDeltaFromSig(
+      minhashSigOf(corpus).withColumn("side", lit(0))
+        .unionByName(minhashSigOf(delta).withColumn("side", lit(1))),
+      delta.select("doc_id"))
+
+  /** [[dedupDelta]] over a pre-tagged signature frame (`side` = 0 corpus /
+    * 1 delta, one row per doc) plus the delta's id universe. Split out so
+    * a caller whose corpus and delta live in the SAME relation (the
+    * registered query: one `documents` table split on an id watermark)
+    * can tag `side` inside a single signature scan instead of paying two
+    * filtered full-text scans that a union immediately re-concatenates —
+    * same bytes, but half the scan tasks and one plan branch. */
+  private[ops] def dedupDeltaFromSig(sig: DataFrame, deltaIds: DataFrame): DataFrame = {
     val pairs = lshPairsFromSig(sig, extra = Seq("side"),
       pairFilter = Some("a.side = 1 OR b.side = 1"))
     val contrib = pairs.select(
@@ -147,13 +158,19 @@ object DedupQueries {
         .otherwise(col("doc_b")).as("doc_id"), // (0,1) → doc_b; (1,1) → larger id doc_b
       when(col("side_a") === 0 || col("side_b") === 0, 1L).otherwise(0L).as("cm"),
       when(col("side_a") === 1 && col("side_b") === 1, 1L).otherwise(0L).as("dm"))
-    val agg = contrib.groupBy("doc_id")
-      .agg(sum("cm").as("cm"), sum("dm").as("dm"))
-    delta.select("doc_id")
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cm"), lit(0L)).as("n_corpus_matches"),
-        coalesce(col("dm"), lit(0L)).as("n_prior_delta_matches"))
+    // Every delta doc contributes a zero baseline row, so the match-count
+    // aggregate ALSO enumerates the output universe — the earlier
+    // delta ⟕ agg re-join (an extra exchange of the whole delta plus a
+    // join stage, just to resurrect no-match docs) folds into the one
+    // doc_id aggregation the pipeline already pays. Baseline rows come
+    // from `delta` itself, not the sig frame: sig filters hasShingles,
+    // and a null-text delta doc must still surface with keep = true.
+    val baseline = deltaIds.select(
+      col("doc_id"), lit(0L).as("cm"), lit(0L).as("dm"))
+    contrib.unionByName(baseline)
+      .groupBy("doc_id")
+      .agg(sum("cm").as("n_corpus_matches"),
+        sum("dm").as("n_prior_delta_matches"))
       .withColumn("keep",
         col("n_corpus_matches") === 0L && col("n_prior_delta_matches") === 0L)
   }
@@ -597,7 +614,14 @@ object DedupQueries {
     "q_dedup_delta" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val k = docs.select((max("doc_id") * lit(0.8)).cast("long")).scalar()
-      dedupDelta(docs.filter(col("doc_id") < k), docs.filter(col("doc_id") >= k))
+      // corpus and delta share one relation, so the side tag is computed
+      // inside a SINGLE signature scan (dedupDeltaFromSig) rather than
+      // re-scanning the table once per side of a union
+      dedupDeltaFromSig(
+        minhashSigOf(
+          docs.withColumn("side", (col("doc_id") >= k).cast("int")),
+          extra = Seq("side")),
+        docs.filter(col("doc_id") >= k).select("doc_id"))
     }),
 
     // n-gram Jaccard, verified only on LSH candidates (never all-pairs).
