@@ -204,6 +204,11 @@ object TextQueries {
     // as scalar subqueries (train once, apply embarrassingly parallel).
     "q_bpe_tokenize" -> ((s, d) => bpeTokenize(Tables.documents(s, d))),
 
+    // CCNet-style LM fluency gate over a hashed bigram model — per-doc
+    // mean conditional bigram probability in fixed point, bucketed
+    // head/middle/tail against the corpus average. See [[lmFluency]].
+    "q_lm_fluency" -> ((s, d) => lmFluency(Tables.documents(s, d))),
+
     // Multimodal metadata pass: text treated as an opaque payload — byte
     // length + content hash, the same schema shape used for image/audio
     // binary columns (see graft.ops.Multimodal for the binary pipeline).
@@ -378,6 +383,96 @@ object TextQueries {
         col("n_chars").cast("double") / col("n_bpe_tokens"))
   }
 
+  /** q_lm_fluency: CCNet-shaped language-model quality gate (Wenzek et
+    * al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data" — score every document under an n-gram LM, split the
+    * corpus into head/middle/tail by how fluent it reads), re-expressed
+    * for distributed integer exactness:
+    *
+    *  - The model is a HASHED bigram LM fit on the corpus itself (Talbot
+    *    & Osborne-style randomized LM): bigram-prefix counts in B1=1024
+    *    buckets, bigram counts in B2=65536 buckets. Both tables are
+    *    BOUNDED at any corpus size, so both broadcast to the score pass —
+    *    an exact-vocabulary bigram table would be corpus-sized and turn
+    *    scoring into a data-scaled shuffle join.
+    *  - Per-bigram score is the smoothed conditional probability in 0.20
+    *    fixed point: round((c2+1)/(c1+B2) · 2^20) — correctly-rounded
+    *    IEEE ops only (two adds, one divide, one multiply, half-up
+    *    round), never ln(), whose last ulp is library-specific — the
+    *    importanceWeights discipline. Per-doc `fluency` is then an
+    *    INTEGER sum: exact and order-free on any partitioning.
+    *  - CCNet's head/middle/tail is corpus-relative (perplexity
+    *    terciles). A tercile needs a global ntile — a single-partition
+    *    window over the scored stream, the exact shape this codebase
+    *    bans — so the split is against the corpus-average PER-BIGRAM
+    *    score `cm = round(Σfluency / Σn_bigrams)`: head = doc mean ≥ cm
+    *    (fluency ≥ cm·n_bigrams, pure int64 — products stay ≤ ~2^51
+    *    because cm ≤ 2^20 and n is per-doc), middle = within 2× of cm,
+    *    tail = rest, keep = not tail. `cm` is ONE corpus scalar; its
+    *    single half-up rounding (from exact decimal sums through one
+    *    IEEE division) is the only quantization in the pipeline, and it
+    *    is identical cross-engine.
+    *
+    * Plan: two corpus scans (fit + score, like DSIR). The fit aggregate
+    * produces both bucket tables from ONE exchange (`stack` tags the
+    * kind; map-side combine bounds the shuffle by (B1+B2)×partitions).
+    * The per-doc frame is lazily checkpointed so the `cm` scalar
+    * subquery reads the materialized blocks instead of re-running the
+    * scoring join. Docs with <2 tokens have no bigrams and are not
+    * scored (no LM opinion), deliberately — the twin matches. */
+  private[graft] def lmFluency(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val B1 = 1024
+    val B2 = 65536
+    // ONE digest per token (not per-bigram endpoint + concat'd bigram
+    // string — that form ran 2·(n−1) md5s of longer inputs per doc and
+    // measured 1.8× slower): each token hashes once inside the transform,
+    // and both bucket ids derive from the hash PAIR by exact modular
+    // arithmetic ((h1·31 + h2) mod B2 mixes uniformly; everything stays
+    // far below 2^63 so no engine can overflow).
+    def bigrams = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("transform(split(trim(lower(text)), '\\\\s+')," +
+          " t -> md5_low63(t))").as("h"))
+      .filter(size(col("h")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(h) - 1)," +
+          " i -> struct(element_at(h, i) AS h1, element_at(h, i + 1) AS h2))"))
+        .as("g"))
+      .select(col("doc_id"),
+        expr(s"g.h1 % $B1").as("b1"),
+        expr(s"((g.h1 % $B2) * 31 + g.h2 % $B2) % $B2").as("b2"))
+    val counts = bigrams
+      .selectExpr("stack(2, 0, b1, 1, b2) AS (kind, bucket)")
+      .groupBy("kind", "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // both splits below read ONE fit aggregate
+    val c1 = counts.filter(col("kind") === 0)
+      .select(col("bucket").as("b1"), col("c").as("c1"))
+    val c2 = counts.filter(col("kind") === 1)
+      .select(col("bucket").as("b2"), col("c").as("c2"))
+    val perDoc = bigrams
+      .join(broadcast(c1), Seq("b1"))
+      .join(broadcast(c2), Seq("b2"))
+      .select(col("doc_id"),
+        round(((col("c2") + lit(1.0)) / (col("c1") + lit(B2.toDouble))) *
+          lit((1L << 20).toDouble)).cast("long").as("wf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("wf").as("fluency"))
+      .localCheckpoint(false)
+    // decimal sums (Σfluency nears int64 at 100 TB), one IEEE division,
+    // one half-up round — cm is bit-identical on any engine
+    val cm = perDoc.select(
+      round(sum(col("fluency").cast("decimal(38,0)")).cast("double") /
+        sum(col("n_bigrams")).cast("double")).cast("long")).scalar()
+    perDoc
+      .withColumn("cm", cm)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency"),
+        when(col("fluency") >= col("cm") * col("n_bigrams"), "head")
+          .when(col("fluency") * 2 >= col("cm") * col("n_bigrams"), "middle")
+          .otherwise("tail").as("bucket"),
+        (col("fluency") * 2 >= col("cm") * col("n_bigrams")).as("keep"))
+  }
+
   private[ops] def docTfidf(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val docs = documents.filter(col("text").isNotNull)
@@ -421,6 +516,39 @@ object TextQueries {
                         ORDER BY score DESC, term) AS rnk
             FROM scored) t
           WHERE rnk <= 5""",
+    // Same hashed-bigram model, fixed-point weights and single-rounded
+    // corpus-mean scalar as the Spark side — every comparison that decides
+    // a bucket is integer, so the CASE labels cannot drift cross-engine.
+    "q_lm_fluency" ->
+      """WITH d AS (SELECT doc_id,
+                           list_transform(
+                             string_split_regex(trim(lower(text)), '\s+'),
+                             t -> CAST(md5_number_lower(t)
+                                       % 9223372036854775807 AS BIGINT)) AS h
+                    FROM documents WHERE text IS NOT NULL),
+          bg AS (SELECT doc_id,
+                        h[i] % 1024 AS b1,
+                        ((h[i] % 65536) * 31 + h[i + 1] % 65536) % 65536 AS b2
+                 FROM (SELECT doc_id, h,
+                              UNNEST(generate_series(1, len(h) - 1)) AS i
+                       FROM d WHERE len(h) >= 2) u),
+          c1 AS (SELECT b1, COUNT(*) AS c1 FROM bg GROUP BY b1),
+          c2 AS (SELECT b2, COUNT(*) AS c2 FROM bg GROUP BY b2),
+          perdoc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                            SUM(CAST(round((c2 + 1.0) / (c1 + 65536.0)
+                                           * 1048576.0) AS BIGINT)) AS fl
+                     FROM bg JOIN c1 USING (b1) JOIN c2 USING (b2)
+                     GROUP BY doc_id),
+          tot AS (SELECT CAST(round(CAST(SUM(fl) AS DOUBLE) /
+                                    CAST(SUM(n_bigrams) AS DOUBLE))
+                              AS BIGINT) AS cm
+                  FROM perdoc)
+          SELECT doc_id, n_bigrams, CAST(fl AS BIGINT) AS fluency,
+                 CASE WHEN fl >= cm * n_bigrams THEN 'head'
+                      WHEN fl * 2 >= cm * n_bigrams THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+                 fl * 2 >= cm * n_bigrams AS keep
+          FROM perdoc CROSS JOIN tot""",
     "q_token_count" ->
       """SELECT doc_id,
                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -178,6 +178,41 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(out.size === 5) // every delta doc decided, corpus docs absent
   }
 
+  test("lmFluency: fluent docs head, gibberish tail, mixed middle; keep = not tail") {
+    import spark.implicits._
+    // 20 docs of one endlessly repeated bigram (high hashed-bigram counts →
+    // high conditional probability), 2 docs of corpus-unique tokens (every
+    // bigram count 1 → probability floor), 1 doc that is half of each, and
+    // a 1-token doc that has no bigrams and must not be scored at all.
+    val fluent = (1 to 50).map(_ => "aa bb").mkString(" ")
+    val fluentDocs = (1L to 20L).map(i => (i, fluent))
+    val gibberish = (0 to 1).map(d =>
+      (100L + d, (0 until 50).map(i => s"g${d}_$i").mkString(" ")))
+    val mixed = (200L, (1 to 25).map(_ => "aa bb").mkString(" ") + " " +
+      (0 until 24).map(i => s"m_$i").mkString(" "))
+    val tiny = (300L, "solo")
+    val docs = (fluentDocs ++ gibberish :+ mixed :+ tiny).toDF("doc_id", "text")
+    val out = TextQueries.lmFluency(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getBoolean(4))).toMap
+    assert(out.size === 23) // tiny absent, everything else scored once
+    assert(!out.contains(300L))
+    fluentDocs.foreach { case (id, _) =>
+      assert(out(id)._1 === 99L) // 100 tokens → 99 bigrams
+      assert(out(id)._3 === "head", s"doc $id: ${out(id)}")
+      assert(out(id)._4)
+    }
+    gibberish.foreach { case (id, _) =>
+      assert(out(id)._3 === "tail", s"doc $id: ${out(id)}")
+      assert(!out(id)._4)
+    }
+    assert(out(200L)._3 === "middle", s"mixed: ${out(200L)}")
+    assert(out(200L)._4)
+    // bucket ordering is real: per-bigram mean decreases head → tail
+    def mean(id: Long) = out(id)._2.toDouble / out(id)._1
+    assert(mean(1L) > mean(200L) && mean(200L) > mean(100L))
+  }
+
   test("star and propagate strategies agree on a random edge set") {
     import spark.implicits._
     forAll(List.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))) { ps =>
