@@ -406,12 +406,28 @@ object CorpusQueries {
         round(((col("t") + 1.0) / (col("tt") + lit(B.toDouble))) /
           ((col("r") + 1.0) / (col("rr") + lit(B.toDouble))) * 65536)
           .cast("long").as("wr"))
-    toks.join(broadcast(wr), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(sum(col("cnt")).as("n_tokens"),
-        sum(col("cnt") * col("wr")).as("score"))
-      .select(col("doc_id"), col("n_tokens"), col("score"),
-        (col("score") >= col("n_tokens") * 65536L).as("keep"))
+    // The ≤B-entry weight table enters the score pass as ONE in-plan map
+    // scalar, and each doc's score is a per-row `aggregate` over its own
+    // term_counts — a doc's tokens already live in its row, so the old
+    // explode → broadcast-join → groupBy(doc_id) score stage shuffled the
+    // full (doc, bucket, cnt) stream only to regroup by a key it started
+    // with (the minhashSigOf lesson). Lookups can't miss: score docs are
+    // fit docs, so every bucket a doc hashes to has a fit row. Integers
+    // are unchanged — same tf multiset, same wr — so the DuckDB twin and
+    // the streaming score path are untouched.
+    val wm = wr
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("wr"))))
+        .as("m")).scalar()
+    docs.filter(col("text").isNotNull)
+      .withColumn("wm", wm)
+      .select(col("doc_id"), expr(
+        s"aggregate(term_counts(text), named_struct('n', 0L, 's', 0L)," +
+          " (a, tc) -> named_struct('n', a.n + tc.tf," +
+          s" 's', a.s + tc.tf * element_at(wm, md5_low63(tc.term) % $B))," +
+          " a -> a)").as("z"))
+      .select(col("doc_id"), col("z.n").as("n_tokens"), col("z.s").as("score"),
+        (col("z.s") >= col("z.n") * 65536L).as("keep"))
+      .filter(col("n_tokens") > 0) // a no-term doc never entered the old join
   }
 
   /** Documents below this id play the held-out benchmark in the fixture. */
