@@ -279,19 +279,28 @@ object SimilarityQueries {
       // norm once per ROW before the pair join — per pair only the cross
       // dot remains (the norm recompute would otherwise scale with pair
       // count, which is quadratic per block)
-      val e = ScaleOps.spread(Tables.embeddings(s, d))
+      // group-and-expand, not a bucket self-join (the lshPairsOf lesson):
+      // a self-join evaluates the hplane_sig + norm pipeline once per join
+      // SIDE and shuffles the corpus twice; grouping evaluates it exactly
+      // once, shuffles once, and expands i<j pairs inside each bucket —
+      // bucket sizes are bounded by the hyperplane family's density, so
+      // the in-bucket expansion is per-group work. sort_array orders
+      // members by vec_id (first struct field), which IS the id_a < id_b
+      // rule. The cosine formula (dot / (na·nb)) is unchanged to the op.
+      ScaleOps.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           expr(s"hplane_sig(embedding, $NPlanes)").as("bucket"),
           sqrt(expr("vector_dot(embedding, embedding)")).as("n"))
-      val a = e.select(col("bucket"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"), col("n").as("na"))
-      val b = e.select(col("bucket"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"), col("n").as("nb"))
-      a.join(b, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("bucket"), col("id_a"), col("id_b"),
-          (expr("vector_dot(ea, eb)") / (col("na") * col("nb"))).as("cos"))
-        .filter(col("cos") >= 0.25)
+        .groupBy("bucket")
+        .agg(sort_array(collect_list(
+          struct(col("vec_id"), col("embedding"), col("n")))).as("ms"))
+        .select(col("bucket"), explode(expr(
+          "flatten(transform(ms, (a, __i) ->" +
+            " filter(transform(slice(ms, __i + 2, size(ms) - __i - 1)," +
+            " b -> named_struct('id_a', a.vec_id, 'id_b', b.vec_id," +
+            " 'cos', vector_dot(a.embedding, b.embedding) / (a.n * b.n)))," +
+            " p -> p.cos >= 0.25)))")).as("p"))
+        .select(col("bucket"), col("p.id_a"), col("p.id_b"), col("p.cos"))
     }),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023, public preprint):
