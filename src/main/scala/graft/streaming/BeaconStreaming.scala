@@ -317,6 +317,93 @@ object BeaconStreaming {
         terms.indices.flatMap(i => Seq(s"tf$i", s"df$i")).toList): _*)
   }
 
+  /** Streaming LM fluency labeling: FIT the hashed bigram LM once on a
+    * STATIC corpus — the exact batch arithmetic of
+    * [[graft.ops.TextQueries.lmFluency]] (one md5 per token, bucket ids
+    * by modular arithmetic on the hash pair, 0.20 fixed-point smoothed
+    * conditional probabilities) — freeze the two bounded count tables
+    * (B1=1024 prefix / B2=65536 bigram buckets) as dense literal arrays
+    * (~0.5 MB in the plan, built once per stream, not per batch) plus the
+    * corpus-average per-bigram score `cm`, then label every streamed
+    * document STATELESSLY per-row: no state store, no shuffle. Buckets
+    * unseen at fit time score with the add-one smoothing floor
+    * (0+1)/(c1+B2), so the model is defined on the stream's full bigram
+    * space. A document that was IN the fit corpus gets (n_bigrams,
+    * fluency, bucket) identical to the batch output by construction
+    * (spec-pinned). Null text and <2-token docs (the batch path drops
+    * the latter — no bigrams, no LM opinion) yield null score columns: a
+    * stream must not silently swallow rows; the caller's gate decides. */
+  def fluencyScoreStream(stream: DataFrame, fitCorpus: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    graft.functions.GraftFunctions.register(fitCorpus.sparkSession)
+    val B1 = 1024
+    val B2 = 65536
+    val internal = Set("__h", "__c1", "__c2", "__z")
+    val clash = stream.columns.filter(internal)
+    require(clash.isEmpty,
+      s"fluencyScoreStream: stream columns ${clash.mkString(", ")} collide " +
+        "with the scorer's internal names — rename them upstream")
+    def hashes(df: DataFrame): DataFrame = df.withColumn("__h", expr(
+      s"transform(split(trim(lower($textCol)), '\\\\s+'), t -> md5_low63(t))"))
+    // the batch pipeline's per-bigram weight, as one row-local aggregate
+    // over the token-hash array against the frozen dense tables
+    val zExpr =
+      "aggregate(sequence(1, size(__h) - 1), named_struct('n', 0L, 's', 0L)," +
+        " (a, i) -> named_struct('n', a.n + 1L," +
+        " 's', a.s + CAST(round((element_at(__c2," +
+        s" CAST(((element_at(__h, i) % $B2) * 31" +
+        s" + element_at(__h, i + 1) % $B2) % $B2 AS INT) + 1) + 1.0)" +
+        s" / (element_at(__c1, CAST(element_at(__h, i) % $B1 AS INT) + 1)" +
+        s" + $B2.0D) * 1048576.0D) AS BIGINT)), a -> a)"
+    def scored(df: DataFrame): DataFrame = df
+      .withColumn("__z",
+        when(size(col("__h")) >= 2, expr(zExpr)).otherwise(lit(null)))
+    // FIT: the batch bigram bucket stream, collected as two bounded dense
+    // arrays (≤ B1+B2 rows cross the driver — the importanceScoreStream
+    // freeze shape)
+    val counts = hashes(fitCorpus.filter(col(textCol).isNotNull))
+      .filter(size(col("__h")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(__h) - 1)," +
+        " i -> struct(element_at(__h, i) AS h1," +
+        " element_at(__h, i + 1) AS h2))")).as("g"))
+      .selectExpr(s"g.h1 % $B1 AS b1",
+        s"((g.h1 % $B2) * 31 + g.h2 % $B2) % $B2 AS b2")
+      .selectExpr(s"stack(2, 0, b1, 1, b2) AS (kind, bucket)")
+      .groupBy("kind", "bucket").agg(count(lit(1)).as("c"))
+      .collect()
+    val c1 = Array.fill(B1)(0L)
+    val c2 = Array.fill(B2)(0L)
+    counts.foreach { r =>
+      if (r.getInt(0) == 0) c1(r.getLong(1).toInt) = r.getLong(2)
+      else c2(r.getLong(1).toInt) = r.getLong(2)
+    }
+    // frozen corpus-average per-bigram score: same decimal-sum → IEEE
+    // division → half-up round as the batch cm scalar, over per-doc sums
+    // produced by the same frozen-array expression
+    val tot = scored(hashes(fitCorpus.filter(col(textCol).isNotNull))
+      .withColumn("__c1", typedLit(c1)).withColumn("__c2", typedLit(c2)))
+      .filter(col("__z").isNotNull)
+      .agg(sum(col("__z.s").cast("decimal(38,0)")).cast("double").as("sfl"),
+        sum(col("__z.n")).cast("double").as("sn"))
+      .head()
+    require(!tot.isNullAt(0),
+      "fluencyScoreStream: fit corpus has no scorable (>=2 token) documents")
+    val cm = math.round(tot.getDouble(0) / tot.getDouble(1))
+    scored(hashes(stream)
+      .withColumn("__c1", typedLit(c1)).withColumn("__c2", typedLit(c2)))
+      .withColumn("n_bigrams", col("__z.n"))
+      .withColumn("fluency", col("__z.s"))
+      .withColumn("bucket",
+        when(col("__z").isNull, lit(null).cast("string"))
+          .when(col("fluency") >= lit(cm) * col("n_bigrams"), "head")
+          .when(col("fluency") * 2 >= lit(cm) * col("n_bigrams"), "middle")
+          .otherwise("tail"))
+      // null __z propagates through the comparison → null keep, by design
+      .withColumn("keep", col("fluency") * 2 >= lit(cm) * col("n_bigrams"))
+      .drop("__h", "__c1", "__c2", "__z")
+  }
+
   /** D6 — dual sink: every micro-batch appends the hourly history layout and
     * overwrites the `latest` snapshot — `foreachBatch` is the streaming
     * form of the reference's validators dual write

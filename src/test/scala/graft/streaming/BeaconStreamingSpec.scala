@@ -442,6 +442,58 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(streamed(7L) === batch(7L))
   }
 
+  test("streaming fluency labeling equals the batch pipeline on fit-corpus rows") {
+    import spark.implicits._
+    // the batch lmFluency spec's corpus shape: fluent repetition, unique
+    // gibberish, a half-and-half doc — all three buckets represented
+    val fluent = (1 to 50).map(_ => "aa bb").mkString(" ")
+    val fitRows = (1L to 20L).map(i => (i, fluent)) ++
+      (0 to 1).map(d => (100L + d, (0 until 50).map(i => s"g${d}_$i").mkString(" "))) :+
+      (200L, (1 to 25).map(_ => "aa bb").mkString(" ") + " " +
+        (0 until 24).map(i => s"m_$i").mkString(" "))
+    val fit = fitRows.toDF("doc_id", "text")
+    val dir = tmpDir("stream-fluency")
+    def json(id: Long, text: String) = s"""{"doc_id": $id, "text": "$text"}"""
+    // fit members (head / tail / middle), an UNSEEN-bigram doc (smoothing
+    // floor path), and a 1-token doc (no bigrams -> null labels)
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      json(300, fluent), json(301, fitRows(20)._2)))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(
+      json(302, fitRows(22)._2), json(303, "zz yy xx ww"), json(304, "solo")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = BeaconStreaming.fluencyScoreStream(src, fit)
+      .writeStream
+      .format("memory").queryName("fluency_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("fluency_out")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(streamed.size === 5)
+    val batch = graft.ops.TextQueries.lmFluency(fit)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // fit members label identically to batch (same frozen integers)
+    for ((sid, fid) <- Seq((300L, 1L), (301L, 100L), (302L, 200L))) {
+      assert(streamed(sid).getAs[Long]("n_bigrams") === batch(fid).getLong(1))
+      assert(streamed(sid).getAs[Long]("fluency") === batch(fid).getLong(2))
+      assert(streamed(sid).getAs[String]("bucket") === batch(fid).getString(3),
+        s"stream $sid vs batch $fid")
+      assert(streamed(sid).getAs[Boolean]("keep") === batch(fid).getBoolean(4))
+    }
+    // unseen bigrams take the smoothing floor -> scored, lowest bucket
+    assert(streamed(303L).getAs[Long]("fluency") > 0L)
+    assert(streamed(303L).getAs[String]("bucket") === "tail")
+    // no bigrams -> null labels, row NOT swallowed
+    assert(streamed(304L).isNullAt(streamed(304L).fieldIndex("bucket")))
+    assert(streamed(304L).isNullAt(streamed(304L).fieldIndex("keep")))
+  }
+
   test("streaming importance scoring equals the batch pipeline on the same rows") {
     import spark.implicits._
     // fit corpus with a REAL vocabulary split (target speaks A, raw speaks
