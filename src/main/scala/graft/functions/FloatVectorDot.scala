@@ -109,6 +109,14 @@ object GraftFunctions {
         MinHashSketch(Cast(args.head, org.apache.spark.sql.types.StringType), k, mode)
           .toAggregateExpression()
       }),
+    (new FunctionIdentifier("bigram_fluency"),
+      new ExpressionInfo(classOf[BigramFluency].getName, "bigram_fluency"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bigram_fluency expects (h, c1, c2)")
+        val at = ArrayType(org.apache.spark.sql.types.LongType,
+          containsNull = true)
+        BigramFluency(Cast(args.head, at), Cast(args(1), at), Cast(args(2), at))
+      }),
     (new FunctionIdentifier("md5_low63"),
       new ExpressionInfo(classOf[Md5Low63].getName, "md5_low63"),
       (args: Seq[Expression]) => {

@@ -392,9 +392,9 @@ object TextQueries {
     *  - The model is a HASHED bigram LM fit on the corpus itself (Talbot
     *    & Osborne-style randomized LM): bigram-prefix counts in B1=1024
     *    buckets, bigram counts in B2=65536 buckets. Both tables are
-    *    BOUNDED at any corpus size, so both broadcast to the score pass —
-    *    an exact-vocabulary bigram table would be corpus-sized and turn
-    *    scoring into a data-scaled shuffle join.
+    *    BOUNDED at any corpus size, so both ride to the score pass as
+    *    in-plan map scalars — an exact-vocabulary bigram table would be
+    *    corpus-sized and turn scoring into a data-scaled shuffle join.
     *  - Per-bigram score is the smoothed conditional probability in 0.20
     *    fixed point: round((c2+1)/(c1+B2) · 2^20) — correctly-rounded
     *    IEEE ops only (two adds, one divide, one multiply, half-up
@@ -413,13 +413,16 @@ object TextQueries {
     *    IEEE division) is the only quantization in the pipeline, and it
     *    is identical cross-engine.
     *
-    * Plan: two corpus scans (fit + score, like DSIR). The fit aggregate
-    * produces both bucket tables from ONE exchange (`stack` tags the
-    * kind; map-side combine bounds the shuffle by (B1+B2)×partitions).
-    * The per-doc frame is lazily checkpointed so the `cm` scalar
-    * subquery reads the materialized blocks instead of re-running the
-    * scoring join. Docs with <2 tokens have no bigrams and are not
-    * scored (no LM opinion), deliberately — the twin matches. */
+    * Plan: two corpus scans (fit + score, like DSIR) and ONE exchange
+    * total — the fit aggregate produces both bucket tables from a single
+    * `stack`-tagged groupBy (map-side combine bounds the shuffle by
+    * (B1+B2)×partitions), and the score pass is pure per-row work
+    * against the two map scalars (no joins, no doc_id regroup). The
+    * per-doc frame is lazily checkpointed so the `cm` scalar subquery
+    * and the final labeling read materialized narrow rows instead of
+    * re-running the scoring scan. Docs with <2 tokens have no bigrams
+    * and are not scored (no LM opinion), deliberately — the twin
+    * matches. */
   private[graft] def lmFluency(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val B1 = 1024
@@ -430,34 +433,48 @@ object TextQueries {
     // and both bucket ids derive from the hash PAIR by exact modular
     // arithmetic ((h1·31 + h2) mod B2 mixes uniformly; everything stays
     // far below 2^63 so no engine can overflow).
-    def bigrams = documents.filter(col("text").isNotNull)
+    def hashed = documents.filter(col("text").isNotNull)
       .select(col("doc_id"),
         expr("transform(split(trim(lower(text)), '\\\\s+')," +
           " t -> md5_low63(t))").as("h"))
       .filter(size(col("h")) >= 2)
-      .select(col("doc_id"), explode(expr(
+    val counts = hashed
+      .select(explode(expr(
         "transform(sequence(1, size(h) - 1)," +
           " i -> struct(element_at(h, i) AS h1, element_at(h, i + 1) AS h2))"))
         .as("g"))
-      .select(col("doc_id"),
-        expr(s"g.h1 % $B1").as("b1"),
-        expr(s"((g.h1 % $B2) * 31 + g.h2 % $B2) % $B2").as("b2"))
-    val counts = bigrams
+      .selectExpr(s"g.h1 % $B1 AS b1",
+        s"((g.h1 % $B2) * 31 + g.h2 % $B2) % $B2 AS b2")
       .selectExpr("stack(2, 0, b1, 1, b2) AS (kind, bucket)")
       .groupBy("kind", "bucket").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // both splits below read ONE fit aggregate
-    val c1 = counts.filter(col("kind") === 0)
-      .select(col("bucket").as("b1"), col("c").as("c1"))
-    val c2 = counts.filter(col("kind") === 1)
-      .select(col("bucket").as("b2"), col("c").as("c2"))
-    val perDoc = bigrams
-      .join(broadcast(c1), Seq("b1"))
-      .join(broadcast(c2), Seq("b2"))
+      .localCheckpoint(false) // both map scalars below read ONE fit aggregate
+    // Both bounded count tables enter the score pass as in-plan DENSE
+    // ARRAY scalars — position = bucket id, so every lookup is O(1)
+    // `element_at` (a map scalar was tried first and measured 2.6×
+    // SLOWER overall: Spark's map element_at linear-scans the entries,
+    // ~32k comparisons per lookup on the B2 table). Each array is built
+    // by a bounded range-fill job (range(B) ⟕ counts, absent buckets 0,
+    // sort by bucket, collect) and rides the torrent-broadcast task
+    // binary once per executor, exactly like a broadcast build side.
+    // Each doc's (n_bigrams, fluency) is then a row-local aggregate over
+    // its own token-hash array: the earlier explode → two broadcast
+    // joins → groupBy(doc_id) form shuffled the full per-bigram stream
+    // only to regroup rows by a key they started with. Same weight
+    // arithmetic in the same IEEE op order, so outputs are unchanged.
+    def denseOf(kind: Int, n: Int) = documents.sparkSession.range(n)
+      .toDF("bucket")
+      .join(counts.filter(col("kind") === kind).select("bucket", "c"),
+        Seq("bucket"), "left")
+      .agg(expr("transform(sort_array(collect_list(" +
+        "struct(bucket, coalesce(c, 0L) AS c))), x -> x.c)").as("a"))
+      .scalar()
+    val perDoc = hashed
+      .withColumn("c1a", denseOf(0, B1))
+      .withColumn("c2a", denseOf(1, B2))
       .select(col("doc_id"),
-        round(((col("c2") + lit(1.0)) / (col("c1") + lit(B2.toDouble))) *
-          lit((1L << 20).toDouble)).cast("long").as("wf"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("wf").as("fluency"))
+        expr("bigram_fluency(h, c1a, c2a)").as("z"))
+      .select(col("doc_id"), col("z.n").as("n_bigrams"),
+        col("z.s").as("fluency"))
       .localCheckpoint(false)
     // decimal sums (Σfluency nears int64 at 100 TB), one IEEE division,
     // one half-up round — cm is bit-identical on any engine

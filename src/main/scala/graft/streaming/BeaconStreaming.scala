@@ -346,19 +346,14 @@ object BeaconStreaming {
         "with the scorer's internal names — rename them upstream")
     def hashes(df: DataFrame): DataFrame = df.withColumn("__h", expr(
       s"transform(split(trim(lower($textCol)), '\\\\s+'), t -> md5_low63(t))"))
-    // the batch pipeline's per-bigram weight, as one row-local aggregate
-    // over the token-hash array against the frozen dense tables
-    val zExpr =
-      "aggregate(sequence(1, size(__h) - 1), named_struct('n', 0L, 's', 0L)," +
-        " (a, i) -> named_struct('n', a.n + 1L," +
-        " 's', a.s + CAST(round((element_at(__c2," +
-        s" CAST(((element_at(__h, i) % $B2) * 31" +
-        s" + element_at(__h, i + 1) % $B2) % $B2 AS INT) + 1) + 1.0)" +
-        s" / (element_at(__c1, CAST(element_at(__h, i) % $B1 AS INT) + 1)" +
-        s" + $B2.0D) * 1048576.0D) AS BIGINT)), a -> a)"
+    // the batch pipeline's scoring loop — the same native
+    // [[graft.functions.BigramFluency]] pass the batch query runs, over
+    // the frozen dense tables (bucket counts are taken from the array
+    // sizes, so B1/B2 agree by construction)
     def scored(df: DataFrame): DataFrame = df
       .withColumn("__z",
-        when(size(col("__h")) >= 2, expr(zExpr)).otherwise(lit(null)))
+        when(size(col("__h")) >= 2,
+          expr("bigram_fluency(__h, __c1, __c2)")).otherwise(lit(null)))
     // FIT: the batch bigram bucket stream, collected as two bounded dense
     // arrays (≤ B1+B2 rows cross the driver — the importanceScoreStream
     // freeze shape)
