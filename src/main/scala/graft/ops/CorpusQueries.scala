@@ -399,32 +399,39 @@ object CorpusQueries {
     // window moves B bounded rows to one task, not a data-scaled stream)
     val whole = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wr = counts
+    // The B-entry weight table enters the score pass as ONE in-plan DENSE
+    // ARRAY scalar (position = bucket, O(1) element_at — the map-scalar
+    // first cut linear-scanned its entries on every lookup), and each
+    // doc's score is a per-row `aggregate` over its own term_counts — a
+    // doc's tokens already live in its row, so the old explode →
+    // broadcast-join → groupBy(doc_id) score stage shuffled the full
+    // (doc, bucket, cnt) stream only to regroup by a key it started with
+    // (the minhashSigOf lesson). The bounded range-fill gives absent
+    // buckets r = t = 0, which leaves the grand totals unchanged and
+    // makes their weight the add-one smoothing default — the exact value
+    // [[graft.streaming.BeaconStreaming.importanceScoreStream]] assigns
+    // unseen buckets; on this query they are never looked up anyway
+    // (score docs are fit docs). Integers unchanged — same tf multiset,
+    // same wr — so the twin and the streaming path cannot drift.
+    val wv = docs.sparkSession.range(B).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("t"), lit(0L)).as("t"))
       .withColumn("rr", sum(col("r")).over(whole))
       .withColumn("tt", sum(col("t")).over(whole))
       .select(col("bucket"),
         round(((col("t") + 1.0) / (col("tt") + lit(B.toDouble))) /
           ((col("r") + 1.0) / (col("rr") + lit(B.toDouble))) * 65536)
           .cast("long").as("wr"))
-    // The ≤B-entry weight table enters the score pass as ONE in-plan map
-    // scalar, and each doc's score is a per-row `aggregate` over its own
-    // term_counts — a doc's tokens already live in its row, so the old
-    // explode → broadcast-join → groupBy(doc_id) score stage shuffled the
-    // full (doc, bucket, cnt) stream only to regroup by a key it started
-    // with (the minhashSigOf lesson). Lookups can't miss: score docs are
-    // fit docs, so every bucket a doc hashes to has a fit row. Integers
-    // are unchanged — same tf multiset, same wr — so the DuckDB twin and
-    // the streaming score path are untouched.
-    val wm = wr
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("wr"))))
-        .as("m")).scalar()
+      .agg(expr("transform(sort_array(collect_list(struct(bucket, wr)))," +
+        " x -> x.wr)").as("a")).scalar()
     docs.filter(col("text").isNotNull)
-      .withColumn("wm", wm)
+      .withColumn("wv", wv)
       .select(col("doc_id"), expr(
         s"aggregate(term_counts(text), named_struct('n', 0L, 's', 0L)," +
           " (a, tc) -> named_struct('n', a.n + tc.tf," +
-          s" 's', a.s + tc.tf * element_at(wm, md5_low63(tc.term) % $B))," +
-          " a -> a)").as("z"))
+          " 's', a.s + tc.tf * element_at(wv," +
+          s" CAST(md5_low63(tc.term) % $B AS INT) + 1)), a -> a)").as("z"))
       .select(col("doc_id"), col("z.n").as("n_tokens"), col("z.s").as("score"),
         (col("z.s") >= col("z.n") * 65536L).as("keep"))
       .filter(col("n_tokens") > 0) // a no-term doc never entered the old join
