@@ -52,13 +52,17 @@ object RetrievalGrowth {
     // warm-up: JIT + codegen on the 1x shapes, untimed
     bm25(1).queryExecution.toRdd.count()
     TextQueries.bpeMerges(docsTimes(1)).queryExecution.toRdd.count()
+    TextQueries.lmFluency(docsTimes(1)).queryExecution.toRdd.count()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 
     // bpe with UNPREFIXED replication: the vocabulary is constant while
     // the corpus grows, so the vocab-bound rounds should stay flat and
     // only the single v0 token-aggregate scan should grow — measuring the
     // "BPE training is vocab-bound, not corpus-bound" claim directly
-    println(f"${"scale"}%-6s ${"docs"}%9s ${"bm25_s"}%8s ${"rows"}%5s ${"bpe_s"}%8s")
+    // lm_fluency with unprefixed replication: every count scales ×n so
+    // the fixed-point RATIOS (weights, cm) are invariant — growth
+    // measures exactly the two linear scans + the bounded fit aggregate
+    println(f"${"scale"}%-6s ${"docs"}%9s ${"bm25_s"}%8s ${"rows"}%5s ${"bpe_s"}%8s ${"lm_s"}%8s")
     for (n <- Seq(1, 2, 4, 8)) {
       val nDocs = docsTimes(n).count()
       val t0 = System.nanoTime()
@@ -67,8 +71,11 @@ object RetrievalGrowth {
       val t1 = System.nanoTime()
       TextQueries.bpeMerges(docsTimes(n)).queryExecution.toRdd.count()
       val tb = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      TextQueries.lmFluency(docsTimes(n)).queryExecution.toRdd.count()
+      val tl = (System.nanoTime() - t2) / 1e9
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      println(f"${n.toString + "x"}%-6s $nDocs%9d $t%8.2f $rows%5d $tb%8.2f")
+      println(f"${n.toString + "x"}%-6s $nDocs%9d $t%8.2f $rows%5d $tb%8.2f $tl%8.2f")
     }
     spark.stop()
   }
