@@ -252,14 +252,19 @@ object TextQueries {
   /** The shared DuckDB CTE chain: vocabulary v0, then per round r the pair
     * count p_r, winner m_r and (between rounds) merged vocabulary v_r —
     * the same unrolled-round technique as the kmeans oracle, with the
-    * merge as the identical double-replace primitive the Spark side runs. */
+    * merge as the identical double-replace primitive the Spark side runs.
+    * pair_count is CAST to BIGINT inside p$r: DuckDB types SUM over BIGINT
+    * as HUGEINT, which the comparison harness surfaces as float64
+    * (`4568.0` vs Spark's int64 `4568`) — same artifact as the r6
+    * q_corpus_stats fix, cast at the source so every downstream CTE
+    * (merges AND tokenize) inherits the exact integer type. */
   private def bpeOracleCtes(rounds: Int): String = {
     def countCtes(r: Int): String =
       s"""pe$r AS (SELECT cnt, t, UNNEST(generate_series(1, len(t) - 1)) AS i
                 FROM (SELECT cnt, string_split(trim(seq), ' ') AS t
                       FROM v${r - 1}) s$r
                 WHERE len(t) >= 2),
-        p$r AS (SELECT t[i] AS l, t[i + 1] AS r, SUM(cnt) AS pair_count
+        p$r AS (SELECT t[i] AS l, t[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
                 FROM pe$r GROUP BY 1, 2),
         m$r AS (SELECT l, r, pair_count FROM p$r
                 ORDER BY pair_count DESC, l, r LIMIT 1)"""
