@@ -33,7 +33,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   *
   * Null array → null; any null element → null (matches element_at
   * propagation in the HOF form). Out-of-range bucket counts are impossible
-  * by construction (buckets are mods of the array sizes). */
+  * by construction (buckets are mods of the array sizes). The function is
+  * registered for general SQL use, so it also hardens the preconditions
+  * its internal call sites guarantee by construction: an EMPTY count array
+  * returns null (a model with zero buckets has no opinion — not an
+  * `x % 0` ArithmeticException), and bucket ids use floor-mod so a
+  * negative hash element (md5_low63 never emits one, but direct SQL can)
+  * indexes a valid bucket instead of throwing
+  * ArrayIndexOutOfBoundsException; for the non-negative hashes every
+  * internal caller produces, floor-mod and `%` agree bit-for-bit. */
 case class BigramFluency(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
 
@@ -50,6 +58,7 @@ case class BigramFluency(first: Expression, second: Expression, third: Expressio
     val c2 = c2Any.asInstanceOf[ArrayData]
     val n1 = c1.numElements().toLong
     val n2 = c2.numElements().toLong
+    if (n1 == 0 || n2 == 0) return null
     val len = h.numElements()
     val d2 = n2.toDouble
     var s = 0L
@@ -58,8 +67,10 @@ case class BigramFluency(first: Expression, second: Expression, third: Expressio
       if (h.isNullAt(i) || h.isNullAt(i + 1)) return null
       val a = h.getLong(i)
       val b = h.getLong(i + 1)
-      val b1 = (a % n1).toInt
-      val b2 = (((a % n2) * 31L + b % n2) % n2).toInt
+      val b1 = java.lang.Math.floorMod(a, n1).toInt
+      val b2 = java.lang.Math.floorMod(
+        java.lang.Math.floorMod(a, n2) * 31L +
+          java.lang.Math.floorMod(b, n2), n2).toInt
       val x = (c2.getLong(b2) + 1.0) / (c1.getLong(b1) + d2) * 1048576.0
       s += java.math.BigDecimal.valueOf(x)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong

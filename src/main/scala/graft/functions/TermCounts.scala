@@ -75,15 +75,15 @@ case class QueryTermStats(child: Expression, terms: Seq[String])
 
   override def nullable: Boolean = child.nullable
 
-  private lazy val termArr: Array[String] = terms.toArray
+  private lazy val model: QueryTermStatsModel = QueryTermStatsModel(terms)
 
   override def nullSafeEval(t: Any): Any =
-    QueryTermStatsImpl.compute(t.asInstanceOf[UTF8String], termArr)
+    model.compute(t.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("qterms", termArr, "java.lang.String[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.QueryTermStatsImpl.compute($c, $ref)")
+    val ref = ctx.addReferenceObj("qmodel", model,
+      "graft.functions.QueryTermStatsModel")
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): QueryTermStats =
@@ -92,28 +92,44 @@ case class QueryTermStats(child: Expression, terms: Seq[String])
   override def prettyName: String = "query_term_stats"
 }
 
-object QueryTermStatsImpl {
+/** Precompiled term→slot lookup for [[QueryTermStats]], built once per
+  * expression instance (not per row). Per token the hot loop does ONE hash
+  * probe instead of a linear string-equals scan over the term list —
+  * O(tokens) regardless of how many literal terms the registered SQL
+  * function is called with (the shipped 4–8 term queries never noticed the
+  * scan; an ad-hoc 200-term call would have gone quadratic). Duplicate
+  * query terms are legal: they dedup into one counter that fans out to
+  * every slot listing the term. */
+case class QueryTermStatsModel(terms: Seq[String]) {
 
-  private val WS = java.util.regex.Pattern.compile("\\s+")
+  // term → dense dedup index; slot k reads counter slotOf(k)
+  @transient private lazy val lookup: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    terms.foreach(t => if (!m.containsKey(t)) m.put(t, m.size))
+    m
+  }
+  @transient private lazy val slotOf: Array[Int] =
+    terms.map(t => lookup.get(t).intValue).toArray
 
-  def compute(t: UTF8String, terms: Array[String]): InternalRow = {
-    val toks = WS.split(t.toLowerCase.trim.toString, -1)
-    val out = new Array[Any](terms.length + 1)
-    out(0) = toks.length.toLong
-    var k = 0
-    while (k < terms.length) { out(k + 1) = 0L; k += 1 }
+  def compute(t: UTF8String): InternalRow = {
+    val toks = QueryTermStatsModel.WS.split(t.toLowerCase.trim.toString, -1)
+    val counts = new Array[Long](lookup.size)
     var j = 0
     while (j < toks.length) {
-      k = 0
-      while (k < terms.length) {
-        if (terms(k).equals(toks(j)))
-          out(k + 1) = out(k + 1).asInstanceOf[Long] + 1L
-        k += 1
-      }
+      val idx = lookup.get(toks(j))
+      if (idx != null) counts(idx.intValue) += 1L
       j += 1
     }
+    val out = new Array[Any](slotOf.length + 1)
+    out(0) = toks.length.toLong
+    var k = 0
+    while (k < slotOf.length) { out(k + 1) = counts(slotOf(k)); k += 1 }
     new GenericInternalRow(out)
   }
+}
+
+object QueryTermStatsModel {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
 }
 
 /** Static helper (separate object so generated Java calls a plain static

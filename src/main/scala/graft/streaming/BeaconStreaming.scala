@@ -339,11 +339,16 @@ object BeaconStreaming {
     graft.functions.GraftFunctions.register(fitCorpus.sparkSession)
     val B1 = 1024
     val B2 = 65536
-    val internal = Set("__h", "__c1", "__c2", "__z")
+    // guard the emitted output columns too, not just the __-prefixed
+    // working set — a stream that already carries `fluency` etc. must
+    // fail loudly rather than be silently overwritten (bm25ScoreStream
+    // guards its `bm25` output the same way)
+    val internal = Set("__h", "__c1", "__c2", "__z",
+      "n_bigrams", "fluency", "bucket", "keep")
     val clash = stream.columns.filter(internal)
     require(clash.isEmpty,
       s"fluencyScoreStream: stream columns ${clash.mkString(", ")} collide " +
-        "with the scorer's internal names — rename them upstream")
+        "with the scorer's internal/output names — rename them upstream")
     def hashes(df: DataFrame): DataFrame = df.withColumn("__h", expr(
       s"transform(split(trim(lower($textCol)), '\\\\s+'), t -> md5_low63(t))"))
     // the batch pipeline's scoring loop — the same native

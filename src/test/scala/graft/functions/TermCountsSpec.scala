@@ -40,6 +40,18 @@ class TermCountsSpec extends SparkTestBase {
     assert(got === exp)
   }
 
+  test("query_term_stats: duplicate query terms fan out to every slot") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // the hash-lookup rewrite dedups terms into one counter; slots listing
+    // the same term must still each report the full count
+    val r = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
+      .selectExpr("query_term_stats(text, 'a', 'b', 'a', 'zz') AS q")
+      .select("q.dl", "q.tf0", "q.tf1", "q.tf2", "q.tf3").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((6L, 3L, 2L, 3L, 0L)))
+  }
+
   test("null text yields null; terms come out sorted and distinct per doc") {
     import spark.implicits._
     GraftFunctions.register(spark)

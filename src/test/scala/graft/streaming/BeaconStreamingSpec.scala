@@ -494,6 +494,22 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(streamed(304L).isNullAt(streamed(304L).fieldIndex("keep")))
   }
 
+  test("fluencyScoreStream rejects streams that already carry its output columns") {
+    import spark.implicits._
+    val fit = Seq((1L, "aa bb aa bb")).toDF("doc_id", "text")
+    // output-name clash must fail loudly (ADVICE r8: only the __-working
+    // set was guarded; `fluency` etc. were silently overwritten)
+    val withOutputCol = Seq((1L, "x y", true)).toDF("doc_id", "text", "keep")
+    val e = intercept[IllegalArgumentException] {
+      BeaconStreaming.fluencyScoreStream(withOutputCol, fit)
+    }
+    assert(e.getMessage.contains("keep"))
+    val withWorkingCol = Seq((1L, "x y", 0L)).toDF("doc_id", "text", "__z")
+    assert(intercept[IllegalArgumentException] {
+      BeaconStreaming.fluencyScoreStream(withWorkingCol, fit)
+    }.getMessage.contains("__z"))
+  }
+
   test("streaming importance scoring equals the batch pipeline on the same rows") {
     import spark.implicits._
     // fit corpus with a REAL vocabulary split (target speaks A, raw speaks
