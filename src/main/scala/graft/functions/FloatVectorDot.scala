@@ -117,6 +117,32 @@ object GraftFunctions {
           containsNull = true)
         BigramFluency(Cast(args.head, at), Cast(args(1), at), Cast(args(2), at))
       }),
+    (new FunctionIdentifier("term_df"),
+      new ExpressionInfo(classOf[TermDfAgg].getName, "term_df"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "term_df expects 1 argument (tc array)")
+        TermDfAgg(args.head).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("tfidf_topk"),
+      new ExpressionInfo(classOf[TfidfTopK].getName, "tfidf_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "tfidf_topk expects (tc, terms, dfs, n_docs, k)")
+        val k = args(4) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"tfidf_topk k must be an integer literal, got $other")
+        }
+        val lt = org.apache.spark.sql.types.LongType
+        val tcT = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tf", lt))))
+        TfidfTopK(Cast(args.head, tcT),
+          Cast(args(1), ArrayType(org.apache.spark.sql.types.StringType)),
+          Cast(args(2), ArrayType(lt)),
+          Cast(args(3), lt), k)
+      }),
     (new FunctionIdentifier("md5_low63"),
       new ExpressionInfo(classOf[Md5Low63].getName, "md5_low63"),
       (args: Seq[Expression]) => {

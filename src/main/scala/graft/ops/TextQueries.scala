@@ -224,22 +224,19 @@ object TextQueries {
     * doc_id, text) — factored out so the ScaleGrowth harness can drive it
     * on replicated corpora.
     *
-    * Stage accounting (VERDICT r7 #4 — this was the board's worst
-    * twin ratio at 7.1×, residual = stage count × the local stage floor):
-    * tf is now a PER-ROW [[graft.functions.TermCounts]] expression — a
-    * doc's tokens are already co-located in its row, so the old
-    * `groupBy(doc_id, term)` exchange shuffled data that never needed to
-    * move — and n_docs is a scalar subquery instead of the old
-    * crossJoin(broadcast(1-row agg)) BroadcastNestedLoopJoin + second
-    * scan-stage pair. Remaining exchanges: the vocabulary aggregate (term)
-    * and the per-doc top-5 (doc_id) — the two the algorithm inherently
-    * needs (df is a corpus-global fact; scored rows regroup by doc).
-    * Trade, stated: tf feeds both the vocabulary agg and the join's probe
-    * side, and with no exchange between them the scan+term_counts runs
-    * twice (Spark reuses exchanges, not projections). At 100 TB that is
-    * one extra columnar scan of (doc_id, text) + a rerun of a per-row
-    * expression vs shuffling the full (doc, term, tf) stream — the scan
-    * rerun wins on network and loses nothing on CPU parallelism. */
+    * Stage accounting (r7: 7.1× twin, r8: 4.8×, r9: ~2.7×): tf is a
+    * PER-ROW [[graft.functions.TermCounts]] expression, and r9 deleted
+    * the two remaining data-shaped stages — the tf⋈df join and the
+    * corpus-wide per-doc regroup — by folding the whole vocabulary into
+    * ONE [[graft.functions.TermDfAgg]] aggregate (scalar subquery) and
+    * selecting each doc's top-5 row-locally with
+    * [[graft.functions.TfidfTopK]]. The plan is two corpus passes (the
+    * vocabulary aggregate's, then the zero-exchange score scan), which is
+    * the algorithmic minimum: df is a corpus-global fact consumed by
+    * every row. Trade, stated: the scan+term_counts runs twice rather
+    * than caching the tokenized corpus — at 100 TB one extra columnar
+    * scan of (doc_id, text) beats materializing vocab×docs strings in
+    * executor storage. PERF.md carries the measured floor decomposition. */
   /** q_bpe_merges' pipeline: R unrolled BPE rounds over the corpus
     * vocabulary. Scale shape: ONE corpus-sized token aggregate collapses
     * to word types; every round after that is vocab-sized (pair explode →
@@ -495,29 +492,33 @@ object TextQueries {
         (col("fluency") * 2 >= col("cm") * col("n_bigrams")).as("keep"))
   }
 
+  /** q_doc_tfidf — per-doc top-5 TF-IDF terms with a ZERO-exchange scoring
+    * side. r8 shape: tf stream ⋈ df (AQE broadcast) then a corpus-wide
+    * doc_id regroup for the per-doc top-5 — two of the five measured stage
+    * floors. r9: the vocabulary (term, df, plus the doc count) rides ONE
+    * scalar-subquery aggregate as two sorted parallel arrays, and each
+    * document picks its top-5 ROW-LOCALLY via the native
+    * [[graft.functions.TfidfTopK]] (binary-search df lookup + bounded
+    * k-slot insertion) — no join node, no regroup; the only exchanges left
+    * is the vocabulary aggregate's single one: the whole df table (plus
+    * n_docs) is built by the [[graft.functions.TermDfAgg]]
+    * ObjectHashAggregate — each map task folds its docs into a
+    * vocabulary-bounded term→df map, #partitions maps cross the wire once,
+    * and the sorted parallel arrays come out of the final merge. */
   private[ops] def docTfidf(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val docs = documents.filter(col("text").isNotNull)
-    val nDocs = docs.select(count(lit(1)).as("n_docs")).scalar()
-    val tf = docs
-      .select(col("doc_id"), explode(expr("term_counts(text)")).as("tc"))
-      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // no broadcast hint on the vocabulary side: it is tiny next to the
-    // corpus but DATA-dependent (a web-scale corpus can exceed broadcast
-    // limits), so AQE decides — broadcast when it fits (it does at every
-    // fixture scale), shuffled hash join on term when it doesn't
-    tf.join(dfreq, "term")
-      .withColumn("score",
-        col("tf").cast("double") * nDocs / col("df"))
-      .groupBy("doc_id")
-      .agg(slice(sort_array(collect_list(struct(
-        (-col("score")).as("ns"), col("term"), col("tf"), col("df")))),
-        1, 5).as("top"))
-      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+    val vocab = docs
+      .agg(expr("term_df(term_counts(text))").as("v"))
+      .scalar()
+    docs
+      .select(col("doc_id"), col("text"), vocab.as("v"))
+      .select(col("doc_id"), posexplode(expr(
+        "tfidf_topk(term_counts(text), v.terms, v.dfs, v.n_docs, 5)"))
+        .as(Seq("pos", "t")))
       .select(col("doc_id"), (col("pos") + 1).as("rnk"),
         col("t.term").as("term"), col("t.tf").as("tf"),
-        col("t.df").as("df"), (-col("t.ns")).as("score"))
+        col("t.df").as("df"), col("t.score").as("score"))
   }
 
   val oracle: Map[String, String] = Map(
