@@ -97,6 +97,26 @@ object DedupQueries {
         col("g.mh3")) ++ extra.map(col): _*)
   }
 
+  /** [[minhashSigOf]] WITHOUT the hasShingles row filter: no-signature
+    * docs come through with null mh0..mh3. For consumers that only stack
+    * the signature into band buckets (the pair pipelines), the filter is
+    * pure overhead — its predicate re-tokenizes every document (measured
+    * +0.12 s at sf0.1, ~60% of the signature pass itself), while a
+    * g-IS-NOT-NULL filter would be alias-substituted below the projection
+    * and evaluate the 64-perm signature twice. The band stack nulls out
+    * rows with null signatures instead (see [[lshPairsFromSig]]).
+    * Callers that must EMIT only signature-bearing rows (q_minhash_sig)
+    * keep the filtered form. */
+  private[ops] def minhashSigAllOf(docs: DataFrame,
+                                   extra: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(Seq(col("doc_id"), expr("shingle_sig(text)").as("g")) ++
+        extra.map(col): _*)
+      .select(Seq(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
+        col("g.mh3")) ++ extra.map(col): _*)
+  }
+
   private def minhashSig(s: SparkSession, d: String): DataFrame =
     minhashSigOf(Tables.documents(s, d))
 
@@ -110,13 +130,13 @@ object DedupQueries {
     * per-group work; a pathological hot bucket at 100 TB auto-salts —
     * see [[lshPairsFromSig]]'s size-triggered split. */
   private[ops] def lshPairsOf(docs: DataFrame): DataFrame =
-    lshPairsFromSig(minhashSigOf(docs))
+    lshPairsFromSig(minhashSigAllOf(docs))
 
   /** Candidate pairs with each endpoint's `source` riding the band stream
     * (q_source_overlap's feed) — same pipeline, pair payload instead of
     * two corpus re-joins on doc_id. */
   private[ops] def lshSourcePairs(docs: DataFrame): DataFrame =
-    lshPairsFromSig(minhashSigOf(docs, extra = Seq("source")),
+    lshPairsFromSig(minhashSigAllOf(docs, extra = Seq("source")),
       extra = Seq("source"))
 
   /** Incremental near-dup dedup (r8, beyond reference): screen a DELTA
@@ -137,37 +157,69 @@ object DedupQueries {
     * still drops): greedy incremental dedup trades that recall sliver
     * for a closed-form per-doc decision; the nightly batch
     * q_dedup_clusters pass reconciles. */
-  private[ops] def dedupDelta(corpus: DataFrame, delta: DataFrame): DataFrame =
-    dedupDeltaFromSig(
-      minhashSigOf(corpus).withColumn("side", lit(0))
-        .unionByName(minhashSigOf(delta).withColumn("side", lit(1))),
-      delta.select("doc_id"))
+  private[ops] def dedupDelta(corpus: DataFrame, delta: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(delta.sparkSession)
+    // no row filter: hs (from the signature struct — NOT a second
+    // tokenizing hasShingles pass, NOT an alias-substituted g filter that
+    // would evaluate the 64-perm signature twice) makes the stack IFs in
+    // dedupDeltaFromTagged drop no-signature corpus rows for free
+    def tag(docs: DataFrame, side: Int): DataFrame = docs
+      .select(col("doc_id"), expr("shingle_sig(text)").as("g"),
+        lit(side).as("side"))
+      .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
+        col("g.mh3"), col("g").isNotNull.as("hs"), col("side"))
+    dedupDeltaFromTagged(tag(corpus, 0).unionByName(tag(delta, 1)))
+  }
 
-  /** [[dedupDelta]] over a pre-tagged signature frame (`side` = 0 corpus /
-    * 1 delta, one row per doc) plus the delta's id universe. Split out so
-    * a caller whose corpus and delta live in the SAME relation (the
-    * registered query: one `documents` table split on an id watermark)
-    * can tag `side` inside a single signature scan instead of paying two
-    * filtered full-text scans that a union immediately re-concatenates —
-    * same bytes, but half the scan tasks and one plan branch. */
-  private[ops] def dedupDeltaFromSig(sig: DataFrame, deltaIds: DataFrame): DataFrame = {
-    val pairs = lshPairsFromSig(sig, extra = Seq("side"),
-      pairFilter = Some("a.side = 1 OR b.side = 1"))
-    val contrib = pairs.select(
-      when(col("side_a") === 1 && col("side_b") === 0, col("doc_a"))
+  /** [[dedupDelta]] over a pre-tagged frame: one row per doc with
+    * `side` (0 corpus / 1 delta), `hs` (has a signature — ≥3 tokens) and
+    * mh0..mh3 (null when !hs). MUST contain every hasShingles corpus doc
+    * and EVERY delta doc (a no-signature delta doc never pairs but still
+    * surfaces with keep = true). Split out so a caller whose corpus and
+    * delta live in the SAME relation (the registered query: one
+    * `documents` table split on an id watermark) tags both columns inside
+    * a single signature scan.
+    *
+    * Baseline shape (r9): each delta doc's zero row rides the band
+    * exchange as a 5th stack entry — band 4, keyed by its own doc_id, so
+    * it lands in a singleton bucket that can never expand a pair (unique
+    * key; and the band predicate is false for band 4 by construction).
+    * The expansion CASE (see [[expandBandBuckets]] `baselineBand`) turns
+    * those singletons into (doc_a, doc_b = NULL) sentinel rows inside the
+    * SAME single-branch plan, replacing the r8 unionByName branch that
+    * re-scanned the delta relation just to enumerate the output universe:
+    * one fewer corpus pass, one scan, one band exchange — and the added
+    * shuffle volume is one 6-long struct per delta doc. Docs without a
+    * signature emit ONLY their band-4 row (bands 0–3 are nulled out and
+    * filtered before the exchange), keeping the r8 semantics where
+    * sub-3-token docs never pair. */
+  private[ops] def dedupDeltaFromTagged(tagged: DataFrame): DataFrame = {
+    val stacked = tagged.selectExpr(
+      "doc_id", "mh0", "mh1", "mh2", "mh3", "side",
+      "stack(5, IF(hs, 0, CAST(NULL AS INT)), mh0, IF(hs, 1, NULL), mh1," +
+        " IF(hs, 2, NULL), mh2, IF(hs, 3, NULL), mh3," +
+        " IF(side = 1, 4, NULL), doc_id) AS (band, h)")
+      .filter(col("band").isNotNull)
+    // the size predicate keeps the disjunction non-pushable, so the
+    // bucket aggregate stays ONE subtree (see expandBandBuckets scaladoc)
+    val buckets = groupBands(stacked, extra = Seq("side"))
+      .filter(col("band") === 4 || size(col("ms")) > 1)
+    val rows = expandBandBuckets(buckets, extra = Seq("side"),
+      pairFilter = Some("a.side = 1 OR b.side = 1"), baselineBand = Some(4))
+    // doc_b NULL = a delta doc's zero baseline row; every delta doc has
+    // one, so the match-count aggregate ALSO enumerates the output
+    // universe — no re-join, no second scan.
+    val contrib = rows.select(
+      when(col("doc_b").isNull, col("doc_a"))
+        .when(col("side_a") === 1 && col("side_b") === 0, col("doc_a"))
         .otherwise(col("doc_b")).as("doc_id"), // (0,1) → doc_b; (1,1) → larger id doc_b
-      when(col("side_a") === 0 || col("side_b") === 0, 1L).otherwise(0L).as("cm"),
-      when(col("side_a") === 1 && col("side_b") === 1, 1L).otherwise(0L).as("dm"))
-    // Every delta doc contributes a zero baseline row, so the match-count
-    // aggregate ALSO enumerates the output universe — the earlier
-    // delta ⟕ agg re-join (an extra exchange of the whole delta plus a
-    // join stage, just to resurrect no-match docs) folds into the one
-    // doc_id aggregation the pipeline already pays. Baseline rows come
-    // from `delta` itself, not the sig frame: sig filters hasShingles,
-    // and a null-text delta doc must still surface with keep = true.
-    val baseline = deltaIds.select(
-      col("doc_id"), lit(0L).as("cm"), lit(0L).as("dm"))
-    contrib.unionByName(baseline)
+      when(col("doc_b").isNotNull &&
+        (col("side_a") === 0 || col("side_b") === 0), 1L)
+        .otherwise(0L).as("cm"),
+      when(col("doc_b").isNotNull &&
+        col("side_a") === 1 && col("side_b") === 1, 1L)
+        .otherwise(0L).as("dm"))
+    contrib
       .groupBy("doc_id")
       .agg(sum("cm").as("n_corpus_matches"),
         sum("dm").as("n_prior_delta_matches"))
@@ -423,71 +475,52 @@ object DedupQueries {
     "(band = 0 OR (NOT (a.mh0 <=> b.mh0) AND (band = 1 OR (NOT (a.mh1 <=> b.mh1)" +
       " AND (band = 2 OR NOT (a.mh2 <=> b.mh2))))))"
 
-  /** Pair generation from an existing signature relation — split out so
-    * q_jaccard_pairs can feed the shared sig+set aggregate through it.
+  /** Band-bucket aggregation shared by the pair-expansion paths: group the
+    * stacked (band, h) rows, collect the member structs sorted by doc_id.
+    * Split from the expansion so a caller can hang a SECOND consumer off
+    * the same exchange — [[dedupDeltaFromTagged]] reads its per-delta-doc
+    * baseline rows (band 4 singletons) from the exact aggregate whose
+    * other branch expands pairs, and ReuseExchange makes the corpus
+    * shuffle happen once. */
+  private def groupBands(stacked: DataFrame, extra: Seq[String]): DataFrame = {
+    val memberCols =
+      Seq(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3")) ++
+        extra.map(col)
+    stacked.groupBy("band", "h")
+      .agg(sort_array(collect_list(struct(memberCols: _*))).as("ms"))
+  }
+
+  /** In-bucket pair expansion over grouped band buckets (already filtered
+    * to size > 1), including the size-triggered hot-bucket salting — the
+    * shared back half of [[lshPairsFromSig]] and [[dedupDeltaFromTagged]].
     *
-    * Hot buckets auto-salt (VERDICT r5 stretch): a bucket whose size
-    * exceeds `spark.graft.lsh.salt.threshold` (default 2^16) would expand
-    * C(n,2) pairs inside ONE task — the quadratic straggler that kills the
-    * job long before shuffle volume does. Instead of the manual
-    * [[ScaleOps.saltedJoin]] escape hatch, the split is SIZE-TRIGGERED
-    * after the bucket aggregation: oversize buckets explode back out, each
-    * doc takes a deterministic salt `s = pmod(hash(doc_id), S)`
-    * (`spark.graft.lsh.salt.factor`, default 16) and is replicated to the
-    * S salt-pair groups `(min(s,t), max(s,t))` for t in [0,S), and pairs
-    * expand per group — same-salt pairs only in group (s,s), cross-salt
-    * pairs only in their unique (min,max) group, so every pair is emitted
-    * EXACTLY once and the per-task expansion drops from C(n,2) to
-    * ~2·C(n/S,2) over S(S+1)/2 parallel groups. Cold buckets (ALL buckets,
-    * on an unskewed corpus) take the original path with zero added
-    * shuffles — the hot branch is in the plan but empty, and its cost is a
-    * filter. Equivalence is property-proven on adversarial single-bucket
-    * corpora (LshSaltSpec). Residual boundary: the oversize bucket's
-    * collect_list still lands in one reducer (bytes LINEAR in bucket size,
-    * spillable via the object-agg fallback) — the quadratic expansion is
-    * what this removes. */
-  /** `extra` columns of the sig frame ride each bucket member and come
-    * back as `<c>_a`/`<c>_b` on every emitted pair — so a consumer that
-    * only needs a small per-doc attribute of each pair endpoint (e.g.
-    * q_source_overlap's `source`) gets it straight off the band stream
-    * instead of re-joining the corpus twice on doc_id.
-    *
-    * `pairFilter` (a SQL predicate over lambda sides `a`/`b`, like the
-    * band predicate itself) rejects pairs INSIDE the expansion, before
-    * any struct allocates — dedupDelta uses it to never expand the
-    * corpus×corpus side of an incremental run. */
-  private[ops] def lshPairsFromSig(sig: DataFrame,
-                                   extra: Seq[String] = Nil,
-                                   pairFilter: Option[String] = None): DataFrame = {
-    val conf = sig.sparkSession.conf
+    * `baselineBand`: buckets of this band emit ONE sentinel row
+    * (doc_a = the singleton member's id, doc_b NULL) instead of pairs —
+    * dedupDeltaFromTagged's per-delta-doc zero rows. Emitted INSIDE the
+    * expansion CASE rather than as a second consumer branch of `grouped`:
+    * a `band = N` filter is a group-KEY predicate, so Catalyst pushes a
+    * branch's filter below the bucket aggregate and its exchange, and two
+    * branches then plan two full scan+shuffle subtrees (measured: the
+    * branch form was 0.34 s SLOWER at sf0.1 than the r8 second scan it
+    * replaced; the CASE form keeps the plan single-branch). Such buckets
+    * must be singletons by construction (key = a unique per-doc value) —
+    * they bypass the pair machinery entirely. */
+  private def expandBandBuckets(grouped: DataFrame,
+                                extra: Seq[String],
+                                pairFilter: Option[String],
+                                baselineBand: Option[Int] = None): DataFrame = {
+    val conf = grouped.sparkSession.conf
     val threshold =
       conf.getOption("spark.graft.lsh.salt.threshold").map(_.toInt).getOrElse(1 << 16)
     val salts =
       conf.getOption("spark.graft.lsh.salt.factor").map(_.toInt).getOrElse(16)
     require(salts >= 1, s"bad lsh salt conf: salts=$salts")
-    // The four band hashes ride each bucket member (struct of 5 longs vs
-    // the bare id) so the pair site can (a) emit each pair only from its
-    // FIRST agreeing band — the per-pair dedup exchange this replaces was
-    // a whole extra shuffle stage — and (b) read shared_bands directly as
-    // the count of agreeing lanes, which equals the old COUNT(per-band
-    // rows) because a doc holds exactly one hash per band. Payload grows
-    // ~2.3× on the bucket shuffle; the dedup exchange, its stage barrier,
-    // and the up-to-4× duplicate pair emission are gone (VERDICT r6 #4).
-    val memberCols =
-      Seq(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3")) ++
-        extra.map(col)
     val buildExtra =
       extra.map(c => s", a.$c AS ${c}_a, b.$c AS ${c}_b").mkString
     val outCols =
       Seq(col("p.doc_a"), col("p.doc_b"),
         col("p.sb").cast("long").as("shared_bands")) ++
         extra.flatMap(c => Seq(col(s"p.${c}_a"), col(s"p.${c}_b")))
-    val grouped = sig
-      .selectExpr(Seq("doc_id", "mh0", "mh1", "mh2", "mh3") ++ extra ++
-        Seq("stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)"): _*)
-      .groupBy("band", "h")
-      .agg(sort_array(collect_list(struct(memberCols: _*))).as("ms"))
-      .filter(size(col("ms")) > 1)
     // <=> (not =) so a NULL lane counts as agreeing iff BOTH sides are
     // NULL — exactly how the old per-band groupBy bucketed NULL keys
     val sharedBands =
@@ -496,9 +529,24 @@ object DedupQueries {
     val build =
       s"struct(a.doc_id AS doc_a, b.doc_id AS doc_b, $sharedBands AS sb$buildExtra)"
     val pf = pairFilter.map(f => s"($f) AND ").getOrElse("")
+    // CASE-wrapped baseline emission (see scaladoc): NULL types for the
+    // absent b-side come from the bucket member schema so the two CASE
+    // arms carry the identical struct type
+    val wrapBaseline: String => String = baselineBand.map { b =>
+      val memberT = grouped.schema("ms").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      val extraFields = extra.map(c =>
+        s", '${c}_a', ms[0].$c, '${c}_b', CAST(NULL AS ${memberT(c).dataType.sql})")
+        .mkString
+      (pairsSql: String) =>
+        s"CASE WHEN band = $b THEN array(named_struct(" +
+          s"'doc_a', ms[0].doc_id, 'doc_b', CAST(NULL AS BIGINT), " +
+          s"'sb', 0$extraFields)) ELSE $pairsSql END"
+    }.getOrElse(identity[String] _)
     def expand(buckets: DataFrame): DataFrame = buckets
-      .select(explode(expr(pairExpansionSql("ms", build,
-        keepAb = Some(s"$pf$firstAgreeingBand")))).as("p"))
+      .select(explode(expr(wrapBaseline(pairExpansionSql("ms", build,
+        keepAb = Some(s"$pf$firstAgreeingBand"))))).as("p"))
       .select(outCols: _*)
     // threshold <= 0 = salting OFF: the single-branch plan
     if (threshold <= 0) expand(grouped)
@@ -526,6 +574,68 @@ object DedupQueries {
     }
   }
 
+  /** Pair generation from an existing signature relation — split out so
+    * q_jaccard_pairs can feed the shared sig+set aggregate through it.
+    *
+    * Hot buckets auto-salt (VERDICT r5 stretch): a bucket whose size
+    * exceeds `spark.graft.lsh.salt.threshold` (default 2^16) would expand
+    * C(n,2) pairs inside ONE task — the quadratic straggler that kills the
+    * job long before shuffle volume does. Instead of the manual
+    * [[ScaleOps.saltedJoin]] escape hatch, the split is SIZE-TRIGGERED
+    * after the bucket aggregation: oversize buckets explode back out, each
+    * doc takes a deterministic salt `s = pmod(hash(doc_id), S)`
+    * (`spark.graft.lsh.salt.factor`, default 16) and is replicated to the
+    * S salt-pair groups `(min(s,t), max(s,t))` for t in [0,S), and pairs
+    * expand per group — same-salt pairs only in group (s,s), cross-salt
+    * pairs only in their unique (min,max) group, so every pair is emitted
+    * EXACTLY once and the per-task expansion drops from C(n,2) to
+    * ~2·C(n/S,2) over S(S+1)/2 parallel groups. Cold buckets (ALL buckets,
+    * on an unskewed corpus) take the original path with zero added
+    * shuffles — the hot branch is in the plan but empty, and its cost is a
+    * filter. Equivalence is property-proven on adversarial single-bucket
+    * corpora (LshSaltSpec). Residual boundary: the oversize bucket's
+    * collect_list still lands in one reducer (bytes LINEAR in bucket size,
+    * spillable via the object-agg fallback) — the quadratic expansion is
+    * what this removes.
+    *
+    * The four band hashes ride each bucket member (struct of 5 longs vs
+    * the bare id) so the pair site can (a) emit each pair only from its
+    * FIRST agreeing band — the per-pair dedup exchange this replaces was
+    * a whole extra shuffle stage — and (b) read shared_bands directly as
+    * the count of agreeing lanes. Payload grows ~2.3× on the bucket
+    * shuffle; the dedup exchange, its stage barrier, and the up-to-4×
+    * duplicate pair emission are gone (VERDICT r6 #4).
+    *
+    * `extra` columns of the sig frame ride each bucket member and come
+    * back as `<c>_a`/`<c>_b` on every emitted pair — so a consumer that
+    * only needs a small per-doc attribute of each pair endpoint (e.g.
+    * q_source_overlap's `source`) gets it straight off the band stream
+    * instead of re-joining the corpus twice on doc_id.
+    *
+    * `pairFilter` (a SQL predicate over lambda sides `a`/`b`, like the
+    * band predicate itself) rejects pairs INSIDE the expansion, before
+    * any struct allocates — dedupDeltaFromTagged uses it to never expand
+    * the corpus×corpus side of an incremental run. */
+  private[ops] def lshPairsFromSig(sig: DataFrame,
+                                   extra: Seq[String] = Nil,
+                                   pairFilter: Option[String] = None): DataFrame =
+    // A WHOLLY-null signature (mh0 IS NULL — shingle_sig is atomic: all
+    // lanes null or none) emits NO band rows, so unfiltered sig frames
+    // (minhashSigAllOf) cost nothing past the scan. A partially-null
+    // frame (never produced here, but this is a private API over
+    // arbitrary frames) still buckets its null lanes under (band, NULL)
+    // exactly as before — the null-safe band predicates cover it.
+    expandBandBuckets(
+      groupBands(
+        sig.selectExpr(Seq("doc_id", "mh0", "mh1", "mh2", "mh3") ++ extra ++
+          Seq("stack(4, IF(mh0 IS NULL, CAST(NULL AS INT), 0), mh0," +
+            " IF(mh0 IS NULL, NULL, 1), mh1, IF(mh0 IS NULL, NULL, 2), mh2," +
+            " IF(mh0 IS NULL, NULL, 3), mh3) AS (band, h)"): _*)
+          .filter(col("band").isNotNull),
+        extra)
+        .filter(size(col("ms")) > 1),
+      extra, pairFilter)
+
   /** Shared LSH-candidate set arithmetic: (doc_a, doc_b, |A∩B|, |A|, |B|)
     * for every candidate pair, sets riding WITH the signatures through the
     * band stream (two shuffles total — the q_jaccard_pairs shape; see that
@@ -540,8 +650,10 @@ object DedupQueries {
     * this computes locally, minus the exchange). */
   private def candidateSetCounts(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // no row filter (r9): hasShingles re-tokenizes every doc; null-sig
+    // rows emit zero band rows via the stack IFs instead — see
+    // minhashSigAllOf for the measured cost and the substitution trap
     val sig = Tables.documents(s, d)
-      .filter(hasShingles) // cheap predicate, not g IS NOT NULL — see minhashSigOf
       .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
       .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
         col("g.mh3"), col("g.ss").as("ss"))
@@ -554,7 +666,10 @@ object DedupQueries {
     // (VERDICT r6 #4).
     sig
       .selectExpr("doc_id", "ss", "mh0", "mh1", "mh2", "mh3",
-        "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, h)")
+        "stack(4, IF(mh0 IS NULL, CAST(NULL AS INT), 0), mh0," +
+          " IF(mh0 IS NULL, NULL, 1), mh1, IF(mh0 IS NULL, NULL, 2), mh2," +
+          " IF(mh0 IS NULL, NULL, 3), mh3) AS (band, h)")
+      .filter(col("band").isNotNull)
       .groupBy("band", "h")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("mh0"),
         col("mh1"), col("mh2"), col("mh3"), col("ss")))).as("ms"))
@@ -612,16 +727,23 @@ object DedupQueries {
     // scalar subquery so the same query runs at every SF — see dedupDelta
     // for the no-corpus×corpus-expansion contract).
     "q_dedup_delta" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
       val k = docs.select((max("doc_id") * lit(0.8)).cast("long")).scalar()
-      // corpus and delta share one relation, so the side tag is computed
-      // inside a SINGLE signature scan (dedupDeltaFromSig) rather than
-      // re-scanning the table once per side of a union
-      dedupDeltaFromSig(
-        minhashSigOf(
-          docs.withColumn("side", (col("doc_id") >= k).cast("int")),
-          extra = Seq("side")),
-        docs.filter(col("doc_id") >= k).select("doc_id"))
+      // corpus and delta share one relation, so side AND hs are tagged
+      // inside ONE signature scan; the r8 second scan that enumerated
+      // delta ids is gone (baseline rides the band exchange — see
+      // dedupDeltaFromTagged)
+      // NO row filter at all: a hasShingles pre-filter re-tokenizes every
+      // document (measured +0.12 s at sf0.1), a g-IS-NOT-NULL filter gets
+      // alias-substituted below the projection and evaluates the 64-perm
+      // signature twice — the stack IFs in dedupDeltaFromTagged drop
+      // no-signature corpus rows for free instead
+      dedupDeltaFromTagged(docs
+        .withColumn("side", (col("doc_id") >= k).cast("int"))
+        .select(col("doc_id"), expr("shingle_sig(text)").as("g"), col("side"))
+        .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
+          col("g.mh3"), col("g").isNotNull.as("hs"), col("side")))
     }),
 
     // n-gram Jaccard, verified only on LSH candidates (never all-pairs).
