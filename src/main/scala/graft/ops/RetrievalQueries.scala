@@ -62,12 +62,33 @@ object RetrievalQueries {
 
   private def termScore(i: Int): String = termScoreNamed(s"tf$i", s"df$i")
 
+  /** Lucene-convention log-idf summand — `ln(1 + (N - df + ½)/(df + ½))`
+    * times the same saturated-tf factor. The determinism trade, stated:
+    * `ln` is evaluated by the engine's libm (results may differ in the
+    * last ulp across engines/platforms, unlike the rational form's
+    * correctly-rounded +,-,*,/), and per-term weights differ NONLINEARLY
+    * from the rational idf, so rank order is not always identical between
+    * the two variants. For users importing BM25 expectations from
+    * Lucene/Elasticsearch this is the familiar scale; it is therefore
+    * rows-only checked (q_bm25_logidf has no hash twin by design). */
+  private def termScoreNamedLog(tf: String, df: String): String =
+    s"ln(((CAST(n_docs - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5))" +
+      s" + 1.0)" +
+      s" * ((CAST($tf AS DOUBLE) * $K1Plus1) / (CAST($tf AS DOUBLE)" +
+      s" + ($K1 * ($OneMinusB + $B * (CAST(dl AS DOUBLE) / avgdl)))))"
+
   /** Left-associated sum over the query terms — the association order is
     * part of the cross-engine contract. (private[graft]: the streaming
     * scorer evaluates the SAME expression text over frozen-literal stats,
     * so stream and batch scores are identical by construction.) */
   private[graft] def scoreSql: String =
     QueryTerms.indices.map(termScore).reduce((a, b) => s"($a) + ($b)")
+
+  /** The log-idf score for the same fixed query (see
+    * [[termScoreNamedLog]]). */
+  private def scoreLogSql: String =
+    QueryTerms.indices.map(i => termScoreNamedLog(s"tf$i", s"df$i"))
+      .reduce((a, b) => s"($a) + ($b)")
 
   /** The five corpus-stat aggregates (n_docs, total_tokens, per-term df) —
     * ONE definition feeding both the batch scalar subquery and the
@@ -115,9 +136,34 @@ object RetrievalQueries {
         terms.indices.map(i => col(s"st.df$i").as(s"df$i")).toList: _*)
   }
 
-  private[graft] def bm25Scored(docs: DataFrame): DataFrame =
+  /** Library-level idf selection: `spark.graft.bm25.idf` = `rational`
+    * (default — hash-exact cross-engine, the registered q_bm25's form) or
+    * `log` (Lucene-convention `ln(1+…)` — see [[termScoreNamedLog]] for
+    * the determinism trade). The registered gate queries run under the
+    * default; flipping the conf retunes every bm25Scored consumer
+    * (q_bm25, q_hybrid_rrf) to the Lucene scale. The streaming scorer
+    * freezes the rational form regardless — a stream that must match a
+    * batch run cannot depend on a session conf set elsewhere. */
+  private[graft] def bm25Scored(docs: DataFrame): DataFrame = {
+    val useLog = docs.sparkSession.conf
+      .getOption("spark.graft.bm25.idf") match {
+        case None | Some("rational") => false
+        case Some("log") => true
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"bad spark.graft.bm25.idf: $other (rational | log)")
+      }
     bm25Prep(docs, QueryTerms)
-      .withColumn("score", expr(scoreSql))
+      .withColumn("score", expr(if (useLog) scoreLogSql else scoreSql))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** The log-idf scorer, explicitly — q_bm25_logidf's body, independent
+    * of the session conf so the registered variant is deterministic. */
+  private[graft] def bm25ScoredLog(docs: DataFrame): DataFrame =
+    bm25Prep(docs, QueryTerms)
+      .withColumn("score", expr(scoreLogSql))
       .filter(col("score") > 0)
       .select(col("doc_id"), col("score"))
 
@@ -159,6 +205,14 @@ object RetrievalQueries {
     "q_bm25" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       topK(bm25Scored(Tables.documents(s, d)), 10)
+    }),
+
+    // Lucene-convention log-idf BM25 (What's missing r8 #3) — same
+    // feature pass and plan shape as q_bm25, ln-based idf; rows-only
+    // checked by declared design (libm ln is not bit-exact cross-engine).
+    "q_bm25_logidf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      topK(bm25ScoredLog(Tables.documents(s, d)), 10)
     }),
 
     // Multi-query BM25 — the nq-queries retrieval shape where the bounded

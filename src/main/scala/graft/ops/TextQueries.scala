@@ -208,6 +208,11 @@ object TextQueries {
     // mean conditional bigram probability in fixed point, bucketed
     // head/middle/tail against the corpus average. See [[lmFluency]].
     "q_lm_fluency" -> ((s, d) => lmFluency(Tables.documents(s, d))),
+    // the CCNet-faithful sampled-tercile split — rows-only checked by
+    // declared design (approximate pivots are sketch-specific); see
+    // [[lmFluencyTerciles]]
+    "q_lm_fluency_terciles" ->
+      ((s, d) => lmFluencyTerciles(Tables.documents(s, d))),
 
     // Multimodal metadata pass: text treated as an opaque payload — byte
     // length + content hash, the same schema shape used for image/audio
@@ -425,7 +430,13 @@ object TextQueries {
     * re-running the scoring scan. Docs with <2 tokens have no bigrams
     * and are not scored (no LM opinion), deliberately — the twin
     * matches. */
-  private[graft] def lmFluency(documents: DataFrame): DataFrame = {
+  /** Shared fit+score front half of the fluency queries: the bounded
+    * bigram LM fit, the dense-array scalars, and the per-doc
+    * (n_bigrams, fluency) pass — everything up to (but excluding) the
+    * head/middle/tail pivot, which is where [[lmFluency]] (exact
+    * mean-split) and [[lmFluencyTerciles]] (sampled tercile split)
+    * diverge. */
+  private def fluencyPerDoc(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val B1 = 1024
     val B2 = 65536
@@ -470,7 +481,7 @@ object TextQueries {
       .agg(expr("transform(sort_array(collect_list(" +
         "struct(bucket, coalesce(c, 0L) AS c))), x -> x.c)").as("a"))
       .scalar()
-    val perDoc = hashed
+    hashed
       .withColumn("c1a", denseOf(0, B1))
       .withColumn("c2a", denseOf(1, B2))
       .select(col("doc_id"),
@@ -478,6 +489,10 @@ object TextQueries {
       .select(col("doc_id"), col("z.n").as("n_bigrams"),
         col("z.s").as("fluency"))
       .localCheckpoint(false)
+  }
+
+  private[graft] def lmFluency(documents: DataFrame): DataFrame = {
+    val perDoc = fluencyPerDoc(documents)
     // decimal sums (Σfluency nears int64 at 100 TB), one IEEE division,
     // one half-up round — cm is bit-identical on any engine
     val cm = perDoc.select(
@@ -490,6 +505,40 @@ object TextQueries {
           .when(col("fluency") * 2 >= col("cm") * col("n_bigrams"), "middle")
           .otherwise("tail").as("bucket"),
         (col("fluency") * 2 >= col("cm") * col("n_bigrams")).as("keep"))
+  }
+
+  /** q_lm_fluency_terciles — the CCNet-faithful split (Wenzek et al. 2020
+    * §3.2 partitions the corpus into head/middle/tail TERCILES of the
+    * per-document LM score). [[lmFluency]]'s default deliberately pivots
+    * on the corpus-average per-bigram score instead, because an exact
+    * tercile needs a full ntile sort in one partition — the scale-killer
+    * — and because an integer pivot is hash-exact cross-engine. This
+    * variant recovers the paper's semantics without the sort: the two cut
+    * points are `percentile_approx(fluency / n_bigrams, [1/3, 2/3])` —
+    * ONE aggregate (Greenwald–Khanna sketch, mergeable partial/final, the
+    * same plan shape as the mean) consumed as a scalar — and every doc
+    * labels row-locally against them. By construction ~⅓ of docs land in
+    * each bucket regardless of the score distribution's shape (the
+    * mean-split's buckets skew when the distribution does). Approximate
+    * pivots are engine- and sketch-specific, so this query is rows-only
+    * checked (no DuckDB twin); the bucket-proportion and boundary
+    * semantics are spec-pinned instead. `keep` = middle or better, as in
+    * the default. */
+  private[graft] def lmFluencyTerciles(documents: DataFrame): DataFrame = {
+    val perDoc = fluencyPerDoc(documents)
+    val pivots = perDoc.select(
+      percentile_approx(col("fluency").cast("double") / col("n_bigrams"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("p"))
+      .scalar()
+    perDoc
+      .withColumn("p", pivots)
+      .withColumn("avg_score",
+        col("fluency").cast("double") / col("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("fluency"),
+        when(col("avg_score") >= col("p").getItem(1), "head")
+          .when(col("avg_score") >= col("p").getItem(0), "middle")
+          .otherwise("tail").as("bucket"),
+        (col("avg_score") >= col("p").getItem(0)).as("keep"))
   }
 
   /** q_doc_tfidf — per-doc top-5 TF-IDF terms with a ZERO-exchange scoring

@@ -213,6 +213,39 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(mean(1L) > mean(200L) && mean(200L) > mean(100L))
   }
 
+  test("lmFluencyTerciles: ~third per bucket on a spread corpus; labels follow score order") {
+    import spark.implicits._
+    // 30 docs with strictly increasing fluency: doc i repeats "aa bb" i
+    // times then pads with unique tokens — per-doc mean score rises with
+    // i, so the tercile split must put the top ~10 in head, bottom ~10 in
+    // tail regardless of the (skewed) score distribution. The mean-split
+    // default CANNOT guarantee that — the point of the variant.
+    val docs = (1 to 30).map { i =>
+      val rep = (1 to i).map(_ => "aa bb").mkString(" ")
+      val pad = (0 until (31 - i)).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, s"$rep $pad")
+    }.toDF("doc_id", "text")
+    val out = TextQueries.lmFluencyTerciles(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getBoolean(4))).toMap
+    assert(out.size === 30)
+    val byBucket = out.groupBy(_._2._3).view.mapValues(_.keys.toSeq.sorted).toMap
+    // each bucket holds a THIRD (±2: sketch pivots can tie at boundaries)
+    Seq("head", "middle", "tail").foreach { b =>
+      val n = byBucket.getOrElse(b, Nil).size
+      assert(math.abs(n - 10) <= 2, s"$b holds $n of 30: $byBucket")
+    }
+    // label order respects score order: every head doc outscores every
+    // middle doc, every middle every tail
+    def means(b: String) = byBucket(b).map(id => out(id)._2.toDouble / out(id)._1)
+    assert(means("head").min >= means("middle").max)
+    assert(means("middle").min >= means("tail").max)
+    // keep = middle or better, as in the default split
+    out.foreach { case (id, (_, _, b, keep)) =>
+      assert(keep === (b != "tail"), s"doc $id: $b keep=$keep")
+    }
+  }
+
   test("star and propagate strategies agree on a random edge set") {
     import spark.implicits._
     forAll(List.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))) { ps =>
