@@ -388,6 +388,142 @@ object Multimodal {
     }(enc)
   }
 
+  /** Out-of-JVM video decode seam (VERDICT r8 stretch): H.264-in-MP4 has
+    * no pure-JVM codec, so the sanctioned path for an mp4-heavy corpus is
+    * an OPTIONAL external `ffmpeg` binary, discovered per executor —
+    * `SPARK_GRAFT_FFMPEG` env override first, then a PATH scan — and
+    * invoked per row through the same partition-local seam as every other
+    * codec. When the binary is absent the seam reports so cheaply
+    * (`available`), and [[sampleFramesAuto]] falls back to the pure-JVM
+    * [[sampleFramesMjpeg]] path, which really decodes MJPEG-AVI and
+    * stub-degrades anything else — the boundary stays honest, nothing
+    * fails.
+    *
+    * Decode contract: frames are normalized by ffmpeg itself to a FIXED
+    * 16×16 rgb24 raster (`-vf select=not(mod(n,K)),scale=16:16 -f
+    * rawvideo`), so stdout framing is deterministic — 768-byte chunks,
+    * one per SAMPLED frame — and the feature convention matches
+    * [[ImageIoDecoder]]: `[width, height, mean R, mean G, mean B, …]`,
+    * dims raw, means normalized. frame_no is the ordinal in the SOURCE
+    * stream (i·k), as in [[sampleFramesMjpeg]]. Payloads reach ffmpeg via
+    * a per-row temp file (mp4 needs a seekable input: moov can trail),
+    * deleted in a finally. Degradation is per ROW: a payload the binary
+    * rejects (non-zero exit, no frames) emits zero rows, never a failed
+    * partition — and stderr is drained concurrently so a chatty failure
+    * cannot deadlock the pipe. The subprocess plumbing is spec-exercised
+    * WITHOUT ffmpeg by pointing the override at a script that emits
+    * deterministic rasters. */
+  object FfmpegVideo {
+    /** Resolved per JVM (serialized closures re-resolve per executor). */
+    @transient lazy val binary: Option[String] = resolve(None)
+
+    private[ops] def resolve(overridePath: Option[String]): Option[String] = {
+      val candidates =
+        overridePath.toList ++
+          sys.env.get("SPARK_GRAFT_FFMPEG").toList ++
+          sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
+            .filter(_.nonEmpty).map(_ + java.io.File.separator + "ffmpeg").toList
+      candidates.find(p => new java.io.File(p).canExecute)
+    }
+
+    def available: Boolean = binary.isDefined
+
+    private val W = 16
+    private val H = 16
+    private val FrameBytes = W * H * 3
+
+    /** All sampled frames of one payload via the external binary —
+      * Nil on any per-row failure. */
+    private[ops] def decodeFrames(bin: String, payload: Array[Byte],
+                                  everyK: Int): List[Array[Byte]] = {
+      if (payload == null || payload.isEmpty) return Nil
+      val tmp = java.io.File.createTempFile("graft-vid", ".bin")
+      try {
+        java.nio.file.Files.write(tmp.toPath, payload)
+        val cmd = List(bin, "-v", "error", "-i", tmp.getAbsolutePath,
+          "-vf", s"select=not(mod(n\\,$everyK)),scale=$W:$H", "-vsync", "0",
+          "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1")
+        val pb = new ProcessBuilder(cmd: _*)
+        val proc = pb.start()
+        proc.getOutputStream.close()
+        // drain stderr concurrently: a verbose failure must not fill the
+        // pipe and deadlock readAllBytes on stdout
+        val errDrain = new Thread(() =>
+          try { while (proc.getErrorStream.read() >= 0) () }
+          catch { case scala.util.control.NonFatal(_) => () })
+        errDrain.setDaemon(true)
+        errDrain.start()
+        val raw = proc.getInputStream.readAllBytes()
+        val exit = proc.waitFor()
+        if (exit != 0 || raw.length < FrameBytes) Nil
+        else (0 until raw.length / FrameBytes).toList.map(i =>
+          java.util.Arrays.copyOfRange(raw, i * FrameBytes,
+            (i + 1) * FrameBytes))
+      } catch {
+        case scala.util.control.NonFatal(_) => Nil
+      } finally {
+        tmp.delete()
+        ()
+      }
+    }
+
+    /** [width, height, mean R, mean G, mean B, 0…] over one rgb24 raster —
+      * the [[ImageIoDecoder]] convention. */
+    private[ops] def rasterFeatures(frame: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (dim >= 1) out(0) = W.toFloat
+      if (dim >= 2) out(1) = H.toFloat
+      if (dim >= 3) {
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i + 2 < frame.length) {
+          r += frame(i) & 0xff; g += frame(i + 1) & 0xff
+          b += frame(i + 2) & 0xff
+          i += 3
+        }
+        val n = (W * H).toLong * 255L
+        val means = Array(r.toFloat / n, g.toFloat / n, b.toFloat / n)
+        var j = 2
+        while (j < dim && j - 2 < means.length) { out(j) = means(j - 2); j += 1 }
+      }
+      out
+    }
+
+    /** Frame sampling through the external binary (caller guarantees — or
+      * injects, for tests — a binary path). Same output schema and
+      * mapPartitions seam as [[sampleFramesMjpeg]]. */
+    def sampleFrames(df: DataFrame, bin: String, dim: Int = 8,
+                     everyK: Int = 1): DataFrame = {
+      require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+      val enc = org.apache.spark.sql.Encoders.row(frameFeatureSchema)
+      df.select("media_id", "payload").mapPartitions { it =>
+        it.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val id = r.getLong(0)
+            decodeFrames(bin, r.getAs[Array[Byte]](1), everyK)
+              .iterator.zipWithIndex.map { case (frame, i) =>
+                Row(id, i * everyK, frame.length,
+                  rasterFeatures(frame, dim).toSeq)
+              }
+          }
+        }
+      }(enc)
+    }
+  }
+
+  /** The sanctioned video frame-sampling entry point: external ffmpeg when
+    * present (H.264/MP4 and everything else the binary handles), pure-JVM
+    * MJPEG-AVI decode otherwise. The fallback is a REAL decoder for its
+    * container, not a silent stub — an mp4 payload under the fallback
+    * yields zero frames (no AVI chunks), which is the honest answer. */
+  def sampleFramesAuto(df: DataFrame, dim: Int = 8,
+                       everyK: Int = 1): DataFrame =
+    FfmpegVideo.binary match {
+      case Some(bin) => FfmpegVideo.sampleFrames(df, bin, dim, everyK)
+      case None => sampleFramesMjpeg(df, dim, everyK)
+    }
+
   /** Frame sampling for video-like payloads: every k-th chunk of the binary,
     * exploded one row per sampled frame — shape matches a real frame
     * extractor (row multiplication, ordinal column, bounded chunk size).

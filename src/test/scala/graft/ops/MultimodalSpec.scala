@@ -281,6 +281,60 @@ class MultimodalSpec extends SparkTestBase {
     assert(sampled.map(_.getInt(1)).toSeq === Seq(0, 2))
   }
 
+  test("ffmpeg seam: absent binary probes None and auto falls back to the JVM path") {
+    import spark.implicits._
+    // this container ships no ffmpeg: the probe must say so (not throw),
+    // and the auto entry point must take the pure-JVM MJPEG path
+    assert(Multimodal.FfmpegVideo.resolve(None).isEmpty)
+    assert(!Multimodal.FfmpegVideo.available)
+    val df = Seq((1L, "not a video".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val auto = Multimodal.sampleFramesAuto(df, dim = 3).collect()
+    val jvm = Multimodal.sampleFramesMjpeg(df, dim = 3).collect()
+    assert(auto.toSeq === jvm.toSeq) // here: both empty — honest zero frames
+  }
+
+  test("ffmpeg seam: subprocess plumbing works against an injected fake binary") {
+    import spark.implicits._
+    // a stand-in "ffmpeg": ignores its arguments and writes two 16×16
+    // rgb24 rasters (all-0xFF then all-0x00) to stdout — exercising the
+    // temp-file handoff, stdout framing, stderr drain and exit handling
+    // without the real binary
+    val frameBytes = 16 * 16 * 3
+    val fake = java.io.File.createTempFile("fake-ffmpeg", ".sh")
+    val crash = java.io.File.createTempFile("crash-ffmpeg", ".sh")
+    try {
+      java.nio.file.Files.writeString(fake.toPath,
+        s"""#!/bin/sh
+           |head -c $frameBytes /dev/zero | tr '\\0' '\\377'
+           |head -c $frameBytes /dev/zero
+           |""".stripMargin)
+      fake.setExecutable(true)
+      java.nio.file.Files.writeString(crash.toPath,
+        "#!/bin/sh\necho boom >&2\nexit 1\n")
+      crash.setExecutable(true)
+      assert(Multimodal.FfmpegVideo.resolve(Some(fake.getAbsolutePath))
+        .contains(fake.getAbsolutePath))
+      val df = Seq((7L, "whatever bytes".getBytes("UTF-8")),
+        (8L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+      val out = Multimodal.FfmpegVideo
+        .sampleFrames(df, fake.getAbsolutePath, dim = 5, everyK = 2)
+        .orderBy("frame_no").collect()
+      // two frames, SOURCE ordinals under everyK=2, null payload skipped
+      assert(out.map(_.getLong(0)).toSeq === Seq(7L, 7L))
+      assert(out.map(_.getInt(1)).toSeq === Seq(0, 2))
+      assert(out.forall(_.getInt(2) == frameBytes))
+      val feats = out.map(_.getSeq[Float](3))
+      assert(feats(0) === Seq(16.0f, 16.0f, 1.0f, 1.0f, 1.0f)) // all-0xFF
+      assert(feats(1) === Seq(16.0f, 16.0f, 0.0f, 0.0f, 0.0f)) // all-0x00
+      // per-row degradation: a failing binary yields zero rows, no error
+      assert(Multimodal.FfmpegVideo
+        .sampleFrames(df, crash.getAbsolutePath, dim = 3).count() === 0L)
+    } finally {
+      fake.delete(); crash.delete()
+    }
+  }
+
   test("fromDocuments builds the binary+metadata schema from testdata") {
     val df = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     assert(df.schema("payload").dataType.typeName === "binary")
