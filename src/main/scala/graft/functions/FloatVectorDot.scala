@@ -117,6 +117,21 @@ object GraftFunctions {
           containsNull = true)
         BigramFluency(Cast(args.head, at), Cast(args(1), at), Cast(args(2), at))
       }),
+    (new FunctionIdentifier("bigram_counts"),
+      new ExpressionInfo(classOf[BigramCountsAgg].getName, "bigram_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bigram_counts expects (h, B1, B2)")
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bigram_counts $what must be an integer literal, got $other")
+        }
+        val at = ArrayType(org.apache.spark.sql.types.LongType,
+          containsNull = true)
+        BigramCountsAgg(Cast(args.head, at),
+          litInt(args(1), "B1"), litInt(args(2), "B2"))
+          .toAggregateExpression()
+      }),
     (new FunctionIdentifier("term_df"),
       new ExpressionInfo(classOf[TermDfAgg].getName, "term_df"),
       (args: Seq[Expression]) => {

@@ -451,39 +451,30 @@ object TextQueries {
         expr("transform(split(trim(lower(text)), '\\\\s+')," +
           " t -> md5_low63(t))").as("h"))
       .filter(size(col("h")) >= 2)
-    val counts = hashed
-      .select(explode(expr(
-        "transform(sequence(1, size(h) - 1)," +
-          " i -> struct(element_at(h, i) AS h1, element_at(h, i + 1) AS h2))"))
-        .as("g"))
-      .selectExpr(s"g.h1 % $B1 AS b1",
-        s"((g.h1 % $B2) * 31 + g.h2 % $B2) % $B2 AS b2")
-      .selectExpr("stack(2, 0, b1, 1, b2) AS (kind, bucket)")
-      .groupBy("kind", "bucket").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // both map scalars below read ONE fit aggregate
-    // Both bounded count tables enter the score pass as in-plan DENSE
-    // ARRAY scalars — position = bucket id, so every lookup is O(1)
-    // `element_at` (a map scalar was tried first and measured 2.6×
+    // Both bounded count tables come from ONE
+    // [[graft.functions.BigramCountsAgg]] aggregate consumed as a scalar
+    // (r9 — the previous form exploded one row per bigram, stack(2)'d it
+    // into 2 rows, hash-aggregated the whole per-bigram stream, then ran
+    // a range(B1+B2) fill job to densify tables whose size was fixed
+    // from the start; each map task now owns one ~0.5 MB dense array and
+    // the fill job is gone). The tables enter the score pass as in-plan
+    // DENSE ARRAY scalars — position = bucket id, so every lookup is
+    // O(1) `element_at` (a map scalar was tried in r8 and measured 2.6×
     // SLOWER overall: Spark's map element_at linear-scans the entries,
-    // ~32k comparisons per lookup on the B2 table). Each array is built
-    // by a bounded range-fill job (range(B) ⟕ counts, absent buckets 0,
-    // sort by bucket, collect) and rides the torrent-broadcast task
-    // binary once per executor, exactly like a broadcast build side.
-    // Each doc's (n_bigrams, fluency) is then a row-local aggregate over
-    // its own token-hash array: the earlier explode → two broadcast
-    // joins → groupBy(doc_id) form shuffled the full per-bigram stream
-    // only to regroup rows by a key they started with. Same weight
-    // arithmetic in the same IEEE op order, so outputs are unchanged.
-    def denseOf(kind: Int, n: Int) = documents.sparkSession.range(n)
-      .toDF("bucket")
-      .join(counts.filter(col("kind") === kind).select("bucket", "c"),
-        Seq("bucket"), "left")
-      .agg(expr("transform(sort_array(collect_list(" +
-        "struct(bucket, coalesce(c, 0L) AS c))), x -> x.c)").as("a"))
+    // ~32k comparisons per lookup on the B2 table) — and ride the
+    // torrent-broadcast task binary once per executor, exactly like a
+    // broadcast build side. Each doc's (n_bigrams, fluency) is then a
+    // row-local aggregate over its own token-hash array: the earlier
+    // explode → two broadcast joins → groupBy(doc_id) form shuffled the
+    // full per-bigram stream only to regroup rows by a key they started
+    // with. Same weight arithmetic in the same IEEE op order, so outputs
+    // are unchanged.
+    val dense = hashed
+      .agg(expr(s"bigram_counts(h, $B1, $B2)").as("d"))
       .scalar()
     hashed
-      .withColumn("c1a", denseOf(0, B1))
-      .withColumn("c2a", denseOf(1, B2))
+      .withColumn("c1a", dense.getField("c1"))
+      .withColumn("c2a", dense.getField("c2"))
       .select(col("doc_id"),
         expr("bigram_fluency(h, c1a, c2a)").as("z"))
       .select(col("doc_id"), col("z.n").as("n_bigrams"),

@@ -359,25 +359,17 @@ object BeaconStreaming {
       .withColumn("__z",
         when(size(col("__h")) >= 2,
           expr("bigram_fluency(__h, __c1, __c2)")).otherwise(lit(null)))
-    // FIT: the batch bigram bucket stream, collected as two bounded dense
-    // arrays (≤ B1+B2 rows cross the driver — the importanceScoreStream
-    // freeze shape)
-    val counts = hashes(fitCorpus.filter(col(textCol).isNotNull))
+    // FIT: the batch side's bigram_counts aggregate, collected as its two
+    // bounded dense arrays (ONE 1-row collect crosses the driver — the
+    // same frozen-model shape as importanceScoreStream, and the same
+    // arithmetic as the batch scalar, so batch/stream cannot drift)
+    val fitRow = hashes(fitCorpus.filter(col(textCol).isNotNull))
       .filter(size(col("__h")) >= 2)
-      .select(explode(expr("transform(sequence(1, size(__h) - 1)," +
-        " i -> struct(element_at(__h, i) AS h1," +
-        " element_at(__h, i + 1) AS h2))")).as("g"))
-      .selectExpr(s"g.h1 % $B1 AS b1",
-        s"((g.h1 % $B2) * 31 + g.h2 % $B2) % $B2 AS b2")
-      .selectExpr(s"stack(2, 0, b1, 1, b2) AS (kind, bucket)")
-      .groupBy("kind", "bucket").agg(count(lit(1)).as("c"))
-      .collect()
-    val c1 = Array.fill(B1)(0L)
-    val c2 = Array.fill(B2)(0L)
-    counts.foreach { r =>
-      if (r.getInt(0) == 0) c1(r.getLong(1).toInt) = r.getLong(2)
-      else c2(r.getLong(1).toInt) = r.getLong(2)
-    }
+      .agg(expr(s"bigram_counts(__h, $B1, $B2)").as("d"))
+      .select("d.c1", "d.c2")
+      .head()
+    val c1 = fitRow.getAs[scala.collection.Seq[Long]](0).toArray
+    val c2 = fitRow.getAs[scala.collection.Seq[Long]](1).toArray
     // frozen corpus-average per-bigram score: same decimal-sum → IEEE
     // division → half-up round as the batch cm scalar, over per-doc sums
     // produced by the same frozen-array expression
