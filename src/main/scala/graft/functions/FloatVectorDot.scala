@@ -132,6 +132,36 @@ object GraftFunctions {
           litInt(args(1), "B1"), litInt(args(2), "B2"))
           .toAggregateExpression()
       }),
+    (new FunctionIdentifier("dsir_score"),
+      new ExpressionInfo(classOf[DsirScore].getName, "dsir_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dsir_score expects (tc, wv)")
+        val tcT = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tf",
+            org.apache.spark.sql.types.LongType))))
+        DsirScore(Cast(args.head, tcT),
+          Cast(args(1), ArrayType(org.apache.spark.sql.types.LongType)))
+      }),
+    (new FunctionIdentifier("dsir_counts"),
+      new ExpressionInfo(classOf[DsirCountsAgg].getName, "dsir_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "dsir_counts expects (tc, is_target, B)")
+        val b = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"dsir_counts B must be an integer literal, got $other")
+        }
+        val tcT = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tf",
+            org.apache.spark.sql.types.LongType))))
+        DsirCountsAgg(Cast(args.head, tcT),
+          Cast(args(1), org.apache.spark.sql.types.BooleanType), b)
+          .toAggregateExpression()
+      }),
     (new FunctionIdentifier("term_df"),
       new ExpressionInfo(classOf[TermDfAgg].getName, "term_df"),
       (args: Seq[Expression]) => {

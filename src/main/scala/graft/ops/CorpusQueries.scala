@@ -385,53 +385,44 @@ object CorpusQueries {
     // multiplicity instead of one row per token — the bucket totals
     // (Σ tf) and per-doc scores (Σ tf·wr) are the identical integers, so
     // the twin and the streaming score path are untouched
-    val toks = docs
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), isTarget.as("is_t"),
-        explode(expr("term_counts(text)")).as("tc"))
-      .select(col("doc_id"), col("is_t"),
-        expr(s"md5_low63(tc.term) % $B").as("bucket"), col("tc.tf").as("cnt"))
-    val counts = toks.groupBy("bucket")
-      .agg(sum(col("cnt")).as("r"),
-        sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("t"))
-    // grand totals as a whole-frame window over the ≤B count rows — same
-    // plan stage as the counts, no extra totals job/cross-join (the
-    // window moves B bounded rows to one task, not a data-scaled stream)
-    val whole = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // The B-entry weight table enters the score pass as ONE in-plan DENSE
-    // ARRAY scalar (position = bucket, O(1) element_at — the map-scalar
-    // first cut linear-scanned its entries on every lookup), and each
-    // doc's score is a per-row `aggregate` over its own term_counts — a
-    // doc's tokens already live in its row, so the old explode →
-    // broadcast-join → groupBy(doc_id) score stage shuffled the full
-    // (doc, bucket, cnt) stream only to regroup by a key it started with
-    // (the minhashSigOf lesson). The bounded range-fill gives absent
-    // buckets r = t = 0, which leaves the grand totals unchanged and
-    // makes their weight the add-one smoothing default — the exact value
+    // The whole fit is ONE [[graft.functions.DsirCountsAgg]] aggregate
+    // (r9 — the previous form exploded one row per (doc, term) through a
+    // bucket exchange, ran a whole-frame window for the grand totals and
+    // a range(B) fill join to densify tables that were B-sized from the
+    // start; each map task now owns one 16 KB dense array pair and all
+    // three of those stages are gone). The grand totals and the weight
+    // formula evaluate ONCE inside the same scalar subquery — in-plan
+    // `aggregate()`/`zip_with` over the B-long arrays, identical IEEE op
+    // order — and the B-entry weight table still enters the score pass
+    // as ONE dense-array scalar (position = bucket, O(1) element_at; the
+    // map-scalar first cut linear-scanned its entries on every lookup).
+    // Each doc's score stays a per-row `aggregate` over its own
+    // term_counts — a doc's tokens already live in its row, so the old
+    // explode → broadcast-join → groupBy(doc_id) score stage shuffled
+    // the full (doc, bucket, cnt) stream only to regroup by a key it
+    // started with (the minhashSigOf lesson). Absent buckets carry
+    // r = t = 0: grand totals unchanged, their weight is the add-one
+    // smoothing default — the exact value
     // [[graft.streaming.BeaconStreaming.importanceScoreStream]] assigns
     // unseen buckets; on this query they are never looked up anyway
     // (score docs are fit docs). Integers unchanged — same tf multiset,
     // same wr — so the twin and the streaming path cannot drift.
-    val wv = docs.sparkSession.range(B).toDF("bucket")
-      .join(counts, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("r"), lit(0L)).as("r"),
-        coalesce(col("t"), lit(0L)).as("t"))
-      .withColumn("rr", sum(col("r")).over(whole))
-      .withColumn("tt", sum(col("t")).over(whole))
-      .select(col("bucket"),
-        round(((col("t") + 1.0) / (col("tt") + lit(B.toDouble))) /
-          ((col("r") + 1.0) / (col("rr") + lit(B.toDouble))) * 65536)
-          .cast("long").as("wr"))
-      .agg(expr("transform(sort_array(collect_list(struct(bucket, wr)))," +
-        " x -> x.wr)").as("a")).scalar()
+    val wv = docs
+      .filter(col("text").isNotNull)
+      .select(isTarget.as("is_t"), expr("term_counts(text)").as("tc"))
+      .agg(expr(s"dsir_counts(tc, is_t, $B)").as("d"))
+      .select(expr(
+        "zip_with(d.t, d.r, (t, r) -> CAST(round(" +
+          s"((t + 1.0D) / (aggregate(d.t, 0L, (a, x) -> a + x) + $B.0D))" +
+          s" / ((r + 1.0D) / (aggregate(d.r, 0L, (a, x) -> a + x) + $B.0D))" +
+          " * 65536) AS BIGINT))").as("wv"))
+      .scalar()
     docs.filter(col("text").isNotNull)
       .withColumn("wv", wv)
-      .select(col("doc_id"), expr(
-        s"aggregate(term_counts(text), named_struct('n', 0L, 's', 0L)," +
-          " (a, tc) -> named_struct('n', a.n + tc.tf," +
-          " 's', a.s + tc.tf * element_at(wv," +
-          s" CAST(md5_low63(tc.term) % $B AS INT) + 1)), a -> a)").as("z"))
+      // native per-row scorer (r9): the aggregate-HOF form walked its
+      // lambda interpreted with a per-entry md5 dispatch — the
+      // BigramFluency trade, applied here; identical integer sums
+      .select(col("doc_id"), expr("dsir_score(term_counts(text), wv)").as("z"))
       .select(col("doc_id"), col("z.n").as("n_tokens"), col("z.s").as("score"),
         (col("z.s") >= col("z.n") * 65536L).as("keep"))
       .filter(col("n_tokens") > 0) // a no-term doc never entered the old join
