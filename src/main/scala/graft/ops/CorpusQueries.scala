@@ -367,8 +367,62 @@ object CorpusQueries {
     // The keep rule `score ≥ n_tokens·65536` is mean-ratio ≥ 1, the
     // arithmetic-mean analogue of DSIR's mean-log-ratio > 0 cut.
     "q_importance_weights" -> ((s, d) =>
-      importanceWeights(Tables.documents(s, d), col("lang") === "en"))
+      importanceWeights(Tables.documents(s, d), col("lang") === "en")),
+
+    // C4-style line-level cleaning + cross-document line dedup (Raffel et
+    // al. 2020 §2.2, public paper): keep only lines that end in terminal
+    // punctuation and hold ≥ 5 words, then keep each surviving DISTINCT
+    // line only at its first occurrence corpus-wide (smallest doc_id,
+    // then line position — C4's "discard all but one" at line
+    // granularity), and reassemble the survivors per document in source
+    // order. Scale shape: explode lines inside the scan, ONE exchange on
+    // the line key (a min-struct aggregate — never a self-join; the
+    // winner IS the aggregate output, no join-back), ONE doc_id regroup
+    // to reassemble — the algorithmic minimum for a corpus-global
+    // first-wins rule. Docs whose lines all fail/lose simply have no
+    // output row (the keep-decision is the row's existence).
+    //
+    // The fixture corpus carries no newlines or punctuation, so the
+    // REGISTERED query first derives a deterministic lined view — 5-word
+    // groups, '.'-terminated — identically in both engines (the 31-word
+    // fixture vocabulary makes ~6% of those lines genuine cross-document
+    // duplicates, so the first-wins rule does real work); a real
+    // multi-line corpus calls [[lineDedup]] directly. The <5-word final
+    // group of each doc exercises the word-count gate. */
+    "q_line_dedup" -> ((s, d) =>
+      lineDedup(Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), concat_ws("\n", expr(
+          "transform(sequence(0, CAST(ceil(size(w) / 5.0) AS INT) - 1)," +
+            " i -> concat(concat_ws(' ', slice(w, i * 5 + 1, 5)), '.'))"))
+          .as("text"))))
   )
+
+  /** q_line_dedup's pipeline over an arbitrary documents frame. */
+  private[graft] def lineDedup(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("idx", "raw")))
+      .select(col("doc_id"), col("n_lines"), col("idx"),
+        trim(col("raw")).as("line"))
+      .filter(col("line").rlike("[.!?]$") &&
+        size(split(col("line"), "\\s+")) >= 5)
+    lines
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("idx"), col("n_lines"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"),
+        col("w.n_lines").as("n_lines"), col("line"))
+      .groupBy("doc_id")
+      .agg(first(col("n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n", expr(
+          "transform(array_sort(collect_list(struct(idx, line)))," +
+            " x -> x.line)")).as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
+  }
 
   /** q_importance_weights' pipeline over an arbitrary documents frame
     * (needs doc_id, text, and the target predicate's columns) — factored so
@@ -790,6 +844,38 @@ object CorpusQueries {
                  CAST(SUM(w.wr) AS BIGINT) AS score,
                  CAST(SUM(w.wr) AS BIGINT) >= COUNT(*) * 65536 AS keep
           FROM toks k JOIN wr w USING (bucket)
-          GROUP BY k.doc_id"""
+          GROUP BY k.doc_id""",
+
+    // Line filters + first-wins (doc_id, position) rule as a window; the
+    // Spark side's min-struct aggregate picks the identical winner.
+    "q_line_dedup" ->
+      """WITH lw AS (SELECT doc_id,
+                            string_split_regex(trim(text), '\s+') AS w
+                     FROM documents WHERE text IS NOT NULL),
+          lv AS (SELECT doc_id,
+                        string_agg(array_to_string(w[i*5+1 : i*5+5], ' ')
+                                     || '.', chr(10) ORDER BY i) AS text
+                 FROM lw,
+                      UNNEST(generate_series(0,
+                        CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS t(i)
+                 GROUP BY doc_id),
+          l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                 FROM lv WHERE text IS NOT NULL),
+          l1 AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, ls,
+                        UNNEST(generate_series(1, len(ls))) AS i
+                 FROM l0),
+          l2 AS (SELECT doc_id, n_lines, i - 1 AS idx, trim(ls[i]) AS line
+                 FROM l1
+                 WHERE regexp_matches(trim(ls[i]), '[.!?]$')
+                   AND len(string_split_regex(trim(ls[i]), '\s+')) >= 5),
+          w AS (SELECT doc_id, n_lines, idx, line,
+                       ROW_NUMBER() OVER (PARTITION BY line
+                                          ORDER BY doc_id, idx) AS rn
+                FROM l2)
+          SELECT doc_id, MIN(n_lines) AS n_lines,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY idx) AS clean_text
+          FROM w WHERE rn = 1
+          GROUP BY doc_id"""
   )
 }

@@ -178,6 +178,29 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(out.size === 5) // every delta doc decided, corpus docs absent
   }
 
+  test("lineDedup: C4 line filters, corpus-wide first-wins, source-order reassembly") {
+    import spark.implicits._
+    val keepA = "alpha beta gamma delta epsilon."   // ≥5 words, terminal punct
+    val keepB = "one two three four five six!"
+    val keepC = "red orange yellow green blue?"
+    val docs = Seq(
+      (1L, s"$keepA\nshort line.\nno terminal punct here at all\n$keepB"),
+      (2L, s"$keepA\n$keepC\n$keepA"),    // loses A to doc 1; dups A internally
+      (3L, s"$keepB\n$keepA"),            // loses BOTH -> absent from output
+      (4L, null: String)                  // null text -> absent
+    ).toDF("doc_id", "text")
+    val out = CorpusQueries.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 3's lines all appeared in smaller doc_ids; doc 4 null
+    assert(out.keySet === Set(1L, 2L))
+    // doc 1: 4 raw lines; "short line." (<5 words) and the punct-less
+    // line filtered; A and B kept, in SOURCE order
+    assert(out(1L) === ((4L, 2L, s"$keepA\n$keepB")))
+    // doc 2: 3 raw lines; A lost to doc 1 (both copies), C kept
+    assert(out(2L) === ((3L, 1L, keepC)))
+  }
+
   test("lmFluency: fluent docs head, gibberish tail, mixed middle; keep = not tail") {
     import spark.implicits._
     // 20 docs of one endlessly repeated bigram (high hashed-bigram counts →
