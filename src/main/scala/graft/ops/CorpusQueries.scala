@@ -262,6 +262,58 @@ object CorpusQueries {
             .as("epochs"))
     }),
 
+    // UniMax budget-capped source sampling (Chung et al. 2023, public
+    // paper): instead of temperature-tilting shares, spread a total
+    // token BUDGET as uniformly as possible across sources while capping
+    // every source at E epochs of its own data — the water-filling
+    // allocation that stops low-resource sources from being over-epoched
+    // (the failure mode temperature mixing is known for). Exact-integer
+    // discipline throughout: caps are n_tokens·E, the budget is
+    // tot_tokens DIV 2, the capped set is the ascending-cap PREFIX whose
+    // members satisfy cap_i·(S−i+1) ≤ B−P_{i−1} (pure int64 compares —
+    // the real-number waterline never materializes), and the uncapped
+    // allocation is one integer division of exact integers (the ≤ S-token
+    // remainder is deliberately unallocated — stated, deterministic).
+    // Scale shape: one partial+final agg to #sources rows; the windows
+    // and both scalar aggregates run over those bounded rows — nothing
+    // after the first combine scales with the corpus.
+    "q_mix_unimax" -> ((s, d) => {
+      val E = 4L
+      val per = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tokens"))
+        .withColumn("cap", col("n_tokens") * E)
+      val w = Window.orderBy("cap", "source")
+      val ranked = per
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("pcap", coalesce(sum("cap").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val st = per
+        .agg(count(lit(1)).as("S"), expr("SUM(n_tokens) DIV 2").as("B"))
+        .select(struct(col("S"), col("B")).as("s")).scalar()
+      val capped = ranked.withColumn("st", st)
+        .withColumn("capped",
+          col("cap") * (col("st.S") - col("rnk") + 1) <=
+            col("st.B") - col("pcap"))
+      val kq = capped
+        .agg(sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
+          sum(when(col("capped"), col("cap")).otherwise(0L)).as("pk"))
+        .withColumn("st", st)
+        .select(struct(col("k"), col("pk"),
+          when(col("st.S") > col("k"),
+            expr("(st.B - pk) DIV (st.S - k)")).otherwise(lit(0L)).as("q"))
+          .as("kq"))
+        .scalar()
+      capped.withColumn("kq", kq)
+        .select(col("source"), col("n_tokens"), col("cap"),
+          when(col("rnk") <= col("kq.k"), col("cap"))
+            .otherwise(col("kq.q")).as("alloc"))
+        .withColumn("epochs_used",
+          col("alloc").cast("double") / col("n_tokens"))
+    }),
+
     // Denylist scrubbing — the PII-redaction shape (mask every match of a
     // sensitive-pattern alternation, count what was masked) over the
     // term denylist this corpus can actually exercise. The regex runs
@@ -746,6 +798,34 @@ object CorpusQueries {
                  (CAST(w_smooth AS DOUBLE) / tot_smooth)
                    / (CAST(tokens AS DOUBLE) / tot_tokens) AS boost
           FROM per2, tot""",
+    // Same ascending-cap prefix rule; every SUM CAST to BIGINT (HUGEINT
+    // repr discipline) and // for the integer divisions.
+    "q_mix_unimax" ->
+      """WITH per AS (SELECT source,
+                             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+                      FROM documents WHERE text IS NOT NULL
+                      GROUP BY source),
+          p2 AS (SELECT *, n_tokens * 4 AS cap FROM per),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS S,
+                        CAST(SUM(n_tokens) // 2 AS BIGINT) AS B FROM p2),
+          rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS rnk,
+                        CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pcap
+                 FROM p2),
+          cp AS (SELECT rk.*, (cap * (st.S - rnk + 1) <= st.B - pcap) AS capped
+                 FROM rk, st),
+          kq AS (SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+                        CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS pk
+                 FROM cp),
+          kq2 AS (SELECT k, CASE WHEN st.S > kq.k
+                                 THEN CAST((st.B - kq.pk) // (st.S - kq.k) AS BIGINT)
+                                 ELSE 0 END AS q
+                  FROM kq, st)
+          SELECT source, n_tokens, cap,
+                 CASE WHEN rnk <= kq2.k THEN cap ELSE kq2.q END AS alloc,
+                 CAST(CASE WHEN rnk <= kq2.k THEN cap ELSE kq2.q END AS DOUBLE)
+                   / n_tokens AS epochs_used
+          FROM cp, kq2""",
     "q_len_hist" ->
       """WITH t AS (SELECT source,
                            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

@@ -178,6 +178,46 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(out.size === 5) // every delta doc decided, corpus docs absent
   }
 
+  test("q_mix_unimax: caps respected, budget conserved, uncapped sources uniform") {
+    import spark.implicits._
+    // word counts per source chosen so the E=4 cap genuinely splits the
+    // set: tiny sources hit their cap, big ones share the waterline
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "tiny", words(2)),     // cap 8
+      (2L, "small", words(5)),    // cap 20
+      (3L, "big", words(200)),    // cap 800
+      (4L, "huge", words(300))    // cap 1200
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusQueries.queries("q_mix_unimax")(spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq ===
+      Seq("source", "n_tokens", "cap", "alloc", "epochs_used"))
+    // hand-checkable allocation on the crafted corpus: tot=507, B=253,
+    // caps asc (8, 20, 800, 1200) -> tiny+small capped (8+20=28),
+    // remaining 225 DIV 2 = 112 each to big/huge, 1 token unallocated
+    val crafted = {
+      val byName = CorpusQueries.queries("q_mix_unimax")
+      val dir = java.nio.file.Files.createTempDirectory("unimax").toString
+      docs.withColumn("lang", lit("en")).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      byName(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    }
+    assert(crafted("tiny") === ((2L, 8L, 8L, 4.0)))
+    assert(crafted("small") === ((5L, 20L, 20L, 4.0)))
+    assert(crafted("big")._3 === 112L)
+    assert(crafted("huge")._3 === 112L)
+    // budget conservation: allocated ≤ B and the shortfall is < S
+    val alloc = crafted.values.map(_._3).sum
+    assert(alloc <= 253L && 253L - alloc < 4L)
+    // caps are never exceeded and epochs_used ≤ E everywhere
+    crafted.values.foreach { case (n, cap, a, e) =>
+      assert(a <= cap && e <= 4.0 + 1e-9)
+      assert(cap === n * 4)
+    }
+  }
+
   test("lineDedup: C4 line filters, corpus-wide first-wins, source-order reassembly") {
     import spark.implicits._
     val keepA = "alpha beta gamma delta epsilon."   // ≥5 words, terminal punct
