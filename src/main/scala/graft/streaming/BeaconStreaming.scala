@@ -160,6 +160,41 @@ object BeaconStreaming {
       .drop("__dedup_key")
   }
 
+  /** Streaming C4 line-level dedup (beyond reference, r9): the
+    * [[graft.ops.CorpusQueries.lineDedup]] gates and first-wins rule in
+    * streaming form. Each document explodes to its lines INSIDE the
+    * batch, the C4 gates (terminal punctuation, ≥ `minWords` words) run
+    * stateless per line, and the corpus-global "keep each distinct line
+    * once" rule is `dropDuplicatesWithinWatermark` keyed on the line's
+    * md5 — 8-byte-keyed state, one entry per distinct surviving line.
+    * Emits the SURVIVING (doc_id, idx, line, ts) rows; reassembly is a
+    * downstream batch concern (a stateful per-doc regroup would hold
+    * whole documents in state for no gain — the winner set is already
+    * decided per line).
+    *
+    * Semantic deltas vs the batch op, stated: first-ARRIVAL wins (the
+    * batch rule is smallest (doc_id, idx) — a stream cannot see the
+    * future), and a line re-appearing after its watermark horizon
+    * expires is kept again (bounded state has a horizon; the nightly
+    * batch pass reconciles — the same contract as nearDupDedup). */
+  def lineDedupStream(stream: DataFrame, tsCol: String,
+                      textCol: String = "text", minWords: Int = 5,
+                      watermark: String = "2 hours"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    stream
+      .filter(col(textCol).isNotNull)
+      .select(col("doc_id"), col(tsCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "raw")))
+      .select(col("doc_id"), col(tsCol), col("idx"),
+        trim(col("raw")).as("line"))
+      .filter(col("line").rlike("[.!?]$") &&
+        size(split(col("line"), "\\s+")) >= minWords)
+      .withColumn("__line_key", expr("md5_low63(line)"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__line_key")
+      .drop("__line_key")
+  }
+
   /** Streaming benchmark decontamination (beyond reference, r6): drop
     * stream documents sharing any 13-word-gram with the static benchmark
     * relation — the batch op's (q_decontaminate) streaming form. The

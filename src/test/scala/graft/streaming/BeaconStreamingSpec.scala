@@ -337,6 +337,43 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(kept === Seq(1L, 7L))
   }
 
+  test("streaming line dedup: gates stateless, first arrival wins across batches") {
+    import spark.implicits._
+    val dir = tmpDir("stream-linededup")
+    val keepA = "alpha beta gamma delta epsilon."
+    val keepB = "one two three four five six!"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "ts": "2024-01-01T00:0$id:00.000Z", "text": "$text"}"""
+    // batch 1: doc 1 carries A (twice — in-batch dup) + a <5-word line +
+    // a punct-less line; batch 2: doc 2 re-sends A (cross-batch dup, must
+    // drop) and introduces B (fresh, must keep)
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      doc(1, s"$keepA\\nshort line.\\nno terminal punct at all\\n$keepA")))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(
+      doc(2, s"$keepA\\n$keepB")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = BeaconStreaming.lineDedupStream(src, "ts").writeStream
+      .format("memory").queryName("linededup_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("linededup_out")
+      .select("doc_id", "idx", "line").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // doc 1: exactly ONE copy of A survives (first occurrence, idx 0);
+    // the short and punct-less lines are gated out. doc 2: A is
+    // cross-batch state-dropped, B survives.
+    assert(out === Set((1L, 0, keepA), (2L, 1, keepB)))
+  }
+
   test("streaming decontamination drops 13-gram overlap with the static benchmark") {
     import spark.implicits._
     val dir = tmpDir("stream-decon")
