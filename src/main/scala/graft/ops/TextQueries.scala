@@ -369,13 +369,55 @@ object TextQueries {
     * interior spaces) can never span a word boundary. Per-row work plus R
     * scalar subqueries — the apply side of the tokenizer is embarrassingly
     * parallel, exactly as it must be at 100 TB. */
+  /** The double-space-separated character sequence of `textCol` — BPE's
+    * working representation (word separators are two spaces so merges
+    * never span word boundaries). Null text → null, by propagation. */
+  private def charSeqSql(textCol: String): String =
+    s"concat(' ', array_join(transform(split(trim(lower($textCol)), '\\\\s+')," +
+      " w -> array_join(transform(sequence(1, length(w))," +
+      " i -> substring(w, i, 1)), ' ')), '  '), ' ')"
+
+  /** The learned merge pairs of R rounds, COLLECTED — R strings pairs
+    * cross the driver (bounded by the round count; the frozen-model
+    * pattern of the streaming scorers). The batch queries keep merges
+    * in-plan as scalar subqueries instead; this is the deployment shape —
+    * train once, freeze, apply anywhere (a stream cannot carry subqueries
+    * against a static corpus). */
+  private[graft] def learnedMerges(fit: DataFrame,
+                                   rounds: Int = BpeRounds): Seq[(String, String)] =
+    bpeTops(fit, rounds).map { t =>
+      val row = t.select("l", "r").head()
+      (row.getString(0), row.getString(1))
+    }
+
+  /** Apply frozen merges to any frame (batch or stream): the identical
+    * char-sequence construction and double-replace merge primitive as
+    * [[bpeTokenize]], with the pairs as literals. Null text rows keep
+    * null outputs — a stream must not silently swallow rows. */
+  private[graft] def bpeApply(df: DataFrame, merges: Seq[(String, String)],
+                              textCol: String = "text"): DataFrame = {
+    var out = df
+      .withColumn("__seq", expr(charSeqSql(textCol)))
+      .withColumn("n_chars",
+        length(regexp_replace(trim(lower(col(textCol))), "\\s+", ""))
+          .cast("long"))
+    merges.foreach { case (l, r) =>
+      out = out.withColumn("__seq", bpeMergeStep(col("__seq"),
+        struct(lit(l).as("l"), lit(r).as("r"))))
+    }
+    out
+      .withColumn("n_bpe_tokens",
+        expr("CAST(size(split(trim(__seq), ' +')) AS BIGINT)"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_bpe_tokens"))
+      .drop("__seq")
+  }
+
   private[ops] def bpeTokenize(documents: DataFrame, rounds: Int = BpeRounds): DataFrame = {
     val tops = bpeTops(documents, rounds)
     var df = documents.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        expr("concat(' ', array_join(transform(split(trim(lower(text)), '\\\\s+')," +
-          " w -> array_join(transform(sequence(1, length(w))," +
-          " i -> substring(w, i, 1)), ' ')), '  '), ' ')").as("seq"),
+        expr(charSeqSql("text")).as("seq"),
         length(regexp_replace(trim(lower(col("text"))), "\\s+", ""))
           .cast("long").as("n_chars"))
     tops.foreach { top =>

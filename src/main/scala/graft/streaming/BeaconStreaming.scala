@@ -160,6 +160,29 @@ object BeaconStreaming {
       .drop("__dedup_key")
   }
 
+  /** Streaming BPE tokenization (beyond reference, r9): TRAIN the
+    * tokenizer once on a static fit corpus
+    * ([[graft.ops.TextQueries.learnedMerges]] — R merge pairs cross the
+    * driver, bounded by the round count), then tokenize every streamed
+    * document STATELESSLY with the frozen pairs as literals — the
+    * identical char-sequence construction and double-replace primitive
+    * as the batch q_bpe_tokenize, so a doc that was in the fit corpus
+    * gets bit-identical (n_chars, n_bpe_tokens, compression)
+    * (spec-pinned). The train-once-apply-parallel deployment shape:
+    * no state store, no shuffle, composes with any sink. Null-text rows
+    * keep null outputs — the stream must not swallow rows. */
+  def bpeTokenizeStream(stream: DataFrame, fitCorpus: DataFrame,
+                        rounds: Int = 3, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val internal = Set("__seq", "n_chars", "n_bpe_tokens", "compression")
+    val clash = stream.columns.filter(internal)
+    require(clash.isEmpty,
+      s"bpeTokenizeStream: stream columns ${clash.mkString(", ")} collide " +
+        "with the tokenizer's internal/output names — rename them upstream")
+    graft.ops.TextQueries.bpeApply(stream,
+      graft.ops.TextQueries.learnedMerges(fitCorpus, rounds), textCol)
+  }
+
   /** Streaming C4 line-level dedup (beyond reference, r9): the
     * [[graft.ops.CorpusQueries.lineDedup]] gates and first-wins rule in
     * streaming form. Each document explodes to its lines INSIDE the

@@ -337,6 +337,56 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(kept === Seq(1L, 7L))
   }
 
+  test("streaming BPE tokenization equals the batch tokenizer on fit-corpus rows") {
+    import spark.implicits._
+    // the OpPropertiesSpec BPE corpus shape: repeated words so merges are
+    // non-trivial, plus singleton words
+    val fit = Seq(
+      (1L, "low low low lower lower newest"),
+      (2L, "newest newest widest low"),
+      (3L, "the quick brown fox")).toDF("doc_id", "text")
+    val dir = tmpDir("stream-bpe")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": ${if (text == null) "null" else s""""$text""""}}"""
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      doc(10, "low low low lower lower newest"),
+      doc(11, "newest newest widest low")))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(doc(12, null)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = BeaconStreaming.bpeTokenizeStream(src, fit).writeStream
+      .format("memory").queryName("bpe_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("bpe_out")
+      .select("doc_id", "n_chars", "n_bpe_tokens", "compression")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(streamed.size === 3)
+    val batch = graft.ops.TextQueries.queries("q_bpe_tokenize") // registration parity
+    val batchRows = {
+      val dirB = tmpDir("stream-bpe-batch")
+      fit.withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+      batch(spark, dirB).collect().map(r => r.getLong(0) -> r).toMap
+    }
+    // fit members tokenize bit-identically to the batch pipeline
+    for ((sid, fid) <- Seq((10L, 1L), (11L, 2L))) {
+      assert(streamed(sid).getLong(1) === batchRows(fid).getAs[Long]("n_chars"))
+      assert(streamed(sid).getLong(2) ===
+        batchRows(fid).getAs[Long]("n_bpe_tokens"))
+      assert(streamed(sid).getDouble(3) ===
+        batchRows(fid).getAs[Double]("compression"))
+    }
+    // null text: row kept, outputs null
+    assert(streamed(12L).isNullAt(1) && streamed(12L).isNullAt(2))
+  }
+
   test("streaming line dedup: gates stateless, first arrival wins across batches") {
     import spark.implicits._
     val dir = tmpDir("stream-linededup")
