@@ -277,41 +277,38 @@ object CorpusQueries {
     // Scale shape: one partial+final agg to #sources rows; the windows
     // and both scalar aggregates run over those bounded rows — nothing
     // after the first combine scales with the corpus.
-    "q_mix_unimax" -> ((s, d) => {
-      val E = 4L
-      val per = Tables.documents(s, d)
-        .filter(col("text").isNotNull)
-        .groupBy("source")
-        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
-          .as("n_tokens"))
-        .withColumn("cap", col("n_tokens") * E)
-      val w = Window.orderBy("cap", "source")
-      val ranked = per
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .withColumn("pcap", coalesce(sum("cap").over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val st = per
-        .agg(count(lit(1)).as("S"), expr("SUM(n_tokens) DIV 2").as("B"))
-        .select(struct(col("S"), col("B")).as("s")).scalar()
-      val capped = ranked.withColumn("st", st)
-        .withColumn("capped",
-          col("cap") * (col("st.S") - col("rnk") + 1) <=
-            col("st.B") - col("pcap"))
-      val kq = capped
-        .agg(sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
-          sum(when(col("capped"), col("cap")).otherwise(0L)).as("pk"))
-        .withColumn("st", st)
-        .select(struct(col("k"), col("pk"),
-          when(col("st.S") > col("k"),
-            expr("(st.B - pk) DIV (st.S - k)")).otherwise(lit(0L)).as("q"))
-          .as("kq"))
-        .scalar()
-      capped.withColumn("kq", kq)
-        .select(col("source"), col("n_tokens"), col("cap"),
-          when(col("rnk") <= col("kq.k"), col("cap"))
-            .otherwise(col("kq.q")).as("alloc"))
-        .withColumn("epochs_used",
-          col("alloc").cast("double") / col("n_tokens"))
+    "q_mix_unimax" -> ((s, d) => unimaxAlloc(Tables.documents(s, d))),
+
+    // UniMax-budgeted deterministic dataset assembly — the "build me a
+    // capped training set" flagship composing the pieces: the
+    // q_mix_unimax water-filling fixes each source's token allocation,
+    // and WITHIN each source docs are taken greedily in a
+    // content-independent md5(doc_id) order (the q_sample_stratified
+    // determinism discipline — same rows keep on every engine, run and
+    // cluster size) until the allocation is exhausted. A doc is taken
+    // iff the tokens taken BEFORE it (exclusive running sum) are under
+    // the allocation, so at most ONE doc per source overshoots — stated,
+    // deterministic, and far cheaper than an exact knapsack cut. Scale
+    // shape: the allocation is #sources rows broadcast onto the corpus;
+    // the running sum is a PER-SOURCE window (partitioned, never global
+    // — the q_pack shape) over (md5, doc_id); nothing else shuffles.
+    "q_budget_sample" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.documents(s, d)
+      val docs = base.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          expr("md5_low63(CAST(doc_id AS STRING))").as("ord"))
+      val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .join(broadcast(unimaxAlloc(base).select("source", "alloc")),
+          Seq("source"))
+        .withColumn("tokens_before",
+          coalesce(sum("n_tokens").over(w), lit(0L)))
+        .filter(col("tokens_before") < col("alloc"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tokens_before"))
     }),
 
     // Denylist scrubbing — the PII-redaction shape (mask every match of a
@@ -474,6 +471,47 @@ object CorpusQueries {
           "transform(array_sort(collect_list(struct(idx, line)))," +
             " x -> x.line)")).as("clean_text"))
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
+  }
+
+  /** q_mix_unimax's pipeline over an arbitrary documents frame — factored
+    * so q_budget_sample composes the same allocation (one definition, the
+    * two cannot drift). See the registration comment for the algorithm
+    * and integer-exactness contract. */
+  private[graft] def unimaxAlloc(documents: DataFrame): DataFrame = {
+    val E = 4L
+    val per = documents
+      .filter(col("text").isNotNull)
+      .groupBy("source")
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * E)
+    val w = Window.orderBy("cap", "source")
+    val ranked = per
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("pcap", coalesce(sum("cap").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val st = per
+      .agg(count(lit(1)).as("S"), expr("SUM(n_tokens) DIV 2").as("B"))
+      .select(struct(col("S"), col("B")).as("s")).scalar()
+    val capped = ranked.withColumn("st", st)
+      .withColumn("capped",
+        col("cap") * (col("st.S") - col("rnk") + 1) <=
+          col("st.B") - col("pcap"))
+    val kq = capped
+      .agg(sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
+        sum(when(col("capped"), col("cap")).otherwise(0L)).as("pk"))
+      .withColumn("st", st)
+      .select(struct(col("k"), col("pk"),
+        when(col("st.S") > col("k"),
+          expr("(st.B - pk) DIV (st.S - k)")).otherwise(lit(0L)).as("q"))
+        .as("kq"))
+      .scalar()
+    capped.withColumn("kq", kq)
+      .select(col("source"), col("n_tokens"), col("cap"),
+        when(col("rnk") <= col("kq.k"), col("cap"))
+          .otherwise(col("kq.q")).as("alloc"))
+      .withColumn("epochs_used",
+        col("alloc").cast("double") / col("n_tokens"))
   }
 
   /** q_importance_weights' pipeline over an arbitrary documents frame
@@ -643,6 +681,31 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_hits"), min(col("n_grams")).as("n_grams"))
   }
 
+  /** The UniMax water-filling as shared DuckDB CTEs (per → p2 → st → rk →
+    * cp → kq → kq2) — one definition for q_mix_unimax and
+    * q_budget_sample, mirroring the Spark-side [[unimaxAlloc]] factoring. */
+  private val unimaxCtes: String =
+    """per AS (SELECT source,
+                             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+                      FROM documents WHERE text IS NOT NULL
+                      GROUP BY source),
+          p2 AS (SELECT *, n_tokens * 4 AS cap FROM per),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS S,
+                        CAST(SUM(n_tokens) // 2 AS BIGINT) AS B FROM p2),
+          rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS rnk,
+                        CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pcap
+                 FROM p2),
+          cp AS (SELECT rk.*, (cap * (st.S - rnk + 1) <= st.B - pcap) AS capped
+                 FROM rk, st),
+          kq AS (SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+                        CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS pk
+                 FROM cp),
+          kq2 AS (SELECT k, CASE WHEN st.S > kq.k
+                                 THEN CAST((st.B - kq.pk) // (st.S - kq.k) AS BIGINT)
+                                 ELSE 0 END AS q
+                  FROM kq, st)"""
+
   val oracle: Map[String, String] = Map(
     "q_corpus_keep" -> {
       val qual =
@@ -801,31 +864,34 @@ object CorpusQueries {
     // Same ascending-cap prefix rule; every SUM CAST to BIGINT (HUGEINT
     // repr discipline) and // for the integer divisions.
     "q_mix_unimax" ->
-      """WITH per AS (SELECT source,
-                             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
-                      FROM documents WHERE text IS NOT NULL
-                      GROUP BY source),
-          p2 AS (SELECT *, n_tokens * 4 AS cap FROM per),
-          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS S,
-                        CAST(SUM(n_tokens) // 2 AS BIGINT) AS B FROM p2),
-          rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS rnk,
-                        CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, source
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pcap
-                 FROM p2),
-          cp AS (SELECT rk.*, (cap * (st.S - rnk + 1) <= st.B - pcap) AS capped
-                 FROM rk, st),
-          kq AS (SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
-                        CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS pk
-                 FROM cp),
-          kq2 AS (SELECT k, CASE WHEN st.S > kq.k
-                                 THEN CAST((st.B - kq.pk) // (st.S - kq.k) AS BIGINT)
-                                 ELSE 0 END AS q
-                  FROM kq, st)
+      s"""WITH $unimaxCtes
           SELECT source, n_tokens, cap,
                  CASE WHEN rnk <= kq2.k THEN cap ELSE kq2.q END AS alloc,
                  CAST(CASE WHEN rnk <= kq2.k THEN cap ELSE kq2.q END AS DOUBLE)
                    / n_tokens AS epochs_used
           FROM cp, kq2""",
+
+    // The same allocation CTEs feed the greedy per-source take; the
+    // exclusive running sum over (md5 order, doc_id) picks the identical
+    // rows on both engines.
+    "q_budget_sample" ->
+      s"""WITH $unimaxCtes,
+          a AS (SELECT source,
+                       CASE WHEN rnk <= kq2.k THEN cap ELSE kq2.q END AS alloc
+                FROM cp, kq2),
+          dd AS (SELECT doc_id, source,
+                        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                        CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                             % 9223372036854775807 AS BIGINT) AS ord
+                 FROM documents WHERE text IS NOT NULL),
+          r AS (SELECT dd.doc_id, dd.source, dd.n_tokens, a.alloc,
+                       CAST(COALESCE(SUM(dd.n_tokens) OVER (
+                         PARTITION BY dd.source ORDER BY dd.ord, dd.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS tokens_before
+                FROM dd JOIN a USING (source))
+          SELECT doc_id, source, n_tokens, tokens_before
+          FROM r WHERE tokens_before < alloc""",
     "q_len_hist" ->
       """WITH t AS (SELECT source,
                            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

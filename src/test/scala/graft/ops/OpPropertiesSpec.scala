@@ -218,6 +218,36 @@ class OpPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("q_budget_sample: greedy take respects the UniMax allocation per source") {
+    val out = CorpusQueries.queries("q_budget_sample")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    val alloc = CorpusQueries.queries("q_mix_unimax")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val a = alloc(src)
+      // every kept doc started under the allocation (the take rule)...
+      rows.foreach { case (_, id, n, before) =>
+        assert(before < a, s"$src doc $id: before=$before alloc=$a")
+      }
+      // ...so the total overshoot is bounded by the LAST doc alone
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total - maxDoc < a,
+        s"$src: total=$total maxDoc=$maxDoc alloc=$a")
+      // ...and the kept set is the order PREFIX: tokens_before chains as
+      // exact exclusive running sums from zero with no gaps
+      val sorted = rows.sortBy(_._4).toSeq
+      assert(sorted.head._4 === 0L)
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (_, _, n0, b0) = pair(0)
+          assert(pair(1)._4 === b0 + n0)
+        }
+      }
+    }
+  }
+
   test("lineDedup: C4 line filters, corpus-wide first-wins, source-order reassembly") {
     import spark.implicits._
     val keepA = "alpha beta gamma delta epsilon."   // ≥5 words, terminal punct
