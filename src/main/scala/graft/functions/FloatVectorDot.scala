@@ -132,6 +132,15 @@ object GraftFunctions {
           litInt(args(1), "B1"), litInt(args(2), "B2"))
           .toAggregateExpression()
       }),
+    (new FunctionIdentifier("bpe_top_pair"),
+      new ExpressionInfo(classOf[BpeTopPairAgg].getName, "bpe_top_pair"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bpe_top_pair expects (seq, cnt)")
+        BpeTopPairAgg(
+          Cast(args.head, org.apache.spark.sql.types.StringType),
+          Cast(args(1), org.apache.spark.sql.types.LongType))
+          .toAggregateExpression()
+      }),
     (new FunctionIdentifier("dsir_score"),
       new ExpressionInfo(classOf[DsirScore].getName, "dsir_score"),
       (args: Seq[Expression]) => {

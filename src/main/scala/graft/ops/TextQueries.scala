@@ -334,17 +334,19 @@ object TextQueries {
     // other checkpointing operator here.
     var cur = vocab.localCheckpoint(false)
     val tops = Seq.newBuilder[DataFrame]
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     for (r <- 1 to rounds) {
+      // r9: the round's argmax is ONE bpe_top_pair aggregate — the
+      // explode of every symbol pair, the (l, r) exchange and the
+      // TakeOrdered job are gone (pair space is vocabulary-bounded, so
+      // each map task folds its word types into a pair→count map and the
+      // winner falls out of the final merge). The isNotNull filter keeps
+      // the old empty-frame semantics when no word has a pair.
       val top = cur
-        .select(col("cnt"), expr("split(trim(seq), ' ')").as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(t) - 1)," +
-            " i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"))
-          .as("pr"))
-        .select(col("cnt"), col("pr.l").as("l"), col("pr.r").as("r"))
-        .groupBy("l", "r").agg(sum("cnt").as("pair_count"))
-        .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+        .agg(expr("bpe_top_pair(seq, cnt)").as("p"))
+        .filter(col("p").isNotNull)
+        .select(col("p.l").as("l"), col("p.r").as("r"),
+          col("p.pair_count").as("pair_count"))
       tops += top
       if (r < rounds) {
         val m = top.select(struct(col("l"), col("r")).as("s")).scalar()
