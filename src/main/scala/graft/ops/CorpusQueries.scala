@@ -448,7 +448,18 @@ object CorpusQueries {
           .as("text"))))
   )
 
-  /** q_line_dedup's pipeline over an arbitrary documents frame. */
+  /** q_line_dedup's pipeline over an arbitrary documents frame.
+    *
+    * The first-wins winner is `min(struct(doc_id, idx, n_lines))`, which
+    * plans as SortAggregate (struct min is not hash-aggregatable) — and
+    * that is the RIGHT plan at this cardinality, measured: a
+    * TypedImperativeAggregate argmin (ObjectHashAggregate) ran 1.4×
+    * SLOWER end-to-end at sf0.1, because with one group per DISTINCT
+    * LINE the per-group typed buffer allocation + serialization swamps
+    * what the sort costs, and past the object-agg fallback threshold it
+    * degenerates to sort-based anyway. The dense-aggregate pattern
+    * (term_df, bigram_counts, bpe_top_pair) wins for GLOBAL/bounded
+    * aggregates, not per-key argmins over high-cardinality keys. */
   private[graft] def lineDedup(docs: DataFrame): DataFrame = {
     val lines = docs
       .filter(col("text").isNotNull)
