@@ -160,6 +160,61 @@ object BeaconStreaming {
       .drop("__dedup_key")
   }
 
+  /** Streaming UniMax budget-capped take (beyond reference, r9) — the
+    * q_budget_sample rule enforced ACROSS micro-batches with custom
+    * state: the per-source token allocations are frozen once from a
+    * static fit corpus ([[graft.ops.CorpusQueries.unimaxAlloc]] —
+    * #sources rows cross the driver, the frozen-model pattern), and a
+    * `flatMapGroupsWithState` keyed on `source` carries ONE long of
+    * state per source — tokens taken so far. A document is taken iff the
+    * tokens taken before it are under its source's allocation (so at
+    * most one doc per source overshoots, the batch op's rule), emitting
+    * (doc_id, source, n_tokens, tokens_before).
+    *
+    * Semantic delta vs the batch op, stated: the batch sampler ranks by
+    * content-independent md5(doc_id) over the WHOLE corpus; a stream
+    * cannot see the future, so the take order is arrival order —
+    * batch-by-batch, with ties inside a micro-batch broken by doc_id
+    * (the per-batch sort is bounded by the batch, not the stream).
+    * Unknown sources (absent from the fit corpus) have zero allocation
+    * and emit nothing; null-text rows carry no tokens and are dropped,
+    * exactly as the batch op excludes them. State is one long per
+    * source — bounded by the source vocabulary, no timeout needed. */
+  def budgetTakeStream(stream: DataFrame, fitCorpus: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val alloc: Map[String, Long] =
+      graft.ops.CorpusQueries.unimaxAlloc(fitCorpus)
+        .select("source", "alloc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stream
+      .filter(col(textCol).isNotNull)
+      .select(col("source").cast("string").as("source"),
+        col("doc_id").cast("long").as("doc_id"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(String, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val budget = alloc.getOrElse(source, 0L)
+          var taken = state.getOption.getOrElse(0L)
+          val out = rows.toVector.sortBy(_._2).flatMap { case (_, id, n) =>
+            if (taken < budget) {
+              val before = taken
+              taken += n
+              Some((id, source, n, before))
+            } else None
+          }
+          state.update(taken)
+          out.iterator
+      }
+      .toDF("doc_id", "source", "n_tokens", "tokens_before")
+  }
+
   /** Streaming BPE tokenization (beyond reference, r9): TRAIN the
     * tokenizer once on a static fit corpus
     * ([[graft.ops.TextQueries.learnedMerges]] — R merge pairs cross the

@@ -337,6 +337,53 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(kept === Seq(1L, 7L))
   }
 
+  test("streaming budget take enforces per-source UniMax allocations across batches") {
+    import spark.implicits._
+    // the unimax property-spec corpus: tot=507 tokens, B=253, caps asc
+    // (8, 20, 800, 1200) -> tiny/small capped at 8/20, big/huge get 112
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val fit = Seq(
+      (1L, "tiny", words(2)), (2L, "small", words(5)),
+      (3L, "big", words(200)), (4L, "huge", words(300))
+    ).toDF("doc_id", "source", "text")
+    val dir = tmpDir("stream-budget")
+    def doc(id: Long, src: String, n: Int) =
+      s"""{"doc_id": $id, "source": "$src", "text": "${words(n)}"}"""
+    // batch 1: two 60-token "big" docs (taken: before 0 and 60 < 112);
+    // batch 2: a third (before 120 >= 112 -> dropped), a doc from an
+    // unknown source (zero allocation -> dropped), and two "tiny" docs
+    // (alloc 8: before 0 taken; before 5 < 8 taken — the overshoot doc)
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      doc(10, "big", 60), doc(11, "big", 60)))
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(
+      doc(12, "big", 60), doc(13, "mystery", 3),
+      doc(14, "tiny", 5), doc(15, "tiny", 5)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = BeaconStreaming.budgetTakeStream(src, fit).writeStream
+      .format("memory").queryName("budget_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("budget_out").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set(10L, 11L, 14L, 15L))
+    assert(out(10L) === (("big", 60L, 0L)))
+    assert(out(11L) === (("big", 60L, 60L)))   // same-batch running sum
+    assert(out(14L) === (("tiny", 5L, 0L)))
+    assert(out(15L) === (("tiny", 5L, 5L)))    // the one overshoot doc
+    // doc 12 dropped: cross-batch STATE says 120 >= 112; doc 13 dropped:
+    // unknown source has zero allocation
+  }
+
   test("streaming BPE tokenization equals the batch tokenizer on fit-corpus rows") {
     import spark.implicits._
     // the OpPropertiesSpec BPE corpus shape: repeated words so merges are
