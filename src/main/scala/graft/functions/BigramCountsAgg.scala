@@ -30,10 +30,11 @@ import org.apache.spark.sql.types._
   *
   * A null input array contributes nothing; null ELEMENTS (impossible from
   * md5_low63 over split tokens) skip the adjacent pairs rather than
-  * poisoning the table. Buckets use the same `%` arithmetic as the
-  * composed form — inputs are non-negative by construction here; the
-  * generality floor-mod lives in the SCORING side ([[BigramFluency]])
-  * where direct SQL can inject negatives. */
+  * poisoning the table. Buckets use floor-mod — bit-identical to the
+  * composed form's `%` for the non-negative hashes internal callers
+  * produce, but a direct SQL caller injecting a negative long gets a
+  * valid bucket instead of a task-killing AIOOBE, matching the
+  * [[BigramFluency]] scoring-side hardening (r10). */
 case class BigramCountsAgg(h: Expression, b1: Int, b2: Int,
                            override val mutableAggBufferOffset: Int = 0,
                            override val inputAggBufferOffset: Int = 0)
@@ -65,8 +66,14 @@ case class BigramCountsAgg(h: Expression, b1: Int, b2: Int,
         if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
           val a = arr.getLong(i)
           val b = arr.getLong(i + 1)
-          buf((a % b1).toInt) += 1L
-          buf(b1 + (((a % b2) * 31L + b % b2) % b2).toInt) += 1L
+          // floorMod: bit-identical to % for the non-negative md5_low63
+          // hashes internal callers produce, but a direct SQL caller can
+          // pass a negative long — % would index negative and kill the
+          // task (matches the BigramFluency hardening).
+          buf(Math.floorMod(a, b1.toLong).toInt) += 1L
+          buf(b1 + Math.floorMod(
+            Math.floorMod(a, b2.toLong) * 31L + Math.floorMod(b, b2.toLong),
+            b2.toLong).toInt) += 1L
         }
         i += 1
       }

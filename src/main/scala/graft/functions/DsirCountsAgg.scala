@@ -61,7 +61,10 @@ case class DsirCountsAgg(tc: Expression, isTarget: Expression, b: Int,
       var i = 0
       while (i < n) {
         val e = arr.getStruct(i, 2)
-        if (e != null && !e.isNullAt(0)) {
+        // tf is nullable in the registered SQL signature; a null tf entry
+        // from a direct SQL caller contributes nothing (clean skip) rather
+        // than reading undefined buffer bytes.
+        if (e != null && !e.isNullAt(0) && !e.isNullAt(1)) {
           val bucket = (Md5Low63.compute(e.getUTF8String(0)) % b).toInt
           val tf = e.getLong(1)
           buf(bucket) += tf

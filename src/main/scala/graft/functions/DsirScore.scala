@@ -43,7 +43,9 @@ case class DsirScore(left: Expression, right: Expression)
     var i = 0
     while (i < len) {
       val e = tc.getStruct(i, 2)
-      if (e != null && !e.isNullAt(0)) {
+      // tf is nullable in the registered SQL signature; a null tf entry
+      // contributes nothing rather than reading undefined buffer bytes.
+      if (e != null && !e.isNullAt(0) && !e.isNullAt(1)) {
         val tf = e.getLong(1)
         n += tf
         s += tf * wv.getLong((Md5Low63.compute(e.getUTF8String(0)) % b).toInt)

@@ -387,10 +387,16 @@ object TextQueries {
     * against a static corpus). */
   private[graft] def learnedMerges(fit: DataFrame,
                                    rounds: Int = BpeRounds): Seq[(String, String)] =
-    bpeTops(fit, rounds).map { t =>
-      val row = t.select("l", "r").head()
-      (row.getString(0), row.getString(1))
-    }
+    // A degenerate fit corpus (all single-symbol words) yields an empty
+    // winner frame; stop collecting at the first empty round — the lazy
+    // iterator never executes later rounds — mirroring the batch path's
+    // null-scalar tolerance instead of throwing at plan-build time.
+    bpeTops(fit, rounds).iterator
+      .map(_.select("l", "r").collect().headOption
+        .map(row => (row.getString(0), row.getString(1))))
+      .takeWhile(_.isDefined)
+      .flatten
+      .toSeq
 
   /** Apply frozen merges to any frame (batch or stream): the identical
     * char-sequence construction and double-replace merge primitive as

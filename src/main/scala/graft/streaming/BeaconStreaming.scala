@@ -244,7 +244,11 @@ object BeaconStreaming {
     * batch, the C4 gates (terminal punctuation, ≥ `minWords` words) run
     * stateless per line, and the corpus-global "keep each distinct line
     * once" rule is `dropDuplicatesWithinWatermark` keyed on the line's
-    * md5 — 8-byte-keyed state, one entry per distinct surviving line.
+    * full 126-bit md5 pair (md5_low63, md5_high63) — 16-byte-keyed
+    * state, one entry per distinct surviving line. The batch op compares
+    * exact line text; a 126-bit digest collision dropping a genuine
+    * distinct line is negligible even at 2^40+ corpus lines (the 63-bit
+    * half alone would not be — that was a stated-delta gap, r10).
     * Emits the SURVIVING (doc_id, idx, line, ts) rows; reassembly is a
     * downstream batch concern (a stateful per-doc regroup would hold
     * whole documents in state for no gain — the winner set is already
@@ -267,10 +271,17 @@ object BeaconStreaming {
         trim(col("raw")).as("line"))
       .filter(col("line").rlike("[.!?]$") &&
         size(split(col("line"), "\\s+")) >= minWords)
+      // Key on the full 126-bit digest pair (md5_low63, md5_high63), not
+      // the 63-bit half alone: a 63-bit collision would silently drop a
+      // distinct genuine line, and at corpus scale (2^40+ lines) that is
+      // a birthday-bound risk; 126 bits makes it negligible. State cost is
+      // 16 bytes per kept line instead of 8 — still far below keying on
+      // the line text itself, which is what the batch lineDedup compares.
       .withColumn("__line_key", expr("md5_low63(line)"))
+      .withColumn("__line_key2", expr("md5_high63(line)"))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__line_key")
-      .drop("__line_key")
+      .dropDuplicatesWithinWatermark("__line_key", "__line_key2")
+      .drop("__line_key", "__line_key2")
   }
 
   /** Streaming benchmark decontamination (beyond reference, r6): drop

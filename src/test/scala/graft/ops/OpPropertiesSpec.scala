@@ -642,6 +642,19 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(fixture.map(t => (t._2, t._3)).distinct.size === 3)
   }
 
+  test("bpe learnedMerges: degenerate fit (all single-symbol words) stops cleanly") {
+    import spark.implicits._
+    // no word has an adjacent pair → round 1 is empty; learnedMerges must
+    // return Nil (stop at the first empty round) rather than throw at
+    // plan-build time, mirroring the batch path's null-scalar tolerance
+    val degenerate = Seq("a b c", "a a b").toDF("text")
+    assert(TextQueries.learnedMerges(degenerate, rounds = 3) === Nil)
+    // a corpus that dries up mid-run keeps only the rounds that produced
+    // a winner: "ab" ×1 learns (a,b) then has nothing left
+    val dries = Seq("ab").toDF("text")
+    assert(TextQueries.learnedMerges(dries, rounds = 3) === Seq(("a", "b")))
+  }
+
   test("bpe tokenize: learned merges collapse the tiny corpus to whole words") {
     import spark.implicits._
     // with merges aa, ab, aaab (hand-derived above): aaab → 1 token,
