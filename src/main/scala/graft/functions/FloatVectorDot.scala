@@ -174,8 +174,16 @@ object GraftFunctions {
     (new FunctionIdentifier("term_df"),
       new ExpressionInfo(classOf[TermDfAgg].getName, "term_df"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "term_df expects 1 argument (tc array)")
-        TermDfAgg(args.head).toAggregateExpression()
+        require(args.length == 1 || args.length == 2,
+          "term_df expects (tc array[, min_df])")
+        val minDf = if (args.length < 2) 1L else args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+            v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"term_df min_df must be an integer literal, got $other")
+        }
+        TermDfAgg(args.head, minDf).toAggregateExpression()
       }),
     (new FunctionIdentifier("tfidf_topk"),
       new ExpressionInfo(classOf[TfidfTopK].getName, "tfidf_topk"),

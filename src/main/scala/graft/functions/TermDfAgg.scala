@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `term_df(tc)` — whole-corpus document-frequency table as ONE aggregate.
+/** `term_df(tc[, min_df])` — whole-corpus document-frequency table as ONE
+  * aggregate, with an optional min-df floor applied INSIDE the aggregate.
   *
   * Input is the per-document `term_counts(text)` array (terms already
   * DISTINCT per doc, so "+1 per entry" IS document frequency). Returns
@@ -32,8 +33,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * search must agree with the sort bit-for-bit.
   *
   * A null input array (null text upstream) contributes nothing — not even
-  * to n_docs — matching `COUNT(*) ... WHERE text IS NOT NULL`. */
-case class TermDfAgg(tc: Expression,
+  * to n_docs — matching `COUNT(*) ... WHERE text IS NOT NULL`.
+  *
+  * `minDf` is the scale valve: raw web-scale vocabularies grow with the
+  * corpus (the Heaps-law typo tail is the MAJORITY of distinct terms), and
+  * this aggregate's result rides to the driver as one scalar and then to
+  * every scoring task — the one place in the plan that cannot degrade
+  * gracefully. The floor runs at FINAL eval (a term's total df is unknown
+  * until the partials merge, so it cannot run earlier), which is exactly
+  * where it must: partial maps stay partition-bounded, while the
+  * materialized scalar drops every term with `df < minDf` — at web scale
+  * `min_df = 2` alone removes the hapax tail, the majority of the
+  * vocabulary. `minDf = 1` (the default) keeps every term: bit-identical
+  * to the unfloored aggregate. `n_docs` counts ALL documents regardless of
+  * the floor — IDF denominators of surviving terms must not shift. */
+case class TermDfAgg(tc: Expression, minDf: Long = 1L,
                      override val mutableAggBufferOffset: Int = 0,
                      override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TermDfAgg.Buf] {
@@ -78,8 +92,13 @@ case class TermDfAgg(tc: Expression,
   }
 
   override def eval(buf: TermDfAgg.Buf): Any = {
-    val keys = new Array[UTF8String](buf.map.size)
-    buf.map.keySet().toArray(keys)
+    // the min-df floor runs here — the one point where total df is known
+    // and BEFORE the result leaves the aggregate as a driver scalar
+    val all = new Array[UTF8String](buf.map.size)
+    buf.map.keySet().toArray(all)
+    val keys =
+      if (minDf <= 1L) all
+      else all.filter(k => buf.map.get(k).longValue >= minDf)
     java.util.Arrays.sort(keys, (x: UTF8String, y: UTF8String) => x.compareTo(y))
     val dfs = new Array[Any](keys.length)
     var i = 0

@@ -33,11 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale contract: the vocabulary scalar is bounded by DISTINCT terms, not
   * corpus size — the same boundedness argument as the DSIR dense-array
   * scalar. A corpus whose raw vocabulary outgrows the plan (web-scale typo
-  * tails) should pre-prune it (min-df floor or hash-bucket the tail) before
-  * the subquery; score arithmetic `(double) tf * n_docs / df` is the twin's
-  * op order exactly. A `tc` term absent from the vocabulary is skipped
-  * (no df → no score — cannot happen when both sides derive from the same
-  * corpus); null in any argument → null row. */
+  * tails) IS pre-pruned in the registered q_doc_tfidf plan: `term_df`'s
+  * min-df floor (`spark.graft.tfidf.min_df`, r10) drops the tail inside
+  * the aggregate's final eval, before the scalar materializes; score
+  * arithmetic `(double) tf * n_docs / df` is the twin's op order exactly.
+  * A `tc` term absent from the vocabulary is skipped — no df → no score;
+  * under a min-df floor that absence is exactly how sub-floor terms are
+  * excluded from every document's top-k. Null in any argument → null row. */
 case class TfidfTopK(tc: Expression, terms: Expression, dfs: Expression,
                      nDocs: Expression, k: Int)
     extends Expression with CodegenFallback {

@@ -594,12 +594,24 @@ object TextQueries {
     * n_docs) is built by the [[graft.functions.TermDfAgg]]
     * ObjectHashAggregate — each map task folds its docs into a
     * vocabulary-bounded term→df map, #partitions maps cross the wire once,
-    * and the sorted parallel arrays come out of the final merge. */
-  private[ops] def docTfidf(documents: DataFrame): DataFrame = {
+    * and the sorted parallel arrays come out of the final merge.
+    *
+    * r10: the vocabulary scalar IS pruned — `spark.graft.tfidf.min_df`
+    * (default 1 = bit-identical to the unfloored plan, the fixtures and
+    * the DuckDB twin) floors df inside [[graft.functions.TermDfAgg]]'s
+    * final eval, so the driver never materializes the web-scale typo tail
+    * (at `min_df = 2` the hapax majority of a raw-crawl vocabulary never
+    * leaves the aggregate). Terms under the floor are absent from the
+    * vocabulary and score no TF-IDF entry — the standard min-df contract;
+    * `n_docs` still counts every document so surviving IDFs are unchanged. */
+  private[graft] def docTfidf(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
+    val minDf = documents.sparkSession.conf
+      .get("spark.graft.tfidf.min_df", "1").toLong
+    require(minDf >= 1L, s"spark.graft.tfidf.min_df must be >= 1, got $minDf")
     val docs = documents.filter(col("text").isNotNull)
     val vocab = docs
-      .agg(expr("term_df(term_counts(text))").as("v"))
+      .agg(expr(s"term_df(term_counts(text), ${minDf}L)").as("v"))
       .scalar()
     docs
       .select(col("doc_id"), col("text"), vocab.as("v"))

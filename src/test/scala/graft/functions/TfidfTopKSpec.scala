@@ -47,6 +47,52 @@ class TfidfTopKSpec extends SparkTestBase {
     assert(rows.length === 2)
   }
 
+  test("term_df min_df floor: 1 is bit-identical, 2 drops exactly the hapax tail") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "b c d"), (3L, "c e")).toDF("doc_id", "text")
+    GraftFunctions.register(spark)
+    def v(sql: String) = docs
+      .agg(expr(sql).as("v")).select("v.terms", "v.dfs", "v.n_docs")
+      .collect()(0)
+    val unfloored = v("term_df(term_counts(text))")
+    val floor1 = v("term_df(term_counts(text), 1L)")
+    assert(floor1 === unfloored)
+    // df: a=1 b=2 c=3 d=1 e=1 → floor 2 keeps (b,2),(c,3); n_docs unchanged
+    val floor2 = v("term_df(term_counts(text), 2)")
+    assert(floor2.getAs[Seq[String]](0) === Seq("b", "c"))
+    assert(floor2.getAs[Seq[Long]](1) === Seq(2L, 3L))
+    assert(floor2.getLong(2) === 3L)
+  }
+
+  test("q_doc_tfidf honors spark.graft.tfidf.min_df: default identical, 2 excludes hapaxes") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa bb cc"), (2L, "bb cc dd"), (3L, "cc ee"))
+      .toDF("doc_id", "text")
+    def run() = graft.ops.TextQueries.docTfidf(docs)
+      .orderBy("doc_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val dflt = run()
+    spark.conf.set("spark.graft.tfidf.min_df", "1")
+    try assert(run() === dflt)
+    finally spark.conf.unset("spark.graft.tfidf.min_df")
+    spark.conf.set("spark.graft.tfidf.min_df", "2")
+    try {
+      val floored = run()
+      // sub-floor terms (df=1: aa, dd, ee) score nothing; survivors keep
+      // the EXACT (tf, df, score) they had unfloored — n_docs is unmoved —
+      // and ranks close up per doc over the surviving entries
+      assert(floored.map(_._3).toSet === Set("bb", "cc"))
+      val unflooredSurvivors = dflt.filter(t => Set("bb", "cc")(t._3))
+        .map(t => (t._1, t._3, t._4, t._5, t._6))
+      assert(floored.map(t => (t._1, t._3, t._4, t._5, t._6)).sorted ===
+        unflooredSurvivors.sorted)
+      floored.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._2).sorted === (1 to rows.length))
+      }
+    } finally spark.conf.unset("spark.graft.tfidf.min_df")
+  }
+
   test("tfidf_topk orders by score desc then term asc and bounds at k") {
     import spark.implicits._
     GraftFunctions.register(spark)
