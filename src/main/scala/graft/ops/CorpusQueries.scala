@@ -289,27 +289,21 @@ object CorpusQueries {
     // iff the tokens taken BEFORE it (exclusive running sum) are under
     // the allocation, so at most ONE doc per source overshoots — stated,
     // deterministic, and far cheaper than an exact knapsack cut. Scale
-    // shape: the allocation is #sources rows broadcast onto the corpus;
-    // the running sum is a PER-SOURCE window (partitioned, never global
-    // — the q_pack shape) over (md5, doc_id); nothing else shuffles.
-    "q_budget_sample" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val base = Tables.documents(s, d)
-      val docs = base.filter(col("text").isNotNull)
-        .select(col("doc_id"), col("source"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-          expr("md5_low63(CAST(doc_id AS STRING))").as("ord"))
-      val w = Window.partitionBy("source").orderBy("ord", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs
-        .join(broadcast(unimaxAlloc(base).select("source", "alloc")),
-          Seq("source"))
-        .withColumn("tokens_before",
-          coalesce(sum("n_tokens").over(w), lit(0L)))
-        .filter(col("tokens_before") < col("alloc"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("tokens_before"))
-    }),
+    // shape: the allocation is #sources rows broadcast onto the corpus,
+    // and the running sum is a TWO-LEVEL exclusive prefix sum (r10 — the
+    // r9 per-source window serialized each source through one reducer's
+    // sort, a single-task funnel when one crawl source is half the
+    // corpus): the take order's md5 key is uniform, so range-sharding on
+    // its top bits (shard = ord >> (63 - log2 S), monotone in ord —
+    // BYTE-IDENTICAL take order, the global (ord, doc_id) order is
+    // exactly (shard, ord, doc_id)) splits every source into S balanced
+    // contiguous runs; the window runs per (source, shard) across
+    // #sources×S tasks, shard TOTALS reduce to a bounded #sources×S-row
+    // aggregate whose own exclusive prefix (a window over bounded rows)
+    // broadcasts back as each shard's starting offset, and
+    // tokens_before = shard offset + in-shard exclusive sum. The same
+    // (source, md5-shard) discipline as q_pack.
+    "q_budget_sample" -> ((s, d) => budgetSample(Tables.documents(s, d))),
 
     // Denylist scrubbing — the PII-redaction shape (mask every match of a
     // sensitive-pattern alternation, count what was masked) over the
@@ -482,6 +476,51 @@ object CorpusQueries {
           "transform(array_sort(collect_list(struct(idx, line)))," +
             " x -> x.line)")).as("clean_text"))
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
+  }
+
+  /** q_budget_sample's pipeline over an arbitrary documents frame. The
+    * take rule and output are the registration comment's contract; the
+    * exclusive running sum is the r10 two-level prefix sum — range-shard
+    * each source on the take key's top bits (`ord >> (63 − log2 S)`,
+    * monotone in ord, so the global (ord, doc_id) take order is exactly
+    * (shard, ord, doc_id) and the result is BYTE-identical to a single
+    * per-source window), in-shard exclusive window per (source, shard),
+    * bounded #sources×S shard-total aggregate, exclusive shard offsets
+    * broadcast back and added. One giant source now sorts across S
+    * balanced reducers instead of funneling through one. */
+  private[graft] def budgetSample(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val shards = s.conf.get("spark.graft.budget.shards", "64").toInt
+    require(shards >= 1 && (shards & (shards - 1)) == 0,
+      s"spark.graft.budget.shards must be a power of two, got $shards")
+    val shift = 63 - Integer.numberOfTrailingZeros(shards)
+    val docs = base.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        expr("md5_low63(CAST(doc_id AS STRING))").as("ord"))
+      .withColumn("shard", shiftright(col("ord"), shift))
+    val wIn = Window.partitionBy("source", "shard")
+      .orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bounded: #sources × shards rows; its exclusive prefix is a window
+    // over those bounded rows only, then rides back as a broadcast
+    val wShard = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .withColumn("shard_before",
+        coalesce(sum("shard_tokens").over(wShard), lit(0L)))
+      .select("source", "shard", "shard_before")
+    docs
+      .join(broadcast(unimaxAlloc(base).select("source", "alloc")),
+        Seq("source"))
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("tokens_before",
+        col("shard_before") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .filter(col("tokens_before") < col("alloc"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("tokens_before"))
   }
 
   /** q_mix_unimax's pipeline over an arbitrary documents frame — factored

@@ -248,6 +248,63 @@ class OpPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("q_budget_sample: sharded prefix sum is byte-identical under 80%-mass skew") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // engineered skew: source "big" owns 80% of the corpus — the shape
+    // that serialized the r9 single-per-source window through one reducer
+    val df = ((1L to 400L).map(i => (i, "big",
+        Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "))) ++
+      (401L to 500L).map(i => (i, s"s${i % 4}",
+        Seq.fill((i % 5 + 1).toInt)("tok").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusQueries.budgetSample(df)
+    // reference: the take rule computed brute-force on the driver — per
+    // source, exclusive running sum in (md5 ord, doc_id) order
+    val alloc = CorpusQueries.unimaxAlloc(df)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val keyed = df.selectExpr("doc_id", "source",
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens",
+        "md5_low63(CAST(doc_id AS STRING)) AS ord")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = keyed.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      var before = 0L
+      rows.sortBy(t => (t._4, t._1)).flatMap { case (id, _, n, _) =>
+        val take = before < alloc(src)
+        val b = before
+        before += n
+        if (take) Some((id, src, n, b)) else None
+      }
+    }.sortBy(t => (t._2, t._4))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._4)).toSeq
+    assert(got === expected)
+    // and the giant source genuinely spreads: its docs hit many of the 64
+    // ord-range shards, so no single reducer sorts the whole source
+    val bigShards = df.filter($"source" === "big")
+      .selectExpr("shiftright(md5_low63(CAST(doc_id AS STRING)), 57) AS shard")
+      .distinct().count()
+    assert(bigShards > 16, s"expected 'big' spread over many shards, got $bigShards")
+    // plan shape: the corpus-scale window partitions by (source, shard);
+    // only the bounded shard-offset window partitions by source alone.
+    // AQE wrappers are leaves to TreeNode traversal — descend into them.
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case n => Seq(n)
+      }
+    val wins = nodes(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "corpus-scale window must partition by (source, shard)")
+  }
+
   test("lineDedup: C4 line filters, corpus-wide first-wins, source-order reassembly") {
     import spark.implicits._
     val keepA = "alpha beta gamma delta epsilon."   // ≥5 words, terminal punct
