@@ -33,4 +33,14 @@ object SparkEntry {
       SimilarityQueries.oracle ++ TextQueries.oracle ++
       MultimodalQueries.oracle ++ CorpusQueries.oracle ++
       RetrievalQueries.oracle
+
+  /** Tolerance twins for the rows-only-by-design queries — natural DuckDB
+    * expressions value-compared under explicit tolerances (rel-tol for
+    * libm `ln` scores, bucket-disagreement bounds for sketched terciles)
+    * by `tools/check_tolerance.py`, so "rows-only" never means "values
+    * never compared". Dumped by [[Verify]] as `tolerance_sql.json`;
+    * deliberately NOT part of `oracleSql` (the driver's hash gate would
+    * red them for the exact reasons they are tolerance-checked). */
+  def toleranceSql: Map[String, String] =
+    TextQueries.toleranceOracle ++ RetrievalQueries.toleranceOracle
 }

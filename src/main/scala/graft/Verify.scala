@@ -47,6 +47,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val tolJson = SparkEntry.toleranceSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/tolerance_sql.json"), tolJson)
     spark.stop()
   }
 }

@@ -312,6 +312,22 @@ object RetrievalQueries {
     s"""${bmFeatureCtes(QueryTerms, "b")},
           bsc AS (SELECT doc_id, ($scoreSql) AS score FROM bj)"""
 
+  /** Tolerance twin for the rows-only-by-design log-idf variant (r10):
+    * the natural DuckDB expression with the SAME generated feature CTEs
+    * and `ln`-based score text, value-compared by
+    * `tools/check_tolerance.py` under rel-tol 1e-12 — libm `ln` may
+    * differ in the last ulp across engines, which hash equality cannot
+    * absorb but a relative tolerance trivially does. */
+  private[graft] val toleranceOracle: Map[String, String] = Map(
+    "q_bm25_logidf" ->
+      s"""WITH ${bmFeatureCtes(QueryTerms, "b")},
+          bsc AS (SELECT doc_id, ($scoreLogSql) AS score FROM bj)
+          SELECT doc_id, rnk, score FROM (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM bsc WHERE score > 0) r
+          WHERE rnk <= 10""")
+
   val oracle: Map[String, String] = Map(
     "q_bm25_multi" -> {
       val scoreCols = MultiQueries.indices.map(q =>

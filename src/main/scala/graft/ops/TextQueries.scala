@@ -623,6 +623,51 @@ object TextQueries {
         col("t.df").as("df"), col("t.score").as("score"))
   }
 
+  /** The per-document fluency CTE chain (hashed-bigram model, fixed-point
+    * scores) — ONE definition feeding the q_lm_fluency hash twin and the
+    * q_lm_fluency_terciles tolerance twin, so the model the two compare
+    * against cannot drift. */
+  private val fluencyPerDocCtes: String =
+    """d AS (SELECT doc_id,
+                           list_transform(
+                             string_split_regex(trim(lower(text)), '\s+'),
+                             t -> CAST(md5_number_lower(t)
+                                       % 9223372036854775807 AS BIGINT)) AS h
+                    FROM documents WHERE text IS NOT NULL),
+          bg AS (SELECT doc_id,
+                        h[i] % 1024 AS b1,
+                        ((h[i] % 65536) * 31 + h[i + 1] % 65536) % 65536 AS b2
+                 FROM (SELECT doc_id, h,
+                              UNNEST(generate_series(1, len(h) - 1)) AS i
+                       FROM d WHERE len(h) >= 2) u),
+          c1 AS (SELECT b1, COUNT(*) AS c1 FROM bg GROUP BY b1),
+          c2 AS (SELECT b2, COUNT(*) AS c2 FROM bg GROUP BY b2),
+          perdoc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                            SUM(CAST(round((c2 + 1.0) / (c1 + 65536.0)
+                                           * 1048576.0) AS BIGINT)) AS fl
+                     FROM bg JOIN c1 USING (b1) JOIN c2 USING (b2)
+                     GROUP BY doc_id)"""
+
+  /** Tolerance twins for the rows-only-by-design queries (r10): natural
+    * DuckDB expressions whose values ARE compared — by
+    * `tools/check_tolerance.py` — under explicit tolerances instead of
+    * hash equality. Terciles: DuckDB's exact `quantile_disc` pivots stand
+    * in for the Greenwald–Khanna sketch; per-doc model columns must match
+    * EXACTLY, buckets within a small disagreement budget (docs between the
+    * exact and sketched pivot), proportions near thirds. */
+  private[graft] val toleranceOracle: Map[String, String] = Map(
+    "q_lm_fluency_terciles" ->
+      s"""WITH $fluencyPerDocCtes,
+          piv AS (SELECT quantile_disc(CAST(fl AS DOUBLE) / n_bigrams,
+                                       [1.0/3, 2.0/3]) AS p
+                  FROM perdoc)
+          SELECT doc_id, n_bigrams, CAST(fl AS BIGINT) AS fluency,
+                 CASE WHEN CAST(fl AS DOUBLE) / n_bigrams >= p[2] THEN 'head'
+                      WHEN CAST(fl AS DOUBLE) / n_bigrams >= p[1] THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+                 CAST(fl AS DOUBLE) / n_bigrams >= p[1] AS keep
+          FROM perdoc CROSS JOIN piv""")
+
   val oracle: Map[String, String] = Map(
     "q_doc_tfidf" ->
       """WITH ws AS (SELECT doc_id,
@@ -645,25 +690,7 @@ object TextQueries {
     // corpus-mean scalar as the Spark side — every comparison that decides
     // a bucket is integer, so the CASE labels cannot drift cross-engine.
     "q_lm_fluency" ->
-      """WITH d AS (SELECT doc_id,
-                           list_transform(
-                             string_split_regex(trim(lower(text)), '\s+'),
-                             t -> CAST(md5_number_lower(t)
-                                       % 9223372036854775807 AS BIGINT)) AS h
-                    FROM documents WHERE text IS NOT NULL),
-          bg AS (SELECT doc_id,
-                        h[i] % 1024 AS b1,
-                        ((h[i] % 65536) * 31 + h[i + 1] % 65536) % 65536 AS b2
-                 FROM (SELECT doc_id, h,
-                              UNNEST(generate_series(1, len(h) - 1)) AS i
-                       FROM d WHERE len(h) >= 2) u),
-          c1 AS (SELECT b1, COUNT(*) AS c1 FROM bg GROUP BY b1),
-          c2 AS (SELECT b2, COUNT(*) AS c2 FROM bg GROUP BY b2),
-          perdoc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-                            SUM(CAST(round((c2 + 1.0) / (c1 + 65536.0)
-                                           * 1048576.0) AS BIGINT)) AS fl
-                     FROM bg JOIN c1 USING (b1) JOIN c2 USING (b2)
-                     GROUP BY doc_id),
+      s"""WITH $fluencyPerDocCtes,
           tot AS (SELECT CAST(round(CAST(SUM(fl) AS DOUBLE) /
                                     CAST(SUM(n_bigrams) AS DOUBLE))
                               AS BIGINT) AS cm

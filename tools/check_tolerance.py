@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Tolerance gate for the rows-only-by-design queries: value-compare the
+Verify dumps against their natural DuckDB twins (tolerance_sql.json) under
+explicit, per-query tolerances — so "rows-only" never means "values never
+compared".
+
+- q_bm25_logidf: identity columns (doc_id, rnk) exact; score within
+  rel-tol 1e-12 (libm ln may differ in the last ulp across engines).
+- q_lm_fluency_terciles: per-doc model columns (n_bigrams, fluency) exact
+  against the same hashed-bigram chain; bucket/keep may disagree only for
+  docs pinched between the exact quantile_disc pivot and Spark's
+  Greenwald-Khanna sketch pivot (<= 2% of docs), and each bucket must hold
+  roughly a third of the corpus (proportion in [0.25, 0.42]).
+
+Usage: python3 tools/check_tolerance.py <verify_out_dir> <sf_dir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+REL_TOL = 1e-12
+MAX_BUCKET_DISAGREE = 0.02
+BUCKET_PROP_LO, BUCKET_PROP_HI = 0.25, 0.42
+
+
+def rows_by_key(cols, rows, key_cols):
+    idx = [cols.index(k) for k in key_cols]
+    return {tuple(r[i] for i in idx): r for r in rows}
+
+
+def fetch(con, sql):
+    cur = con.execute(sql)
+    return [d[0] for d in cur.description], cur.fetchall()
+
+
+def check_bm25_logidf(con, out_dir, sql):
+    ocols, orows = fetch(con, sql)
+    scols, srows = fetch(con, f"SELECT * FROM '{out_dir}/q_bm25_logidf/*.parquet'")
+    if len(orows) != len(srows):
+        return f"row counts differ: spark={len(srows)} oracle={len(orows)}"
+    om = rows_by_key(ocols, orows, ["doc_id"])
+    sm = rows_by_key(scols, srows, ["doc_id"])
+    if om.keys() != sm.keys():
+        return f"doc_id sets differ: only-spark={sorted(set(sm) - set(om))[:3]} only-oracle={sorted(set(om) - set(sm))[:3]}"
+    o_rnk, o_sc = ocols.index("rnk"), ocols.index("score")
+    s_rnk, s_sc = scols.index("rnk"), scols.index("score")
+    for k in om:
+        if om[k][o_rnk] != sm[k][s_rnk]:
+            return f"doc {k}: rnk differs spark={sm[k][s_rnk]} oracle={om[k][o_rnk]}"
+        a, b = sm[k][s_sc], om[k][o_sc]
+        if abs(a - b) > REL_TOL * max(abs(a), abs(b)):
+            return f"doc {k}: score out of rel-tol: spark={a!r} oracle={b!r}"
+    return None
+
+
+def check_terciles(con, out_dir, sql):
+    ocols, orows = fetch(con, sql)
+    scols, srows = fetch(
+        con, f"SELECT * FROM '{out_dir}/q_lm_fluency_terciles/*.parquet'")
+    if len(orows) != len(srows):
+        return f"row counts differ: spark={len(srows)} oracle={len(orows)}"
+    om = rows_by_key(ocols, orows, ["doc_id"])
+    sm = rows_by_key(scols, srows, ["doc_id"])
+    if om.keys() != sm.keys():
+        return "doc_id sets differ"
+    oi = {c: ocols.index(c) for c in ocols}
+    si = {c: scols.index(c) for c in scols}
+    n_disagree = 0
+    counts = {"head": 0, "middle": 0, "tail": 0}
+    for k in om:
+        o, s = om[k], sm[k]
+        for c in ("n_bigrams", "fluency"):
+            if o[oi[c]] != s[si[c]]:
+                return f"doc {k}: {c} differs spark={s[si[c]]} oracle={o[oi[c]]}"
+        if s[si["bucket"]] not in counts:
+            return f"doc {k}: unknown bucket {s[si['bucket']]!r}"
+        counts[s[si["bucket"]]] += 1
+        if (s[si["keep"]]) != (s[si["bucket"]] != "tail"):
+            return f"doc {k}: keep inconsistent with bucket"
+        if o[oi["bucket"]] != s[si["bucket"]]:
+            n_disagree += 1
+    n = len(om)
+    if n_disagree > MAX_BUCKET_DISAGREE * n:
+        return (f"bucket disagreement {n_disagree}/{n} exceeds "
+                f"{MAX_BUCKET_DISAGREE:.0%} (sketch vs exact pivots)")
+    for b, c in counts.items():
+        if not (BUCKET_PROP_LO <= c / n <= BUCKET_PROP_HI):
+            return f"bucket {b} holds {c}/{n} = {c / n:.2f}, outside [{BUCKET_PROP_LO}, {BUCKET_PROP_HI}]"
+    return None
+
+
+CHECKS = {
+    "q_bm25_logidf": check_bm25_logidf,
+    "q_lm_fluency_terciles": check_terciles,
+}
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    tol = json.load(open(f"{out_dir}/tolerance_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(tol.items()):
+        fn = CHECKS.get(name)
+        if fn is None:
+            print(f"FAIL {name}: no checker registered for this twin")
+            n_bad += 1
+            continue
+        try:
+            err = fn(con, out_dir, sql)
+        except Exception as e:
+            err = f"checker error: {e}"
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} (within tolerance)")
+            n_ok += 1
+    missing = set(CHECKS) - set(tol)
+    for name in sorted(missing):
+        print(f"FAIL {name}: missing from tolerance_sql.json")
+        n_bad += len(missing)
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
