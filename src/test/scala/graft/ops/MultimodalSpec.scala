@@ -283,9 +283,12 @@ class MultimodalSpec extends SparkTestBase {
 
   test("ffmpeg seam: absent binary probes None and auto falls back to the JVM path") {
     import spark.implicits._
-    // this container ships no ffmpeg: the probe must say so (not throw),
-    // and the auto entry point must take the pure-JVM MJPEG path
-    assert(Multimodal.FfmpegVideo.resolve(None).isEmpty)
+    // the CI container ships no ffmpeg: the probe must say so (not
+    // throw), and the auto entry point must take the pure-JVM MJPEG
+    // path. On a host that DOES have ffmpeg this absence arm cannot run
+    // (the production arm below covers that host instead).
+    assume(Multimodal.FfmpegVideo.resolve(None).isEmpty,
+      "ffmpeg present on this host — absence arm skipped")
     assert(!Multimodal.FfmpegVideo.available)
     val df = Seq((1L, "not a video".getBytes("UTF-8")))
       .toDF("media_id", "payload")
@@ -332,6 +335,44 @@ class MultimodalSpec extends SparkTestBase {
         .sampleFrames(df, crash.getAbsolutePath, dim = 3).count() === 0L)
     } finally {
       fake.delete(); crash.delete()
+    }
+  }
+
+  test("ffmpeg seam: REAL binary end-to-end on a generated H.264 clip (opt-in)") {
+    import spark.implicits._
+    // VERDICT r9 #5: the production arm had never actually executed. On a
+    // host with a PATH (or SPARK_GRAFT_FFMPEG) ffmpeg this generates a
+    // 10-frame solid-red H.264 clip with the binary itself and drives
+    // sampleFramesAuto end-to-end; without one it skips cleanly — the
+    // injected-fake tests above still cover the subprocess plumbing.
+    val bin = Multimodal.FfmpegVideo.resolve(None)
+    assume(bin.isDefined, "no ffmpeg on this host — production arm skipped")
+    val clip = java.io.File.createTempFile("graft-h264", ".mp4")
+    try {
+      val gen = new ProcessBuilder(bin.get, "-v", "error", "-y",
+        "-f", "lavfi", "-i", "color=c=red:s=64x64:d=1:r=10",
+        "-c:v", "libx264", "-pix_fmt", "yuv420p",
+        clip.getAbsolutePath).start()
+      // an ffmpeg built without libx264 cannot author the fixture — skip,
+      // don't fail: the arm under test is decode, not encode
+      assume(gen.waitFor() == 0 && clip.length() > 0,
+        "this ffmpeg cannot encode H.264 (no libx264) — fixture skipped")
+      val payload = java.nio.file.Files.readAllBytes(clip.toPath)
+      val df = Seq((42L, payload)).toDF("media_id", "payload")
+      val out = Multimodal.sampleFramesAuto(df, dim = 5, everyK = 2)
+        .orderBy("frame_no").collect()
+      // 10 source frames sampled every 2nd, SOURCE ordinals, 16×16 rgb24
+      assert(out.map(_.getLong(0)).distinct.toSeq === Seq(42L))
+      assert(out.map(_.getInt(1)).toSeq === Seq(0, 2, 4, 6, 8))
+      assert(out.forall(_.getInt(2) === 16 * 16 * 3))
+      out.map(_.getSeq[Float](3)).foreach { f =>
+        assert(f(0) === 16.0f && f(1) === 16.0f)
+        assert(f(2) > 0.8f, s"red mean too low for a red clip: $f")
+        assert(f(3) < 0.2f && f(4) < 0.2f, s"green/blue too high: $f")
+      }
+    } finally {
+      clip.delete()
+      ()
     }
   }
 
