@@ -464,7 +464,18 @@ object CorpusQueries {
         trim(col("raw")).as("line"))
       .filter(col("line").rlike("[.!?]$") &&
         size(split(col("line"), "\\s+")) >= 5)
+    // r10: pre-partition on the line key so the min-struct SortAggregate
+    // runs entirely POST-exchange (partial+final adjacent around ONE
+    // sort) — the pre-exchange partial would pay a full sort of the
+    // exploded line stream to deduplicate only INTRA-partition repeats,
+    // which at one-group-per-distinct-line cardinality is almost nothing
+    // (measured 7% end-to-end, graft.ops.LineDedupProbe; the same
+    // repartition on the doc regroup is a measured wash — its
+    // ObjectHashAggregate partial never sorts). Trade, stated: raw
+    // exploded rows cross the exchange, so a corpus whose duplicate
+    // lines cluster WITHIN input splits would ship those repeats.
     lines
+      .repartition(col("line"))
       .groupBy("line")
       .agg(min(struct(col("doc_id"), col("idx"), col("n_lines"))).as("w"))
       .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"),
