@@ -171,6 +171,42 @@ object GraftFunctions {
           Cast(args(1), org.apache.spark.sql.types.BooleanType), b)
           .toAggregateExpression()
       }),
+    (new FunctionIdentifier("probe_gram"),
+      new ExpressionInfo(classOf[ProbeGramAgg].getName, "probe_gram"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "probe_gram expects (tc, y, B, FS)")
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"probe_gram $what must be an integer literal, got $other")
+        }
+        val tcT = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tf",
+            org.apache.spark.sql.types.LongType))))
+        ProbeGramAgg(Cast(args.head, tcT),
+          Cast(args(1), org.apache.spark.sql.types.LongType),
+          litInt(args(2), "B"), litInt(args(3), "FS"))
+          .toAggregateExpression()
+      }),
+    (new FunctionIdentifier("probe_score"),
+      new ExpressionInfo(classOf[ProbeScore].getName, "probe_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "probe_score expects (tc, wv, FS)")
+        val fs = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"probe_score FS must be an integer literal, got $other")
+        }
+        val tcT = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tf",
+            org.apache.spark.sql.types.LongType))))
+        ProbeScore(Cast(args.head, tcT),
+          Cast(args(1), ArrayType(org.apache.spark.sql.types.DoubleType)), fs)
+      }),
     (new FunctionIdentifier("term_df"),
       new ExpressionInfo(classOf[TermDfAgg].getName, "term_df"),
       (args: Seq[Expression]) => {

@@ -214,6 +214,19 @@ object TextQueries {
     "q_lm_fluency_terciles" ->
       ((s, d) => lmFluencyTerciles(Tables.documents(s, d))),
 
+    // In-engine TRAINED quality classifier, fit side (r10): the exact
+    // integer sufficient statistics (XᵀX Gram, Xᵀy, n) of a ridge linear
+    // probe over hashed bag-of-words features, distilled from the
+    // stopword-density heuristic — the practice pattern where a cheap
+    // model learns an expensive-or-heuristic label and then scores the
+    // whole corpus. ONE dense-aggregate corpus pass; see [[probeFit]].
+    "q_probe_fit" -> ((s, d) => probeFit(Tables.documents(s, d))),
+    // ...and the scoring side: the driver-solved ridge weights ride the
+    // plan as one literal array, every doc scores row-locally (zero
+    // exchanges after the fit pass). Tolerance-checked (the solve is
+    // float); see [[probeScore]].
+    "q_probe_score" -> ((s, d) => probeScore(Tables.documents(s, d))),
+
     // Multimodal metadata pass: text treated as an opaque payload — byte
     // length + content hash, the same schema shape used for image/audio
     // binary columns (see graft.ops.Multimodal for the binary pipeline).
@@ -565,6 +578,118 @@ object TextQueries {
     * checked (no DuckDB twin); the bucket-proportion and boundary
     * semantics are spec-pinned instead. `keep` = middle or better, as in
     * the default. */
+  /** Probe dimensions — shared by fit, score, the hash twin and the
+    * tolerance checker so the four can never drift. B hashed token
+    * buckets + one bias feature at index B; integer features
+    * `x[b] = (tf_b·FS) div dl`; ridge λ ≈ FS²/100 keeps the
+    * normal-equation matrix well-conditioned far from the data scale. */
+  private[graft] val ProbeB = 256
+  private[graft] val ProbeFs = 256
+  private[graft] val ProbeLambda = 655.0
+
+  /** The distilled label, as one integer-exact SQL expression over the
+    * `tc` column: y = 1 iff the stopword token mass is ≤ 1/16 of the
+    * document ("low stopword density" — the same heuristic family as
+    * q_text_quality, thresholded at the fixture's median so the classes
+    * balance). Every comparison is integer, so the label cannot drift
+    * cross-engine. */
+  private def probeYSql: String =
+    s"IF(16 * aggregate(filter(tc, e -> e.term IN ($stopList)), 0L," +
+      " (a, e) -> a + e.tf) <= aggregate(tc, 0L, (a, e) -> a + e.tf), 1L, 0L)"
+
+  /** q_probe_fit — ONE corpus pass producing the probe's exact-integer
+    * sufficient statistics as (i, j, v) rows (dense Gram upper triangle,
+    * Xᵀy at j = B+1, n at (B+1, B+1)). The whole fit is a single
+    * [[graft.functions.ProbeGramAgg]] ObjectHashAggregate: ~270 KB
+    * bounded partials, elementwise merge — the dense-aggregate pattern
+    * (term_df, bigram_counts, dsir_counts) extended from counting to
+    * MODEL FITTING. Hash-exact DuckDB twin (integer sums commute). */
+  private[graft] def probeFit(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.filter(col("text").isNotNull)
+      .select(expr("term_counts(text)").as("tc"))
+      .select(col("tc"), expr(probeYSql).as("y"))
+      .agg(expr(s"probe_gram(tc, y, $ProbeB, $ProbeFs)").as("g"))
+      .select(explode(col("g")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.v").as("v"))
+  }
+
+  /** The driver-side ridge solve — (B+1)² doubles of driver state, the
+    * same bounded-model contract as the IVF quantizer's k·dim centroids.
+    * Plain Cholesky (the ridge guarantees SPD); ~(B+1)³/6 ≈ 2.8M flops
+    * at B = 256, microseconds. */
+  private[graft] def probeWeights(documents: DataFrame): Array[Double] = {
+    val nf = ProbeB + 1
+    val a = Array.ofDim[Double](nf, nf)
+    val bv = new Array[Double](nf)
+    probeFit(documents).collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getLong(2).toDouble
+      if (j <= ProbeB) { a(i)(j) = v; a(j)(i) = v }
+      else if (j == ProbeB + 1 && i <= ProbeB) bv(i) = v
+    }
+    var d = 0
+    while (d < nf) { a(d)(d) += ProbeLambda; d += 1 }
+    choleskySolve(a, bv)
+  }
+
+  private def choleskySolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val l = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        var s = a(i)(j)
+        var k = 0
+        while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+        if (i == j) l(i)(i) = math.sqrt(s) else l(i)(j) = s / l(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+    val yv = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      var s = b(i)
+      var k = 0
+      while (k < i) { s -= l(i)(k) * yv(k); k += 1 }
+      yv(i) = s / l(i)(i)
+      i += 1
+    }
+    val x = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var s = yv(i)
+      var k = i + 1
+      while (k < n) { s -= l(k)(i) * x(k); k += 1 }
+      x(i) = s / l(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  /** q_probe_score — every document scored by the trained probe,
+    * row-locally: the solved weights ride as ONE literal array (no join,
+    * no broadcast exchange, no shuffle after the fit pass), and
+    * [[graft.functions.ProbeScore]] rebuilds the identical integer
+    * features per row. Emits (doc_id, y, score, keep = score ≥ 0.5) so
+    * the heuristic label and the model's decision sit side by side — the
+    * disagreement rate IS the probe's training error, inspectable in
+    * SQL. Tolerance-checked against a numpy re-solve of the same
+    * statistics (floats differ in ulps across solvers; declared). */
+  private[graft] def probeScore(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val docs = documents.filter(col("text").isNotNull)
+    val w = probeWeights(docs)
+    docs
+      .select(col("doc_id"), expr("term_counts(text)").as("tc"))
+      .select(col("doc_id"), col("tc"), expr(probeYSql).as("y"))
+      .select(col("doc_id"), col("y"),
+        call_function("probe_score", col("tc"), typedLit(w.toSeq),
+          lit(ProbeFs)).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
+
   private[graft] def lmFluencyTerciles(documents: DataFrame): DataFrame = {
     val perDoc = fluencyPerDoc(documents)
     val pivots = perDoc.select(
@@ -656,6 +781,37 @@ object TextQueries {
     * EXACTLY, buckets within a small disagreement budget (docs between the
     * exact and sketched pivot), proportions near thirds. */
   private[graft] val toleranceOracle: Map[String, String] = Map(
+    // Per-doc integer features + label for the probe — the checker
+    // rebuilds X/y in numpy, re-solves the identical ridge system
+    // (λ = 655) and compares scores under tolerance (the solve is float;
+    // Cholesky-vs-LAPACK differ in ulps).
+    "q_probe_score" ->
+      s"""WITH tok AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)), '\\s+') AS w
+                       FROM documents WHERE text IS NOT NULL),
+          dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                        CAST(len(list_filter(w, x -> x IN ($stopList)))
+                             AS BIGINT) AS nstop
+                 FROM tok),
+          ex AS (SELECT doc_id, UNNEST(w) AS t FROM tok),
+          tf AS (SELECT doc_id,
+                        CAST(CAST(md5_number_lower(t) % 9223372036854775807
+                                  AS BIGINT) % $ProbeB AS INT) AS b,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                 FROM ex GROUP BY 1, 2),
+          x0 AS (SELECT doc_id, b, (c * $ProbeFs) // dl AS x
+                 FROM tf JOIN dl USING (doc_id)),
+          x AS (SELECT * FROM x0 WHERE x > 0
+                UNION ALL
+                SELECT doc_id, $ProbeB AS b, CAST($ProbeFs AS BIGINT) AS x
+                FROM dl),
+          y AS (SELECT doc_id,
+                       CASE WHEN 16 * nstop <= dl THEN 1 ELSE 0 END AS y
+                FROM dl)
+          SELECT y.doc_id, y.y,
+                 list(struct_pack(b := x.b, x := x.x)) AS feats
+          FROM x JOIN y USING (doc_id)
+          GROUP BY 1, 2""",
     "q_lm_fluency_terciles" ->
       s"""WITH $fluencyPerDocCtes,
           piv AS (SELECT quantile_disc(CAST(fl AS DOUBLE) / n_bigrams,
@@ -669,6 +825,53 @@ object TextQueries {
           FROM perdoc CROSS JOIN piv""")
 
   val oracle: Map[String, String] = Map(
+    // The probe's sufficient statistics are integer sums over integer
+    // features, so this twin is hash-EXACT — an engine-neutral trained
+    // model's fit side, checked to the bit. The densifying range join at
+    // the end mirrors the Spark aggregate's dense zero cells.
+    "q_probe_fit" ->
+      s"""WITH tok AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)), '\\s+') AS w
+                       FROM documents WHERE text IS NOT NULL),
+          dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                        CAST(len(list_filter(w, x -> x IN ($stopList)))
+                             AS BIGINT) AS nstop
+                 FROM tok),
+          ex AS (SELECT doc_id, UNNEST(w) AS t FROM tok),
+          tf AS (SELECT doc_id,
+                        CAST(CAST(md5_number_lower(t) % 9223372036854775807
+                                  AS BIGINT) % $ProbeB AS INT) AS b,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                 FROM ex GROUP BY 1, 2),
+          x0 AS (SELECT doc_id, b, (c * $ProbeFs) // dl AS x
+                 FROM tf JOIN dl USING (doc_id)),
+          x AS (SELECT * FROM x0 WHERE x > 0
+                UNION ALL
+                SELECT doc_id, $ProbeB AS b, CAST($ProbeFs AS BIGINT) AS x
+                FROM dl),
+          y AS (SELECT doc_id,
+                       CASE WHEN 16 * nstop <= dl THEN 1 ELSE 0 END AS y
+                FROM dl),
+          gram AS (SELECT a.b AS i, c.b AS j,
+                          CAST(SUM(a.x * c.x) AS BIGINT) AS v
+                   FROM x a JOIN x c USING (doc_id) WHERE a.b <= c.b
+                   GROUP BY 1, 2),
+          xty AS (SELECT a.b AS i, CAST(SUM(a.x * y.y) AS BIGINT) AS v
+                  FROM x a JOIN y USING (doc_id) GROUP BY 1),
+          cells AS (SELECT i.range AS i, j.range AS j
+                    FROM range(0, ${ProbeB + 1}) i, range(0, ${ProbeB + 1}) j
+                    WHERE i.range <= j.range)
+          SELECT CAST(cells.i AS INT) AS i, CAST(cells.j AS INT) AS j,
+                 COALESCE(gram.v, 0) AS v
+          FROM cells LEFT JOIN gram ON cells.i = gram.i AND cells.j = gram.j
+          UNION ALL
+          SELECT CAST(r.range AS INT) AS i, ${ProbeB + 1} AS j,
+                 COALESCE(xty.v, 0) AS v
+          FROM range(0, ${ProbeB + 1}) r LEFT JOIN xty ON r.range = xty.i
+          UNION ALL
+          SELECT ${ProbeB + 1} AS i, ${ProbeB + 1} AS j,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM y""",
     "q_doc_tfidf" ->
       """WITH ws AS (SELECT doc_id,
                             UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term

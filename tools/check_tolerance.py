@@ -93,9 +93,55 @@ def check_terciles(con, out_dir, sql):
     return None
 
 
+PROBE_B = 256
+PROBE_LAMBDA = 655.0
+SCORE_ABS_TOL = 1e-6
+
+
+def check_probe_score(con, out_dir, sql):
+    import numpy as np
+    ocols, orows = fetch(con, sql)
+    scols, srows = fetch(
+        con, f"SELECT * FROM '{out_dir}/q_probe_score/*.parquet'")
+    if len(orows) != len(srows):
+        return f"row counts differ: spark={len(srows)} oracle={len(orows)}"
+    oi = {c: ocols.index(c) for c in ocols}
+    si = {c: scols.index(c) for c in scols}
+    # rebuild the exact integer design matrix, re-solve the same ridge
+    nf = PROBE_B + 1
+    ids = [r[oi["doc_id"]] for r in orows]
+    X = np.zeros((len(orows), nf), dtype=np.int64)
+    Y = np.zeros(len(orows), dtype=np.int64)
+    for k, r in enumerate(orows):
+        Y[k] = r[oi["y"]]
+        for e in r[oi["feats"]]:
+            X[k][e["b"]] = e["x"]
+    G = X.T @ X
+    b = X.T @ Y
+    w = np.linalg.solve(G.astype(float) + PROBE_LAMBDA * np.eye(nf),
+                        b.astype(float))
+    scores = dict(zip(ids, X.astype(float) @ w))
+    ys = dict(zip(ids, Y))
+    sm = rows_by_key(scols, srows, ["doc_id"])
+    if {k[0] for k in sm} != set(ids):
+        return "doc_id sets differ"
+    for k, row in sm.items():
+        kk = k[0]
+        if row[si["y"]] != ys[kk]:
+            return f"doc {kk}: label differs spark={row[si['y']]} oracle={ys[kk]}"
+        a = row[si["score"]]
+        if abs(a - scores[kk]) > SCORE_ABS_TOL:
+            return f"doc {kk}: score out of tol: spark={a!r} oracle={scores[kk]!r}"
+        if abs(scores[kk] - 0.5) > SCORE_ABS_TOL and \
+                row[si["keep"]] != (scores[kk] >= 0.5):
+            return f"doc {kk}: keep inconsistent with score {scores[kk]}"
+    return None
+
+
 CHECKS = {
     "q_bm25_logidf": check_bm25_logidf,
     "q_lm_fluency_terciles": check_terciles,
+    "q_probe_score": check_probe_score,
 }
 
 
