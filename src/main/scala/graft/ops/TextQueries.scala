@@ -593,9 +593,10 @@ object TextQueries {
     * q_text_quality, thresholded at the fixture's median so the classes
     * balance). Every comparison is integer, so the label cannot drift
     * cross-engine. */
-  private def probeYSql: String =
-    s"IF(16 * aggregate(filter(tc, e -> e.term IN ($stopList)), 0L," +
-      " (a, e) -> a + e.tf) <= aggregate(tc, 0L, (a, e) -> a + e.tf), 1L, 0L)"
+  private[graft] def probeYSql(tcCol: String = "tc"): String =
+    s"IF(16 * aggregate(filter($tcCol, e -> e.term IN ($stopList)), 0L," +
+      s" (a, e) -> a + e.tf) <= aggregate($tcCol, 0L, (a, e) -> a + e.tf)," +
+      " 1L, 0L)"
 
   /** q_probe_fit — ONE corpus pass producing the probe's exact-integer
     * sufficient statistics as (i, j, v) rows (dense Gram upper triangle,
@@ -608,7 +609,7 @@ object TextQueries {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.filter(col("text").isNotNull)
       .select(expr("term_counts(text)").as("tc"))
-      .select(col("tc"), expr(probeYSql).as("y"))
+      .select(col("tc"), expr(probeYSql()).as("y"))
       .agg(expr(s"probe_gram(tc, y, $ProbeB, $ProbeFs)").as("g"))
       .select(explode(col("g")).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.v").as("v"))
@@ -683,7 +684,7 @@ object TextQueries {
     val w = probeWeights(docs)
     docs
       .select(col("doc_id"), expr("term_counts(text)").as("tc"))
-      .select(col("doc_id"), col("tc"), expr(probeYSql).as("y"))
+      .select(col("doc_id"), col("tc"), expr(probeYSql()).as("y"))
       .select(col("doc_id"), col("y"),
         call_function("probe_score", col("tc"), typedLit(w.toSeq),
           lit(ProbeFs)).as("score"))

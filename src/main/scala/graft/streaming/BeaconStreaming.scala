@@ -520,6 +520,37 @@ object BeaconStreaming {
       .drop("__h", "__c1", "__c2", "__z")
   }
 
+  /** Streaming quality-probe scoring (r10): FIT the ridge probe once on a
+    * STATIC corpus — the same [[graft.ops.TextQueries.probeWeights]]
+    * fit-collect-solve the batch q_probe_score runs ((B+1)² driver
+    * doubles, the frozen-model shape of every scorer here) — then score
+    * every streamed document STATELESSLY with the weights as one literal
+    * array through the identical [[graft.functions.ProbeScore]] feature
+    * construction and ascending-bucket summation. Same weights + same
+    * IEEE op sequence ⇒ stream and batch scores are identical for the
+    * same text, spec-pinned. Null text keeps null score/keep (a stream
+    * must not silently swallow rows); the heuristic label `y` rides
+    * along so the disagreement rate is observable per micro-batch. */
+  def probeScoreStream(stream: DataFrame, fitCorpus: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val internal = Set("__tc", "y", "score", "keep")
+    val clash = stream.columns.filter(internal)
+    require(clash.isEmpty,
+      s"probeScoreStream: stream columns ${clash.mkString(", ")} collide " +
+        "with the scorer's internal/output names — rename them upstream")
+    val w = graft.ops.TextQueries.probeWeights(
+      fitCorpus.filter(col(textCol).isNotNull))
+    stream
+      .withColumn("__tc", expr(s"term_counts($textCol)"))
+      .withColumn("y", expr(graft.ops.TextQueries.probeYSql("__tc")))
+      .withColumn("score",
+        call_function("probe_score", col("__tc"), typedLit(w.toSeq),
+          lit(graft.ops.TextQueries.ProbeFs)))
+      .withColumn("keep", col("score") >= 0.5)
+      .drop("__tc")
+  }
+
   /** D6 — dual sink: every micro-batch appends the hourly history layout and
     * overwrites the `latest` snapshot — `foreachBatch` is the streaming
     * form of the reference's validators dual write

@@ -700,4 +700,51 @@ class BeaconStreamingSpec extends SparkTestBase {
     val s103 = streamed.filter(col("doc_id") === 103)
     assert(s103.head.getAs[Long]("score") > 0)
   }
+
+  test("streaming probe scoring is bit-identical to batch on fit-corpus rows") {
+    import spark.implicits._
+    // fit corpus from the real fixture so the probe has signal to learn
+    val fit = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fitRows = fit.filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = tmpDir("stream-probe")
+    def json(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "${text.replace("\"", "")}"}"""
+    BeaconFixtures.write(s"$dir/in/b1.json",
+      fitRows.take(3).map { case (id, t) => json(id, t) })
+    BeaconFixtures.write(s"$dir/in/b2.json",
+      Seq(json(9001L, fitRows(3)._2), """{"doc_id": 9002, "text": null}"""))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = BeaconStreaming.probeScoreStream(src, fit)
+      .writeStream
+      .format("memory").queryName("probe_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("probe_out")
+      .select("doc_id", "y", "score", "keep").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(streamed.size === 5)
+    // same text + same frozen weights ⇒ bit-identical to the batch scorer
+    val batch = graft.ops.TextQueries.probeScore(fit)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    fitRows.take(3).foreach { case (id, _) =>
+      assert(streamed(id).getLong(1) === batch(id).getLong(1), s"y for $id")
+      assert(streamed(id).getDouble(2) === batch(id).getDouble(2),
+        s"score for $id")
+      assert(streamed(id).getBoolean(3) === batch(id).getBoolean(3))
+    }
+    // re-keyed doc with a fit-corpus text scores identically too
+    assert(streamed(9001L).getDouble(2) ===
+      batch(fitRows(3)._1).getDouble(2))
+    // null text flows through with null score/keep, never dropped
+    assert(streamed(9002L).isNullAt(2) && streamed(9002L).isNullAt(3))
+  }
 }
