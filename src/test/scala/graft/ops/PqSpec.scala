@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Contracts of the product-quantization pair (q_pq_codes / q_ann_pq)
+  * beyond the hash-green DuckDB twins: assignment optimality against an
+  * independent driver-side recompute, ADC linearity, determinism, and
+  * that the learned codebooks beat a degenerate quantizer. */
+class PqSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("codes are in range, complete, and deterministic across runs") {
+    def run() = SimilarityQueries.queries("q_pq_codes")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))))
+      .sortBy(_._1).toSeq
+    val a = run()
+    assert(a.nonEmpty)
+    a.foreach { case (id, codes) =>
+      codes.foreach(c => assert(c >= 0L && c < 8L, s"vec $id code $c"))
+    }
+    assert(run() === a, "PQ training must be deterministic")
+    // the codebooks are actually used: more than one centroid wins somewhere
+    assert(a.flatMap(_._2).distinct.size > 1)
+  }
+
+  test("assignment picks the true per-subspace argmin (differential)") {
+    val books = SimilarityQueries.pqCodebooks(spark, dir)
+    val sub = 16
+    val vecs = graft.tables.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray)).toMap
+    val codes = SimilarityQueries.queries("q_pq_codes")(spark, dir)
+      .filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    for ((id, v) <- vecs; m <- 0 until 4) {
+      val slice = v.slice(m * sub, (m + 1) * sub)
+      // squared-distance argmin == argmax of dot − |c|²/2, ties to low id
+      val best = books(m).map { case (cid, ce) =>
+        (SimilarityQueries.dotD(slice, ce) -
+          SimilarityQueries.dotD(ce, ce) / 2, -cid)
+      }.max
+      assert(codes(id)(m) === -best._2, s"vec $id subspace $m")
+    }
+  }
+
+  test("ADC scores are exactly the dot with the reconstructed vector") {
+    val books = SimilarityQueries.pqCodebooks(spark, dir)
+    val sub = 16
+    val vecs = graft.tables.Tables.embeddings(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val codes = SimilarityQueries.queries("q_pq_codes")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Array(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val out = SimilarityQueries.queries("q_ann_pq")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n, score) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(q != n, "self-match must be excluded")
+      val expected = (0 until 4).map { m =>
+        val cent = books(m).find(_._1 == codes(n)(m)).get._2
+        SimilarityQueries.dotD(
+          vecs(q).slice(m * sub, (m + 1) * sub), cent)
+      }.reduce(_ + _)
+      assert(score === expected, s"q=$q n=$n")
+    }
+    // shape: exactly 3 neighbors per query, ranks 1..3
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3))
+    }
+  }
+
+  test("trained codebooks reconstruct better than a single-centroid quantizer") {
+    val books = SimilarityQueries.pqCodebooks(spark, dir)
+    val sub = 16
+    val vecs = graft.tables.Tables.embeddings(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val codes = SimilarityQueries.queries("q_pq_codes")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Array(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    def err(recon: (Long, Int) => Array[Float]): Double =
+      vecs.map { case (id, v) =>
+        (0 until 4).map { m =>
+          val c = recon(id, m)
+          val s = v.slice(m * sub, (m + 1) * sub)
+          s.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble
+        }.sum
+      }.sum / vecs.length
+    val pqErr = err((id, m) => books(m).find(_._1 == codes(id)(m)).get._2)
+    val oneErr = err((_, m) => books(m).head._2)
+    assert(pqErr < oneErr,
+      f"PQ should beat the degenerate quantizer: $pqErr%.4f vs $oneErr%.4f")
+  }
+}
