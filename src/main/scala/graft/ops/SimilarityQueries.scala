@@ -257,10 +257,12 @@ object SimilarityQueries {
     * to the smaller cent_id) for that subspace slice — as pure expression
     * work over codebook literals. Zero shuffle; the scan's cost is M·K
     * codegen'd sub-vector dots per row. */
-  private[ops] def pqAssign(e: DataFrame,
+  private[graft] def pqAssign(e: DataFrame,
                        books: Array[Array[(Long, Array[Float])]]): DataFrame = {
     val sub = OracleDim / PqM
-    (0 until PqM).foldLeft(e.select(col("vec_id"), col("embedding"))) {
+    // pass-through: non-embedding columns ride along (the streaming form
+    // keys on whatever id the stream carries)
+    (0 until PqM).foldLeft(e) {
       case (df, m) =>
         val cand = books(m).map { case (cid, ce) =>
           struct(
@@ -284,7 +286,7 @@ object SimilarityQueries {
     val seeds = headVecs(s, d, PqK)
     val c0: Array[Array[(Long, Array[Float])]] = Array.tabulate(PqM)(m =>
       seeds.map { case (id, v) => (id, v.slice(m * sub, (m + 1) * sub)) })
-    val rows = pqAssign(Tables.embeddings(s, d), c0)
+    val rows = pqAssign(Tables.embeddings(s, d).select("vec_id", "embedding"), c0)
       .select(Seq(col("code0"), col("code1"), col("code2"), col("code3"),
         posexplode(col("embedding")).as(Seq("pos", "x"))): _*)
       .select(
@@ -317,7 +319,7 @@ object SimilarityQueries {
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[
           String, Array[Array[(Long, Array[Float])]]]]())
-  private def pqCodebooksCached(s: SparkSession, d: String): Array[Array[(Long, Array[Float])]] =
+  private[graft] def pqCodebooksCached(s: SparkSession, d: String): Array[Array[(Long, Array[Float])]] =
     pqBooksCache
       .computeIfAbsent(s, { _ =>
         new java.util.concurrent.ConcurrentHashMap[
@@ -689,7 +691,8 @@ object SimilarityQueries {
     "q_pq_codes" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       assertOracleDim(s, d)
-      pqAssign(Tables.embeddings(s, d), pqCodebooks(s, d))
+      pqAssign(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        pqCodebooks(s, d))
         .drop("embedding")
     }),
 
@@ -710,7 +713,7 @@ object SimilarityQueries {
       assertOracleDim(s, d)
       val books = pqCodebooksCached(s, d)
       val queries = headVecs(s, d, 5)
-      val codes = pqAssign(Tables.embeddings(s, d), books).drop("embedding")
+      val codes = pqAssign(Tables.embeddings(s, d).select("vec_id", "embedding"), books).drop("embedding")
       val sub = OracleDim / PqM
       // per query: ADC table[m][k] = dot(query sub m, codebook[m][k])
       def scoreExpr(q: Array[Float]): Column =

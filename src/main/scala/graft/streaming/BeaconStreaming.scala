@@ -551,6 +551,25 @@ object BeaconStreaming {
       .drop("__tc")
   }
 
+  /** Streaming PQ code assignment (r10): load the trained codebooks once
+    * for `fitDir` — the cached search-index contract q_ann_pq serves from
+    * (a production PQ index trains once; the stream is the ingest path
+    * that encodes NEW vectors into the standing index) — and assign every
+    * streamed vector its M codes statelessly: per-row argmin expressions
+    * over codebook literals, no state store, no shuffle, composes with
+    * any downstream watermark/sink. Non-embedding columns pass through;
+    * codes are bit-identical to batch q_pq_codes for the same vector by
+    * construction (same literals, same expression), spec-pinned. */
+  def pqCodesStream(stream: DataFrame, fitDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val clash = stream.columns.filter(_.startsWith("code"))
+    require(clash.isEmpty,
+      s"pqCodesStream: stream columns ${clash.mkString(", ")} collide " +
+        "with the code0..3 outputs — rename them upstream")
+    graft.ops.SimilarityQueries.pqAssign(stream,
+      graft.ops.SimilarityQueries.pqCodebooksCached(stream.sparkSession, fitDir))
+  }
+
   /** D6 — dual sink: every micro-batch appends the hourly history layout and
     * overwrites the `latest` snapshot — `foreachBatch` is the streaming
     * form of the reference's validators dual write

@@ -747,4 +747,42 @@ class BeaconStreamingSpec extends SparkTestBase {
     // null text flows through with null score/keep, never dropped
     assert(streamed(9002L).isNullAt(2) && streamed(9002L).isNullAt(3))
   }
+
+  test("streaming PQ codes are bit-identical to batch assignment") {
+    val fitDir = "/root/testdata/sf0.001"
+    val vecs = graft.tables.Tables.embeddings(spark, fitDir)
+      .filter(col("vec_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dir = tmpDir("stream-pq")
+    def json(id: Long, v: Seq[Float]) =
+      s"""{"vec_id": $id, "embedding": [${v.mkString(", ")}]}"""
+    BeaconFixtures.write(s"$dir/in/b1.json",
+      vecs.take(2).map { case (id, v) => json(id, v) })
+    BeaconFixtures.write(s"$dir/in/b2.json",
+      vecs.drop(2).map { case (id, v) => json(id, v) })
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+      maxFilesPerTrigger = 1)
+    val q = BeaconStreaming.pqCodesStream(src, fitDir)
+      .drop("embedding")
+      .writeStream
+      .format("memory").queryName("pq_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("pq_out").collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.size === 4)
+    val batch = graft.ops.SimilarityQueries.queries("q_pq_codes")(spark, fitDir)
+      .filter(col("vec_id") < 4).collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(streamed === batch)
+  }
 }
