@@ -307,6 +307,62 @@ object SimilarityQueries {
     }
   }
 
+  /** Full-vector squared-distance argmin assignment over centroid
+    * literals (r10: factored out of the q_ivf_kmeans lambda so the IVF-PQ
+    * composition reuses ONE definition): greatest(struct(dot − |c|²/2,
+    * −cent_id)) = squared-distance argmin with ties to the smaller id;
+    * the embedding rides along so the mean update needs no join. */
+  private[graft] def kmeansAssign(e: DataFrame,
+                                  cents: Array[(Long, Array[Float])]): DataFrame = {
+    val cand = cents.map { case (id, ce) =>
+      struct(
+        (call_function("vector_dot", col("embedding"), typedLit(ce)) -
+          lit(dotLocal(ce, ce)) / 2).as("s"),
+        lit(-id).as("n"))
+    }
+    e.select(col("vec_id"), col("embedding"),
+      negate(greatest(cand: _*).getField("n")).as("cent_id"))
+  }
+
+  /** One trained Lloyd round's centroids: seed from [[headVecs]] (the
+    * cached per-(session, dir) head read — filter pushed to the parquet
+    * scan on the one cold load), assign, then the k·dim scaled-integer
+    * mean aggregate collected as driver state (CAST(c AS FLOAT) ≡
+    * Double.toFloat, IEEE round-to-nearest on both engines). */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String,
+                                     k: Int = 16): Array[(Long, Array[Float])] = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    kmeansAssign(e, headVecs(s, d, k))
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos")
+      .agg((sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .cast("double") / (count(lit(1)) * 1000000.0)).as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("cent_id"), r.getAs[Int]("pos"),
+        r.getAs[Double]("c")))
+      .groupBy(_._1).toArray
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3.toFloat)) }
+      .sortBy(_._1)
+  }
+
+  /** Trained coarse centroids cached per (session, dir) for SEARCH
+    * consumers (q_ann_ivfpq) — the same standing-index contract as
+    * [[pqCodebooksCached]]; q_ivf_kmeans, the training operator, does
+    * not read this cache. */
+  private val kmeansCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[
+          String, Array[(Long, Array[Float])]]]())
+  private[graft] def kmeansCentroidsCached(s: SparkSession, d: String): Array[(Long, Array[Float])] =
+    kmeansCache
+      .computeIfAbsent(s, { _ =>
+        new java.util.concurrent.ConcurrentHashMap[
+          String, Array[(Long, Array[Float])]]
+      })
+      .computeIfAbsent(d, { _ => kmeansCentroids(s, d) })
+
   /** Trained codebooks cached per (session, sf dir) for the SEARCH query
     * only — a production PQ index trains its codebooks once and serves
     * every query from them (the exact argument that caches [[headVecs]];
@@ -599,43 +655,8 @@ object SimilarityQueries {
     // scalable Lloyd shape; more rounds = a loop over the same two steps.
     "q_ivf_kmeans" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val k = 16
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // seed centroids: the cached per-(JVM, dir) head read — filter pushed
-      // to the parquet scan on the one cold load (earlier rounds filtered
-      // BEHIND a corpus repartition, paying a full-corpus shuffle for 16
-      // rows; r6 also stopped re-collecting the immutable seed per run)
-      val c0: Array[(Long, Array[Float])] = headVecs(s, d, k)
-      def assign(cents: Array[(Long, Array[Float])]): DataFrame = {
-        val cand = cents.map { case (id, ce) =>
-          struct(
-            (call_function("vector_dot", col("embedding"), typedLit(ce)) -
-              lit(dotLocal(ce, ce)) / 2).as("s"),
-            lit(-id).as("n"))
-        }
-        // greatest(struct(score, -cent_id)) = ORDER BY score DESC, cent_id
-        // ASC rank 1; the embedding rides along so update() needs no join
-        e.select(col("vec_id"), col("embedding"),
-          negate(greatest(cand: _*).getField("n")).as("cent_id"))
-      }
-      // new means come back as k·dim (cell, pos, mean) rows — a narrow
-      // partial-agg shuffle of 16·64 longs, assembled into the next round's
-      // driver-state centroids here (CAST(c AS FLOAT) ≡ Double.toFloat,
-      // IEEE round-to-nearest on both engines)
-      def update(asg: DataFrame): Array[(Long, Array[Float])] =
-        asg
-          .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("cent_id", "pos")
-          .agg((sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
-            .cast("double") / (count(lit(1)) * 1000000.0)).as("c"))
-          .collect()
-          .map(r => (r.getAs[Long]("cent_id"), r.getAs[Int]("pos"),
-            r.getAs[Double]("c")))
-          .groupBy(_._1).toArray
-          .map { case (cid, rows) =>
-            (cid, rows.sortBy(_._2).map(_._3.toFloat)) }
-          .sortBy(_._1)
-      assign(update(assign(c0)))
+      kmeansAssign(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        kmeansCentroids(s, d))
         .select(col("vec_id"), col("cent_id").as("cell"))
     }),
 
@@ -722,14 +743,81 @@ object SimilarityQueries {
           val table = books(m).map { case (_, ce) => dotD(slice, ce) }
           element_at(typedLit(table.toSeq), (col(s"code$m") + 1).cast("int"))
         }.reduce(_ + _)
+      // self-match nulls out INSIDE the array and dies in the same
+      // projection's HOF filter — a post-explode row filter would be
+      // alias-substituted below the Generate (same fix as q_ann_ivfpq's
+      // fan-out, measured there at ~3× on the stage)
       codes
-        .select(col("vec_id"), array(queries.map { case (qid, qv) =>
-          struct(lit(qid).as("q_id"), scoreExpr(qv).as("score"))
-        }: _*).as("qs"))
+        .select(col("vec_id"), filter(array(queries.map { case (qid, qv) =>
+          when(col("vec_id") =!= lit(qid),
+            struct(lit(qid).as("q_id"), scoreExpr(qv).as("score")))
+        }: _*), x => x.isNotNull).as("qs"))
         .select(col("vec_id").as("neighbor_id"), explode(col("qs")).as("q"))
         .select(col("q.q_id").as("q_id"), col("neighbor_id"),
           col("q.score").as("score"))
-        .filter(col("neighbor_id") =!= col("q_id"))
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"), col("t.score").as("score"))
+    }),
+
+    // IVF-PQ composed search — the production billion-scale ANN
+    // architecture (Jégou et al. 2011 §IV): the trained coarse quantizer
+    // prunes the corpus to each query's nprobe=2 nearest cells, and ONLY
+    // those candidates score via PQ ADC lookups. Both standing-index
+    // pieces load from their caches (coarse centroids + codebooks — a
+    // search never retrains); probe lists are driver-computed (k cells ×
+    // 5 queries of double math, matching the twin's arithmetic exactly).
+    // The corpus side is ONE scan emitting (cell, codes) per row, a
+    // pre-filter on the probed-cell union, then the per-query fan-out and
+    // bounded top-3 heaps — at 100 TB the scan reads M-byte codes + one
+    // small cell id per vector and the cell filter prunes (k−nprobe)/k of
+    // the corpus before any per-query work, which is the entire point of
+    // the composition. PQ is on RAW vectors, not residuals — stated
+    // delta from the paper's §IV-A; residual PQ is a literal change to
+    // the training input. Delta vs q_ann_ivf, stated: cells come from the
+    // TRAINED quantizer (one Lloyd round) under the squared-distance
+    // reduction, not cosine over raw seeds.
+    "q_ann_ivfpq" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      assertOracleDim(s, d)
+      val cents = kmeansCentroidsCached(s, d)
+      val books = pqCodebooksCached(s, d)
+      val queries = headVecs(s, d, 5)
+      val sub = OracleDim / PqM
+      val probes: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+        qid -> cents.map { case (cid, ce) =>
+          (dotD(qv, ce) - dotD(ce, ce) / 2, cid)
+        }.sortBy { case (score, cid) => (-score, cid) }.take(2).map(_._2).toSeq
+      }.toMap
+      def scoreExpr(q: Array[Float]): Column =
+        (0 until PqM).map { m =>
+          val slice = q.slice(m * sub, (m + 1) * sub)
+          val table = books(m).map { case (_, ce) => dotD(slice, ce) }
+          element_at(typedLit(table.toSeq), (col(s"code$m") + 1).cast("int"))
+        }.reduce(_ + _)
+      val allProbed = probes.values.flatten.toSeq.distinct
+      // cell-prune BEFORE code computation: rows outside every probe list
+      // never pay the M·K sub-dot assignment (the order a real index
+      // enforces physically by storing codes per inverted list)
+      // non-hit queries null out INSIDE the array and die in the same
+      // projection's HOF filter — a post-explode row filter would be
+      // alias-substituted below the Generate and re-evaluate the whole
+      // candidate array per predicate reference (the measured
+      // filter-on-alias trap; this shape cut the fan-out stage ~3×)
+      pqAssign(kmeansAssign(
+          Tables.embeddings(s, d).select("vec_id", "embedding"), cents)
+        .filter(col("cent_id").isin(allProbed: _*)), books)
+        .select(col("vec_id").as("neighbor_id"),
+          filter(array(queries.map { case (qid, qv) =>
+            when(col("cent_id").isin(probes(qid): _*) &&
+                col("vec_id") =!= lit(qid),
+              struct(lit(qid).as("q_id"), scoreExpr(qv).as("score")))
+          }: _*), x => x.isNotNull).as("qs"))
+        .select(col("neighbor_id"), explode(col("qs")).as("q"))
+        .select(col("q.q_id").as("q_id"), col("neighbor_id"),
+          col("q.score").as("score"))
         .groupBy("q_id")
         .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
         .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -797,6 +885,82 @@ object SimilarityQueries {
                  MAX(CASE WHEN m = 2 THEN cent_id END) AS code2,
                  MAX(CASE WHEN m = 3 THEN cent_id END) AS code3
           FROM a1 GROUP BY vec_id""",
+    // the coarse chain (k-prefixed to coexist with the PQ chain) + probe
+    // pruning + the SAME ADC scoring as q_ann_pq, restricted to probed
+    // candidates — hash-exact end to end
+    "q_ann_ivfpq" ->
+      s"""WITH $pqCtes,
+          kc0 AS (SELECT vec_id AS cent_id,
+                         list_transform(embedding, x -> CAST(x AS REAL)) AS ce
+                  FROM e WHERE vec_id < 16),
+          kp0 AS (SELECT e.vec_id, c.cent_id,
+                         UNNEST(e.embedding) AS x, UNNEST(c.ce) AS y
+                  FROM e CROSS JOIN kc0 c),
+          ks0 AS (SELECT vec_id, cent_id,
+                         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nc2
+                  FROM kp0 GROUP BY 1, 2),
+          ka0 AS (SELECT vec_id, cent_id FROM (
+                    SELECT vec_id, cent_id,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY dot - nc2 / 2 DESC, cent_id) AS rnk
+                    FROM ks0) t WHERE rnk = 1),
+          kpx AS (SELECT a.cent_id, CAST(t.i AS INT) AS pos,
+                         e.embedding[CAST(t.i + 1 AS INT)] AS x
+                  FROM ka0 a JOIN e USING (vec_id),
+                       UNNEST(range(len(e.embedding))) t(i)),
+          kmn AS (SELECT cent_id, pos,
+                         CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                       AS BIGINT)) AS DOUBLE)
+                           / (COUNT(*) * 1000000.0) AS c
+                  FROM kpx GROUP BY 1, 2),
+          kc1 AS (SELECT cent_id, list(CAST(c AS REAL) ORDER BY pos) AS ce
+                  FROM kmn GROUP BY cent_id),
+          kp1 AS (SELECT e.vec_id, c.cent_id,
+                         UNNEST(e.embedding) AS x, UNNEST(c.ce) AS y
+                  FROM e CROSS JOIN kc1 c),
+          ks1 AS (SELECT vec_id, cent_id,
+                         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nc2
+                  FROM kp1 GROUP BY 1, 2),
+          ka1 AS (SELECT vec_id, cent_id AS cell FROM (
+                    SELECT vec_id, cent_id,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY dot - nc2 / 2 DESC, cent_id) AS rnk
+                    FROM ks1) t WHERE rnk = 1),
+          kprobe AS (SELECT q_id, cell FROM (
+                       SELECT vec_id AS q_id, cent_id AS cell,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot - nc2 / 2 DESC, cent_id) AS prnk
+                       FROM ks1 WHERE vec_id < 5) p WHERE prnk <= 2),
+          kcand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+                    FROM kprobe p JOIN ka1 a ON a.cell = p.cell
+                    WHERE a.vec_id <> p.q_id),
+          qs AS (SELECT vec_id AS q_id, m, v AS qv FROM subv WHERE vec_id < 5),
+          qp AS (SELECT q.q_id, c.m, c.cent_id,
+                        UNNEST(q.qv) AS x, UNNEST(c.ce) AS y
+                 FROM qs q JOIN c1 c USING (m)),
+          qd AS (SELECT q_id, m, cent_id,
+                        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS s
+                 FROM qp GROUP BY 1, 2, 3),
+          sc0 AS (SELECT qd.q_id, a.vec_id AS neighbor_id, a.m, qd.s
+                  FROM a1 a
+                  JOIN qd ON qd.m = a.m AND qd.cent_id = a.cent_id
+                  JOIN kcand k ON k.q_id = qd.q_id AND k.neighbor_id = a.vec_id),
+          sp AS (SELECT q_id, neighbor_id,
+                        MAX(CASE WHEN m = 0 THEN s END) AS s0,
+                        MAX(CASE WHEN m = 1 THEN s END) AS s1,
+                        MAX(CASE WHEN m = 2 THEN s END) AS s2,
+                        MAX(CASE WHEN m = 3 THEN s END) AS s3
+                 FROM sc0 GROUP BY 1, 2),
+          sc AS (SELECT q_id, neighbor_id,
+                        ((s0 + s1) + s2) + s3 AS score
+                 FROM sp),
+          r AS (SELECT q_id, neighbor_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, neighbor_id) AS rnk
+                FROM sc)
+          SELECT q_id, neighbor_id, rnk, score FROM r WHERE rnk <= 3""",
     "q_ann_pq" ->
       s"""WITH $pqCtes,
           qs AS (SELECT vec_id AS q_id, m, v AS qv FROM subv WHERE vec_id < 5),

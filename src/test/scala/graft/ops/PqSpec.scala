@@ -76,6 +76,44 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ: results come only from probed cells and re-rank q_ann_pq's scores") {
+    val out = SimilarityQueries.queries("q_ann_ivfpq")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // cells from the same cached standing index the query served from
+    val cents = SimilarityQueries.kmeansCentroidsCached(spark, dir)
+    val cells = SimilarityQueries.kmeansAssign(
+      graft.tables.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding"), cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val queries = graft.tables.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = queries.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, ce) =>
+        (SimilarityQueries.dotD(qv, ce) -
+          SimilarityQueries.dotD(ce, ce) / 2, cid)
+      }.sortBy { case (s, c) => (-s, c) }.take(2).map(_._2).toSet
+    }.toMap
+    out.foreach { case (q, n, _, _) =>
+      assert(q != n)
+      assert(probes(q).contains(cells(n)),
+        s"neighbor $n of query $q sits in unprobed cell ${cells(n)}")
+    }
+    // the scores agree with the unrestricted ADC search where both rank
+    // the same neighbor (the composition changes the CANDIDATE SET, not
+    // the metric)
+    val full = SimilarityQueries.queries("q_ann_pq")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    out.foreach { case (q, n, _, score) =>
+      full.get((q, n)).foreach(s => assert(s === score))
+    }
+    // shape: per query, ranks are contiguous from 1
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
   test("trained codebooks reconstruct better than a single-centroid quantizer") {
     val books = SimilarityQueries.pqCodebooks(spark, dir)
     val sub = 16
