@@ -227,6 +227,16 @@ object RetrievalQueries {
     // replication before scoring, no window, no join.
     "q_bm25_multi" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // NOTE r10 measured negative: rewriting this as the q_ann_ivfpq
+      // fan-out shape (array of named_structs + HOF filter + explode,
+      // instead of stack + row filter) ran 6× SLOWER (0.43 → 2.65 s min
+      // at sf0.1) — the giant generated score expressions fall out of
+      // whole-stage codegen inside the array/HOF projection, while
+      // stack's columnar fan-out keeps them codegen'd and the post-stack
+      // `score > 0` filter is cheap to re-derive. The substitution trap
+      // is real only when the REFILTERED expression is expensive per
+      // reference AND the Generate input is a literal-array build (the
+      // ANN case); here stack wins.
       val stackArgs = MultiQueries.indices
         .map(q => s"${q}L, (${multiScoreSql(q)})").mkString(", ")
       bm25Prep(Tables.documents(s, d), MultiTerms)
