@@ -384,6 +384,58 @@ class BeaconStreamingSpec extends SparkTestBase {
     // unknown source has zero allocation
   }
 
+  test("budget take state survives a query RESTART from the checkpoint") {
+    import spark.implicits._
+    // same corpus as the cross-batch test above, but the two batches run
+    // in two SEPARATE query incarnations sharing one checkpoint: doc 12
+    // must be dropped by the SECOND query purely from the RECOVERED
+    // per-source state (big already took 120 ≥ 112 in the first run) —
+    // the property a nightly-restarted production pipeline leans on,
+    // which the single-query test cannot distinguish from in-memory state
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val fit = Seq(
+      (1L, "tiny", words(2)), (2L, "small", words(5)),
+      (3L, "big", words(200)), (4L, "huge", words(300))
+    ).toDF("doc_id", "source", "text")
+    val dir = tmpDir("stream-budget-restart")
+    def doc(id: Long, src: String, n: Int) =
+      s"""{"doc_id": $id, "source": "$src", "text": "${words(n)}"}"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+        maxFilesPerTrigger = 1)
+      val q = BeaconStreaming.budgetTakeStream(src, fit).writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      doc(10, "big", 60), doc(11, "big", 60)))
+    runOnce() // first incarnation: takes 10 and 11, state big -> 120
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(
+      doc(12, "big", 60), doc(13, "mystery", 3),
+      doc(14, "tiny", 5), doc(15, "tiny", 5)))
+    runOnce() // second incarnation: recovered state must reject doc 12
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set(10L, 11L, 14L, 15L))
+    assert(out(10L) === (("big", 60L, 0L)))
+    assert(out(11L) === (("big", 60L, 60L)))
+    assert(out(14L) === (("tiny", 5L, 0L)))
+    assert(out(15L) === (("tiny", 5L, 5L)))
+  }
+
   test("streaming BPE tokenization equals the batch tokenizer on fit-corpus rows") {
     import spark.implicits._
     // the OpPropertiesSpec BPE corpus shape: repeated words so merges are
