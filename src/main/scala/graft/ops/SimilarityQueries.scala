@@ -324,26 +324,40 @@ object SimilarityQueries {
       negate(greatest(cand: _*).getField("n")).as("cent_id"))
   }
 
-  /** One trained Lloyd round's centroids: seed from [[headVecs]] (the
-    * cached per-(session, dir) head read — filter pushed to the parquet
-    * scan on the one cold load), assign, then the k·dim scaled-integer
-    * mean aggregate collected as driver state (CAST(c AS FLOAT) ≡
-    * Double.toFloat, IEEE round-to-nearest on both engines). */
+  /** Trained Lloyd centroids: seed from [[headVecs]] (the cached
+    * per-(session, dir) head read — filter pushed to the parquet scan on
+    * the one cold load), then `rounds` iterations of assign → k·dim
+    * scaled-integer mean aggregate collected as driver state
+    * (CAST(c AS FLOAT) ≡ Double.toFloat, IEEE round-to-nearest on both
+    * engines — every round is bit-reproducible on any partitioning).
+    * `rounds` defaults to `spark.graft.kmeans.rounds` (default 1 — the
+    * unrolled twin's depth, bit-identical; r10 turned "more rounds = a
+    * loop over the same two steps" from a claim into code). Each round is
+    * one corpus pass + one ≤k·dim-row collect — the standard scalable
+    * Lloyd shape at any corpus size. An empty cell drops out of the
+    * aggregate and the codebook shrinks, same as the single-round
+    * behavior. */
   private[graft] def kmeansCentroids(s: SparkSession, d: String,
-                                     k: Int = 16): Array[(Long, Array[Float])] = {
+                                     k: Int = 16,
+                                     roundsOverride: Option[Int] = None): Array[(Long, Array[Float])] = {
+    val rounds = roundsOverride.getOrElse(
+      s.conf.get("spark.graft.kmeans.rounds", "1").toInt)
+    require(rounds >= 1, s"spark.graft.kmeans.rounds must be >= 1, got $rounds")
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    kmeansAssign(e, headVecs(s, d, k))
-      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cent_id", "pos")
-      .agg((sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
-        .cast("double") / (count(lit(1)) * 1000000.0)).as("c"))
-      .collect()
-      .map(r => (r.getAs[Long]("cent_id"), r.getAs[Int]("pos"),
-        r.getAs[Double]("c")))
-      .groupBy(_._1).toArray
-      .map { case (cid, rows) =>
-        (cid, rows.sortBy(_._2).map(_._3.toFloat)) }
-      .sortBy(_._1)
+    def update(cents: Array[(Long, Array[Float])]): Array[(Long, Array[Float])] =
+      kmeansAssign(e, cents)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+          .cast("double") / (count(lit(1)) * 1000000.0)).as("c"))
+        .collect()
+        .map(r => (r.getAs[Long]("cent_id"), r.getAs[Int]("pos"),
+          r.getAs[Double]("c")))
+        .groupBy(_._1).toArray
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_._2).map(_._3.toFloat)) }
+        .sortBy(_._1)
+    (1 to rounds).foldLeft(headVecs(s, d, k)) { (cents, _) => update(cents) }
   }
 
   /** Trained coarse centroids cached per (session, dir) for SEARCH

@@ -114,6 +114,34 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("kmeans rounds conf: deterministic, default-identical, inertia non-increasing") {
+    val r1 = SimilarityQueries.kmeansCentroids(spark, dir)
+    val r1b = SimilarityQueries.kmeansCentroids(spark, dir,
+      roundsOverride = Some(1))
+    assert(r1.map(_._1).toSeq === r1b.map(_._1).toSeq)
+    r1.zip(r1b).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+    val r2 = SimilarityQueries.kmeansCentroids(spark, dir,
+      roundsOverride = Some(2))
+    val r2b = SimilarityQueries.kmeansCentroids(spark, dir,
+      roundsOverride = Some(2))
+    r2.zip(r2b).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+    // a second round moves at least one centroid on the fixture
+    assert(r1.map(_._2.toSeq) !== r2.map(_._2.toSeq))
+    // Lloyd's guarantee: total within-cell squared distance does not
+    // increase round over round (up to the scaled-integer mean rounding)
+    val vecs = graft.tables.Tables.embeddings(spark, dir)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    def inertia(cents: Array[(Long, Array[Float])]): Double =
+      vecs.map { v =>
+        cents.map { case (_, c) =>
+          v.zip(c).map { case (a, b) =>
+            (a.toDouble - b) * (a.toDouble - b) }.sum
+        }.min
+      }.sum
+    val (i1, i2) = (inertia(r1), inertia(r2))
+    assert(i2 <= i1 + 1e-6, s"inertia rose: $i1 -> $i2")
+  }
+
   test("trained codebooks reconstruct better than a single-centroid quantizer") {
     val books = SimilarityQueries.pqCodebooks(spark, dir)
     val sub = 16
