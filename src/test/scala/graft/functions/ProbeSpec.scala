@@ -100,6 +100,32 @@ class ProbeSpec extends SparkTestBase {
       f"probe did not learn: agree=$agree%.3f majority=$majority%.3f")
   }
 
+  test("the probe TRANSFERS: trained on sf0.01, it beats majority on sf0.001") {
+    // generalization, not memorization: weights solved on one corpus score
+    // a corpus the fit never saw (the production arrangement — train on a
+    // sample, score the crawl). Both fixtures share the generator's token
+    // distribution, so the stopword-density signal must carry.
+    val w = TextQueries.probeWeights(
+      graft.tables.Tables.documents(spark, "/root/testdata/sf0.01"))
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("term_counts(text)").as("tc"))
+      .select(col("doc_id"), col("tc"),
+        expr(TextQueries.probeYSql()).as("y"))
+      .select(col("y"),
+        call_function("probe_score", col("tc"), typedLit(w.toSeq),
+          lit(TextQueries.ProbeFs)).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1) >= 0.5))
+    val n = out.length
+    val pos = out.count(_._1 == 1L)
+    val majority = math.max(pos, n - pos).toDouble / n
+    val agree = out.count { case (y, keep) => (y == 1L) == keep }.toDouble / n
+    assert(agree > majority + 0.05,
+      f"probe did not transfer: agree=$agree%.3f majority=$majority%.3f")
+  }
+
   test("probe_score: null text scores null; absent docs never surface") {
     import spark.implicits._
     GraftFunctions.register(spark)
