@@ -258,20 +258,79 @@ object SimilarityQueries {
     * work over codebook literals. Zero shuffle; the scan's cost is M·K
     * codegen'd sub-vector dots per row. */
   private[graft] def pqAssign(e: DataFrame,
-                       books: Array[Array[(Long, Array[Float])]]): DataFrame = {
+                       books: Array[Array[(Long, Array[Float])]],
+                       vecCol: String = "embedding"): DataFrame = {
     val sub = OracleDim / PqM
     // pass-through: non-embedding columns ride along (the streaming form
-    // keys on whatever id the stream carries)
+    // keys on whatever id the stream carries; the residual variant
+    // assigns over a derived residual column)
     (0 until PqM).foldLeft(e) {
       case (df, m) =>
         val cand = books(m).map { case (cid, ce) =>
           struct(
             (call_function("vector_dot",
-              slice(col("embedding"), m * sub + 1, sub), typedLit(ce)) -
+              slice(col(vecCol), m * sub + 1, sub), typedLit(ce)) -
               lit(dotLocal(ce, ce)) / 2).as("s"),
             lit(-cid).as("n"))
         }
         df.withColumn(s"code$m", negate(greatest(cand: _*).getField("n")))
+    }
+  }
+
+  /** Residual-PQ pieces (r10 — the paper's §IV-A arrangement, available
+    * as a library option; the REGISTERED queries stay raw-vector PQ so
+    * their hash twins are untouched): quantize each vector's RESIDUAL
+    * against its coarse cell centroid, which captures the within-cell
+    * structure raw PQ spends its bits re-describing cell means with.
+    * [[pqResiduals]] derives (cell, residual) per row — the coarse
+    * centroids ride as ONE 2-D literal and the residual is a row-local
+    * zip_with (interpreted lambda, trivially cheap inner — the measured
+    * HOF contract); [[pqCodebooksResidual]] trains the sub-codebooks on
+    * those residuals with the same deterministic Lloyd round. At search
+    * time score(q, n) = dot(q, coarse(cell_n)) + Σ_m adc_m(code_m) — one
+    * extra bounded lookup table per query. Spec-proven to reconstruct
+    * strictly better than raw PQ on the fixture. */
+  private[graft] def pqResiduals(e: DataFrame,
+                                 cents: Array[(Long, Array[Float])]): DataFrame = {
+    val centsLit = typedLit(cents.map(_._2.toSeq).toSeq)
+    kmeansAssign(e, cents)
+      .withColumn("residual",
+        zip_with(col("embedding"),
+          element_at(centsLit, (col("cent_id") + 1).cast("int")),
+          (a, b) => a - b))
+  }
+
+  private[graft] def pqCodebooksResidual(s: SparkSession, d: String): Array[Array[(Long, Array[Float])]] = {
+    val sub = OracleDim / PqM
+    val cents = kmeansCentroidsCached(s, d)
+    val res = pqResiduals(
+      Tables.embeddings(s, d).select("vec_id", "embedding"), cents)
+      .select(col("vec_id"), col("residual"))
+    // seed each subspace from the head vectors' RESIDUAL slices (the
+    // head-seed discipline over the space actually being quantized)
+    val seeds = res.filter(col("vec_id") < PqK)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val c0: Array[Array[(Long, Array[Float])]] = Array.tabulate(PqM)(m =>
+      seeds.map { case (id, v) => (id, v.slice(m * sub, (m + 1) * sub)) })
+    val rows = pqAssign(res, c0, vecCol = "residual")
+      .select(Seq(col("code0"), col("code1"), col("code2"), col("code3"),
+        posexplode(col("residual")).as(Seq("pos", "x"))): _*)
+      .select(
+        expr(s"CAST(pos DIV $sub AS INT)").as("m"),
+        expr(s"element_at(array(code0, code1, code2, code3)," +
+          s" CAST(pos DIV $sub AS INT) + 1)").as("cell"),
+        expr(s"pos % $sub").as("subpos"),
+        col("x"))
+      .groupBy("m", "cell", "subpos")
+      .agg((sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .cast("double") / (count(lit(1)) * 1000000.0)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    Array.tabulate(PqM) { m =>
+      rows.filter(_._1 == m).groupBy(_._2).toArray
+        .map { case (cid, rs) => (cid, rs.sortBy(_._3).map(_._4.toFloat)) }
+        .sortBy(_._1)
     }
   }
 

@@ -45,11 +45,29 @@ object PqRecall {
         books(m).find(_._1 == cs(m)).get._2).toArray
     }
 
+    // residual-PQ reconstruction per id: coarse(cell) + quantized residual
+    val resBooks = SimilarityQueries.pqCodebooksResidual(spark, sfDir)
+    val centMap = cents.toMap
+    val resCodes = SimilarityQueries.pqAssign(
+        SimilarityQueries.pqResiduals(
+          graft.tables.Tables.embeddings(spark, sfDir)
+            .select("vec_id", "embedding"), cents),
+        resBooks, vecCol = "residual")
+      .select("vec_id", "cent_id", "code0", "code1", "code2", "code3")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        Array(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val reconRes = resCodes.map { case (id, (cell, cs)) =>
+      val resR = (0 until 4).flatMap(m =>
+        resBooks(m).find(_._1 == cs(m)).get._2)
+      id -> centMap(cell).zip(resR).map { case (a, b) => a + b }
+    }
+
     val k = 3
     val rerankR = 100
     var adcHit = 0
     var ivfpqHit = 0
     var rerankHit = 0
+    var resHit = 0
     var total = 0
     for ((qid, qv) <- rows) {
       val exactAll = rows.filter(_._1 != qid)
@@ -71,15 +89,20 @@ object PqRecall {
         .filterKeys(id => id != qid && probed.contains(cells(id)))
         .map { case (id, rv) => (dotD(qv, rv), id) }.toSeq
         .sortBy { case (s, id) => (-s, id) }.take(k).map(_._2)
+      val res = reconRes.view.filterKeys(_ != qid)
+        .map { case (id, rv) => (dotD(qv, rv), id) }.toSeq
+        .sortBy { case (s, id) => (-s, id) }.take(k).map(_._2)
       adcHit += adc.count(exact)
       ivfpqHit += ivfpq.count(exact)
       rerankHit += rerank.count(exact)
+      resHit += res.count(exact)
       total += k
     }
     println(f"PQRECALL n=${rows.length} recall@$k " +
       f"adc=${adcHit.toDouble / total}%.3f " +
       f"ivfpq=${ivfpqHit.toDouble / total}%.3f " +
-      f"rerank@$rerankR=${rerankHit.toDouble / total}%.3f")
+      f"rerank@$rerankR=${rerankHit.toDouble / total}%.3f " +
+      f"residual=${resHit.toDouble / total}%.3f")
     spark.stop()
   }
 }

@@ -114,6 +114,47 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("residual PQ reconstructs strictly better than raw PQ") {
+    import org.apache.spark.sql.functions.{col => c}
+    val sub = 16
+    val vecs = graft.tables.Tables.embeddings(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    // raw PQ reconstruction error
+    val rawBooks = SimilarityQueries.pqCodebooks(spark, dir)
+    val rawCodes = SimilarityQueries.queries("q_pq_codes")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Array(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    def sqerr(v: Array[Float], r: Array[Float]): Double =
+      v.zip(r).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+    val rawErr = vecs.map { case (id, v) =>
+      val recon = (0 until 4).flatMap(m =>
+        rawBooks(m).find(_._1 == rawCodes(id)(m)).get._2)
+      sqerr(v, recon.toArray)
+    }.sum / vecs.size
+    // residual PQ: coarse centroid + quantized residual
+    val cents = SimilarityQueries.kmeansCentroidsCached(spark, dir)
+    val resBooks = SimilarityQueries.pqCodebooksResidual(spark, dir)
+    val resFrame = SimilarityQueries.pqResiduals(
+      graft.tables.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding"), cents)
+    val resCodes = SimilarityQueries.pqAssign(resFrame, resBooks,
+        vecCol = "residual")
+      .select("vec_id", "cent_id", "code0", "code1", "code2", "code3")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        Array(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val centMap = cents.toMap
+    val resErr = vecs.map { case (id, v) =>
+      val (cell, codes) = resCodes(id)
+      val coarse = centMap(cell)
+      val resRecon = (0 until 4).flatMap(m =>
+        resBooks(m).find(_._1 == codes(m)).get._2)
+      val recon = coarse.zip(resRecon).map { case (a, b) => a + b }
+      sqerr(v, recon)
+    }.sum / vecs.size
+    assert(resErr < rawErr,
+      f"residual PQ should reconstruct better: $resErr%.5f vs raw $rawErr%.5f")
+  }
+
   test("kmeans rounds conf: deterministic, default-identical, inertia non-increasing") {
     val r1 = SimilarityQueries.kmeansCentroids(spark, dir)
     val r1b = SimilarityQueries.kmeansCentroids(spark, dir,
