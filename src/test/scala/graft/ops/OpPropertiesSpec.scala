@@ -305,6 +305,34 @@ class OpPropertiesSpec extends SparkTestBase {
       "corpus-scale window must partition by (source, shard)")
   }
 
+  test("q_budget_sample: output is shard-count independent (N=1 vs 64 vs 256)") {
+    import spark.implicits._
+    // the two-level prefix sum must be an implementation detail: any
+    // power-of-two shard count yields byte-identical takes (N=1 IS the
+    // old single-window-per-source plan, so this also pins the r10
+    // rewrite against its r9 semantics on skewed data)
+    val df = ((1L to 300L).map(i => (i, "big",
+        Seq.fill((i % 6 + 1).toInt)("tok").mkString(" "))) ++
+      (301L to 380L).map(i => (i, s"s${i % 3}",
+        Seq.fill((i % 4 + 1).toInt)("tok").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    def run(shards: Int) = {
+      spark.conf.set("spark.graft.budget.shards", shards.toString)
+      try CorpusQueries.budgetSample(df)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      finally spark.conf.unset("spark.graft.budget.shards")
+    }
+    val n64 = run(64)
+    assert(n64.nonEmpty)
+    assert(run(1) === n64)
+    assert(run(256) === n64)
+    // junk conf fails loudly, not silently
+    spark.conf.set("spark.graft.budget.shards", "63")
+    try intercept[IllegalArgumentException] { CorpusQueries.budgetSample(df) }
+    finally spark.conf.unset("spark.graft.budget.shards")
+  }
+
   test("lineDedup: C4 line filters, corpus-wide first-wins, source-order reassembly") {
     import spark.implicits._
     val keepA = "alpha beta gamma delta epsilon."   // ≥5 words, terminal punct
