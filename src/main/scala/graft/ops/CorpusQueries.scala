@@ -562,7 +562,13 @@ object CorpusQueries {
     * two cannot drift). See the registration comment for the algorithm
     * and integer-exactness contract. */
   private[graft] def unimaxAlloc(documents: DataFrame): DataFrame = {
-    val E = 4L
+    // the paper's per-source epoch cap, conf-able (r10): UniMax's one real
+    // hyperparameter. Default 4 = the unrolled oracle's inlined constant,
+    // bit-identical; any E >= 1 keeps the integer-exactness contract
+    // (caps are n_tokens·E, still exact int64)
+    val E = documents.sparkSession.conf
+      .get("spark.graft.unimax.epochs", "4").toLong
+    require(E >= 1L, s"spark.graft.unimax.epochs must be >= 1, got $E")
     val per = documents
       .filter(col("text").isNotNull)
       .groupBy("source")

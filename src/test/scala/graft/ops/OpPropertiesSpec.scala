@@ -218,6 +218,30 @@ class OpPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("unimax epochs conf: default identical, E=1 caps every source at one epoch") {
+    def alloc() = CorpusQueries.queries("q_mix_unimax")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val dflt = alloc()
+    spark.conf.set("spark.graft.unimax.epochs", "4")
+    try assert(alloc() === dflt)
+    finally spark.conf.unset("spark.graft.unimax.epochs")
+    spark.conf.set("spark.graft.unimax.epochs", "1")
+    try {
+      val e1 = alloc()
+      // at E=1 no source may be allocated beyond its own token count
+      e1.foreach { case (src, nTok, cap, a, _) =>
+        assert(cap === nTok, src)
+        assert(a <= nTok, src)
+      }
+      // tighter caps can only shrink (or hold) each source's allocation
+      dflt.zip(e1).foreach { case ((s4, _, _, a4, _), (s1, _, _, a1, _)) =>
+        assert(s4 === s1); assert(a1 <= a4, s4)
+      }
+    } finally spark.conf.unset("spark.graft.unimax.epochs")
+  }
+
   test("q_budget_sample: greedy take respects the UniMax allocation per source") {
     val out = CorpusQueries.queries("q_budget_sample")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
