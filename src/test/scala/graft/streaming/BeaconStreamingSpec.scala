@@ -523,6 +523,61 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(out === Set((1L, 0, keepA), (2L, 1, keepB)))
   }
 
+  test("streaming line dedup: a line re-appearing past the watermark horizon is kept again") {
+    import spark.implicits._
+    // the scaladoc's stated bounded-state delta, pinned: with a 2-hour
+    // watermark, state for line A (seen at 00:00) is evictable once the
+    // watermark passes 02:00 — so A re-arriving at 05:00, AFTER a batch
+    // that advanced the watermark to ~03:00, must be KEPT again (bounded
+    // state has a horizon; the nightly batch pass reconciles). A third
+    // re-send inside the NEW horizon must still drop.
+    val dir = tmpDir("stream-linededup-horizon")
+    val keepA = "alpha beta gamma delta epsilon."
+    val other = "one two three four five six!"
+    def doc(id: Long, ts: String, text: String) =
+      s"""{"doc_id": $id, "ts": "$ts", "text": "$text"}"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // one incarnation per batch over a shared checkpoint + parquet sink:
+    // pre-writing all files lets the file source race the watermark
+    // (batch order by mtime is not arrival order) and the 00:00 row
+    // arrives LATE against an already-03:00 watermark
+    def drain(): Unit = {
+      val src = BeaconStreaming.fileSource(spark, schema, s"$dir/in",
+        maxFilesPerTrigger = 1)
+      val q = BeaconStreaming.lineDedupStream(src, "ts").writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    BeaconFixtures.write(s"$dir/in/b1.json", Seq(
+      doc(1, "2024-01-01T00:00:00.000Z", keepA)))
+    drain()
+    // advances the watermark to 05:00 − 2 h = 03:00 > A's 00:00 state
+    BeaconFixtures.write(s"$dir/in/b2.json", Seq(
+      doc(2, "2024-01-01T05:00:00.000Z", other)))
+    drain()
+    BeaconFixtures.write(s"$dir/in/b3.json", Seq(
+      doc(3, "2024-01-01T05:30:00.000Z", keepA)))   // past horizon: KEPT
+    drain()
+    BeaconFixtures.write(s"$dir/in/b4.json", Seq(
+      doc(4, "2024-01-01T05:40:00.000Z", keepA)))   // inside new horizon: DROPPED
+    drain()
+    val out = spark.read.parquet(s"$dir/out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L),
+      s"expected horizon-expired re-keep of doc 3 and in-horizon drop of doc 4, got $out")
+  }
+
   test("streaming decontamination drops 13-gram overlap with the static benchmark") {
     import spark.implicits._
     val dir = tmpDir("stream-decon")
