@@ -171,7 +171,7 @@ def main(out_dir, sf_dir):
     missing = set(CHECKS) - set(tol)
     for name in sorted(missing):
         print(f"FAIL {name}: missing from tolerance_sql.json")
-        n_bad += len(missing)
+        n_bad += 1
     print(f"== {n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0
 
