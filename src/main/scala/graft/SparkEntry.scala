@@ -42,5 +42,6 @@ object SparkEntry {
     * deliberately NOT part of `oracleSql` (the driver's hash gate would
     * red them for the exact reasons they are tolerance-checked). */
   def toleranceSql: Map[String, String] =
-    TextQueries.toleranceOracle ++ RetrievalQueries.toleranceOracle
+    TextQueries.toleranceOracle ++ RetrievalQueries.toleranceOracle ++
+      RelationalQueries.toleranceOracle
 }

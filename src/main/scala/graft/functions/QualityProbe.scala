@@ -72,8 +72,12 @@ case class ProbeGramAgg(tc: Expression, y: Expression, b: Int, fs: Int,
     val arr = tcV.asInstanceOf[ArrayData]
     val label = yV.asInstanceOf[Long]
     val n = arr.numElements()
-    // fold bucket counts first (collisions sum BEFORE the division)
+    // fold bucket counts first (collisions sum BEFORE the division).
+    // First-touch tracking uses explicit seen flags, NOT counts(bucket)==0:
+    // hostile direct-SQL inputs with tf = 0 (or negatives summing back to
+    // zero) would re-append the same bucket and overflow `active`.
     val counts = new Array[Long](b)
+    val seen = new Array[Boolean](b)
     val active = new Array[Int](math.min(n, b))
     var nActive = 0
     var dl = 0L
@@ -83,7 +87,7 @@ case class ProbeGramAgg(tc: Expression, y: Expression, b: Int, fs: Int,
       if (e != null && !e.isNullAt(0) && !e.isNullAt(1)) {
         val tf = e.getLong(1)
         val bucket = Math.floorMod(Md5Low63.compute(e.getUTF8String(0)), b.toLong).toInt
-        if (counts(bucket) == 0L) { active(nActive) = bucket; nActive += 1 }
+        if (!seen(bucket)) { seen(bucket) = true; active(nActive) = bucket; nActive += 1 }
         counts(bucket) += tf
         dl += tf
       }
@@ -202,7 +206,10 @@ case class ProbeScore(tc: Expression, wv: Expression, fs: Int)
     val w = wvV.asInstanceOf[ArrayData]
     val b = w.numElements() - 1
     if (b < 1) return null
+    // Explicit seen flags for first-touch (same hardening as ProbeGramAgg:
+    // tf = 0 / negative-sum inputs must not re-append a bucket).
     val counts = new Array[Long](b)
+    val seen = new Array[Boolean](b)
     val active = new Array[Int](math.min(arr.numElements(), b))
     var nActive = 0
     var dl = 0L
@@ -212,7 +219,7 @@ case class ProbeScore(tc: Expression, wv: Expression, fs: Int)
       if (e != null && !e.isNullAt(0) && !e.isNullAt(1)) {
         val tf = e.getLong(1)
         val bucket = Math.floorMod(Md5Low63.compute(e.getUTF8String(0)), b.toLong).toInt
-        if (counts(bucket) == 0L) { active(nActive) = bucket; nActive += 1 }
+        if (!seen(bucket)) { seen(bucket) = true; active(nActive) = bucket; nActive += 1 }
         counts(bucket) += tf
         dl += tf
       }

@@ -380,8 +380,9 @@ object RelationalQueries {
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
     }),
 
-    // C22 — approximate aggregates (no DuckDB oracle: sketch internals
-    // differ by design; driver records rows-only).
+    // C22 — approximate aggregates (no hash oracle: sketch internals
+    // differ by design; values ARE gated by tools/check_tolerance.py
+    // against published error bounds — see [[toleranceOracle]]).
     "q_approx_agg" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
@@ -389,6 +390,21 @@ object RelationalQueries {
           approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value")))
   )
+
+  /** Tolerance twin for q_approx_agg (r11 — the last rows-only query gets
+    * a value gate): exact per-type `COUNT(DISTINCT user_id)` and the
+    * non-null value count. The checker bounds the HLL++ estimate by the
+    * sketch's published standard error (relativeSD = 0.05, Spark's
+    * default — Heule et al. 2013) and rank-checks `percentile_approx`'s
+    * returned element against the Greenwald–Khanna guarantee (rank error
+    * ≤ n/accuracy at accuracy = 1000) with DuckDB counting the element's
+    * exact rank interval. */
+  private[graft] val toleranceOracle: Map[String, String] = Map(
+    "q_approx_agg" ->
+      """SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                CAST(COUNT(value) AS BIGINT) AS n_vals
+         FROM events GROUP BY event_type""")
 
   val oracle: Map[String, String] = Map(
     "q_scan_filter" ->

@@ -252,6 +252,29 @@ object SimilarityQueries {
     acc
   }
 
+  /** Per-query ADC score over PQ code columns: Σ_m table_m[code_m], where
+    * table_m[cid] = dot(query sub-vector m, sub-centroid cid). Tables are
+    * keyed BY CENT_ID, not codebook position (ADVICE r10): the kmeans/PQ
+    * contract lets empty cells drop and the codebook shrink, after which
+    * positions and ids diverge and a positional `element_at` would silently
+    * misalign. Holes left by dropped cells hold NaN and are unreachable —
+    * codes are always assigned against the same codebook that built the
+    * table. With contiguous 0..K−1 ids (the fixture case) the dense table
+    * is element-for-element what the positional build produced, so the
+    * hash twins are untouched. Sub-dots accumulate in ascending index
+    * order and the M summands left-associate — the pinned float
+    * discipline. */
+  private[ops] def adcScoreExpr(books: Array[Array[(Long, Array[Float])]],
+                                q: Array[Float]): Column = {
+    val sub = q.length / PqM
+    (0 until PqM).map { m =>
+      val slice = q.slice(m * sub, (m + 1) * sub)
+      val table = Array.fill(books(m).map(_._1).max.toInt + 1)(Double.NaN)
+      books(m).foreach { case (cid, ce) => table(cid.toInt) = dotD(slice, ce) }
+      element_at(typedLit(table.toSeq), (col(s"code$m") + 1).cast("int"))
+    }.reduce(_ + _)
+  }
+
   /** Per-row PQ assignment: adds `code0..code{M-1}` — each the argmin
     * sub-centroid (squared distance via the dot − |c|²/2 reduction, ties
     * to the smaller cent_id) for that subspace slice — as pure expression
@@ -292,7 +315,15 @@ object SimilarityQueries {
     * strictly better than raw PQ on the fixture. */
   private[graft] def pqResiduals(e: DataFrame,
                                  cents: Array[(Long, Array[Float])]): DataFrame = {
-    val centsLit = typedLit(cents.map(_._2.toSeq).toSeq)
+    // centroid literal keyed BY CENT_ID, not array position (ADVICE r10:
+    // dropped empty cells make ids non-contiguous; a positional lookup
+    // would subtract the wrong centroid). Holes hold NaN vectors and are
+    // unreachable — cent_id always comes from kmeansAssign over `cents`.
+    val dim = cents.head._2.length
+    val dense = Array.fill(cents.map(_._1).max.toInt + 1)(
+      Seq.fill(dim)(Float.NaN))
+    cents.foreach { case (cid, ce) => dense(cid.toInt) = ce.toSeq }
+    val centsLit = typedLit(dense.toSeq)
     kmeansAssign(e, cents)
       .withColumn("residual",
         zip_with(col("embedding"),
@@ -808,14 +839,8 @@ object SimilarityQueries {
       val books = pqCodebooksCached(s, d)
       val queries = headVecs(s, d, 5)
       val codes = pqAssign(Tables.embeddings(s, d).select("vec_id", "embedding"), books).drop("embedding")
-      val sub = OracleDim / PqM
-      // per query: ADC table[m][k] = dot(query sub m, codebook[m][k])
-      def scoreExpr(q: Array[Float]): Column =
-        (0 until PqM).map { m =>
-          val slice = q.slice(m * sub, (m + 1) * sub)
-          val table = books(m).map { case (_, ce) => dotD(slice, ce) }
-          element_at(typedLit(table.toSeq), (col(s"code$m") + 1).cast("int"))
-        }.reduce(_ + _)
+      // per query: ADC table_m keyed by cent_id (see adcScoreExpr)
+      def scoreExpr(q: Array[Float]): Column = adcScoreExpr(books, q)
       // self-match nulls out INSIDE the array and dies in the same
       // projection's HOF filter — a post-explode row filter would be
       // alias-substituted below the Generate (same fix as q_ann_ivfpq's
@@ -858,18 +883,12 @@ object SimilarityQueries {
       val cents = kmeansCentroidsCached(s, d)
       val books = pqCodebooksCached(s, d)
       val queries = headVecs(s, d, 5)
-      val sub = OracleDim / PqM
       val probes: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
         qid -> cents.map { case (cid, ce) =>
           (dotD(qv, ce) - dotD(ce, ce) / 2, cid)
         }.sortBy { case (score, cid) => (-score, cid) }.take(2).map(_._2).toSeq
       }.toMap
-      def scoreExpr(q: Array[Float]): Column =
-        (0 until PqM).map { m =>
-          val slice = q.slice(m * sub, (m + 1) * sub)
-          val table = books(m).map { case (_, ce) => dotD(slice, ce) }
-          element_at(typedLit(table.toSeq), (col(s"code$m") + 1).cast("int"))
-        }.reduce(_ + _)
+      def scoreExpr(q: Array[Float]): Column = adcScoreExpr(books, q)
       val allProbed = probes.values.flatten.toSeq.distinct
       // cell-prune BEFORE code computation: rows outside every probe list
       // never pay the M·K sub-dot assignment (the order a real index

@@ -52,6 +52,42 @@ class AggHardeningSpec extends SparkTestBase {
     assert(withNull === without)
   }
 
+  test("probe_gram: tf=0 repeats with more entries than buckets do not overflow the active set") {
+    // 5 zero-tf repeats of one term at B = 2: a counts==0 first-touch
+    // marker would re-append the same bucket into a 2-slot array → AIOOBE.
+    val zeros = Seq.fill(5)("named_struct('term', 'x', 'tf', 0L)").mkString(", ")
+    val arr = s"array($zeros, named_struct('term', 'y', 'tf', 3L))"
+    val z = one(s"probe_gram($arr, 1L, 2, 4)").getSeq[org.apache.spark.sql.Row](0)
+    assert(z.size === 10) // fixed dense output: tri(3) + Xᵀy(3) + n = 6+3+1
+    // and the zero-tf entries contribute nothing to the statistics
+    val clean = one("probe_gram(array(named_struct('term', 'y', 'tf', 3L)), 1L, 2, 4)")
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(z === clean)
+  }
+
+  test("probe_gram: negative tf folding back to zero neither overflows nor corrupts") {
+    // 'x' count goes 3 → 0 → 2; a counts==0 marker would append 'x' twice.
+    val arr = "array(named_struct('term', 'x', 'tf', 3L), " +
+      "named_struct('term', 'x', 'tf', -3L), " +
+      "named_struct('term', 'x', 'tf', 2L), " +
+      "named_struct('term', 'y', 'tf', 5L))"
+    val z = one(s"probe_gram($arr, 1L, 2, 4)").getSeq[org.apache.spark.sql.Row](0)
+    val folded = one("probe_gram(array(named_struct('term', 'x', 'tf', 2L), " +
+      "named_struct('term', 'y', 'tf', 5L)), 1L, 2, 4)")
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(z === folded)
+  }
+
+  test("probe_score: tf=0 repeats with a small weight vector do not overflow the active set") {
+    val zeros = Seq.fill(5)("named_struct('term', 'x', 'tf', 0L)").mkString(", ")
+    val arr = s"array($zeros, named_struct('term', 'y', 'tf', 3L))"
+    val wv = "array(0.5D, 0.25D, 1.0D)" // b = size - 1 = 2
+    val hostile = one(s"probe_score($arr, $wv, 4)").getDouble(0)
+    val clean = one(s"probe_score(array(named_struct('term', 'y', 'tf', 3L)), $wv, 4)")
+      .getDouble(0)
+    assert(hostile === clean)
+  }
+
   test("dsir_score: a null tf entry contributes nothing") {
     val wv = "transform(sequence(1, 8), i -> CAST(i AS BIGINT))"
     val withNull = one(

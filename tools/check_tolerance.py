@@ -11,6 +11,12 @@ compared".
   docs pinched between the exact quantile_disc pivot and Spark's
   Greenwald-Khanna sketch pivot (<= 2% of docs), and each bucket must hold
   roughly a third of the corpus (proportion in [0.25, 0.42]).
+- q_probe_score: numpy re-solve of the identical ridge system, scores
+  within abs-tol 1e-6.
+- q_approx_agg (r11): HLL++ estimate within 4 standard errors of the
+  exact COUNT(DISTINCT) at the default relativeSD = 0.05; the
+  percentile_approx element's exact rank interval within the published
+  Greenwald-Khanna bound (1/accuracy, + equal slack) of the 0.5 target.
 
 Usage: python3 tools/check_tolerance.py <verify_out_dir> <sf_dir>
 """
@@ -138,10 +144,57 @@ def check_probe_score(con, out_dir, sql):
     return None
 
 
+HLL_RSD = 0.05          # Spark's approx_count_distinct default relativeSD
+HLL_SIGMA = 4.0         # gate at 4 standard errors (Heule et al. 2013)
+HLL_ABS_SLACK = 8       # tiny-cardinality floor (sparse-mode edge)
+PCTL_ACCURACY = 1000    # the query's percentile_approx accuracy literal
+PCTL_RANK_SLACK = 1.0 / PCTL_ACCURACY  # one extra eps beyond the GK bound
+
+
+def check_approx_agg(con, out_dir, sql):
+    ocols, orows = fetch(con, sql)
+    scols, srows = fetch(con, f"SELECT * FROM '{out_dir}/q_approx_agg/*.parquet'")
+    if len(orows) != len(srows):
+        return f"row counts differ: spark={len(srows)} oracle={len(orows)}"
+    om = rows_by_key(ocols, orows, ["event_type"])
+    sm = rows_by_key(scols, srows, ["event_type"])
+    if om.keys() != sm.keys():
+        return "event_type sets differ"
+    oi = {c: ocols.index(c) for c in ocols}
+    si = {c: scols.index(c) for c in scols}
+    for k in om:
+        exact = om[k][oi["exact_users"]]
+        approx = sm[k][si["approx_users"]]
+        tol = max(HLL_SIGMA * HLL_RSD * exact, HLL_ABS_SLACK)
+        if abs(approx - exact) > tol:
+            return (f"{k[0]}: approx_users={approx} vs exact={exact} "
+                    f"outside {HLL_SIGMA} sigma ({tol:.1f})")
+        # percentile_approx returns an actual element; its exact rank
+        # interval must sit within eps = 1/accuracy (+ slack) of 0.5
+        n = om[k][oi["n_vals"]]
+        if n == 0:
+            continue
+        v = sm[k][si["p50_value"]]
+        if v is None:
+            return f"{k[0]}: p50_value is NULL with {n} non-null values"
+        lo, hi = con.execute(
+            "SELECT COUNT(*) FILTER (WHERE value < ?), "
+            "       COUNT(*) FILTER (WHERE value <= ?) "
+            "FROM events WHERE event_type = ?", [v, v, k[0]]).fetchone()
+        if lo == hi:
+            return f"{k[0]}: p50_value={v!r} is not an element of the column"
+        eps = 1.0 / PCTL_ACCURACY + PCTL_RANK_SLACK
+        if not (lo / n - eps <= 0.5 <= hi / n + eps):
+            return (f"{k[0]}: p50={v!r} rank interval "
+                    f"[{lo / n:.4f}, {hi / n:.4f}] not within {eps} of 0.5")
+    return None
+
+
 CHECKS = {
     "q_bm25_logidf": check_bm25_logidf,
     "q_lm_fluency_terciles": check_terciles,
     "q_probe_score": check_probe_score,
+    "q_approx_agg": check_approx_agg,
 }
 
 
@@ -168,10 +221,11 @@ def main(out_dir, sf_dir):
         else:
             print(f"ok   {name} (within tolerance)")
             n_ok += 1
-    missing = set(CHECKS) - set(tol)
-    for name in sorted(missing):
-        print(f"FAIL {name}: missing from tolerance_sql.json")
-        n_bad += 1
+    # Verify filters its tolerance dump by the `only` argument, so a
+    # checker whose query was out of scope is a SKIP, not a failure —
+    # only a dumped twin lacking a checker (handled above) is a FAIL.
+    for name in sorted(set(CHECKS) - set(tol)):
+        print(f"skip {name}: not in this verify scope")
     print(f"== {n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0
 
