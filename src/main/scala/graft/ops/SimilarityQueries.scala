@@ -240,6 +240,13 @@ object SimilarityQueries {
   private[ops] val PqM = 4
   private[ops] val PqK = 8
 
+  /** ADC shortlist width for the re-rank composition (`q_ann_pq_rerank`):
+    * the candidate count each query carries into the exact-dot stage.
+    * 100 is the standard serving ratio (R ≫ k, Jégou et al. 2011 §V);
+    * PERF.md r10's PqRecall run measured recall@3 0.031 → 0.301 at this
+    * width on the sf0.1 fixture. */
+  private[ops] val RerankShortlist = 100
+
   /** Double-product dot — for the ADC score path, where the OUTPUT is the
     * float sum itself and must match the twin's
     * `CAST(x AS DOUBLE) * CAST(y AS DOUBLE)` bit-for-bit. ([[dotLocal]]
@@ -860,6 +867,80 @@ object SimilarityQueries {
           (col("pos") + 1).as("rnk"), col("t.score").as("score"))
     }),
 
+    // PQ shortlist + exact re-rank — the production serving policy (Jégou
+    // et al. 2011 §V): ADC ranks the WHOLE corpus from its M-byte codes
+    // (same scan shape as q_ann_pq), a bounded heap keeps the top-R=100
+    // candidates per query, and ONLY those nq·R rows pay an exact
+    // full-precision dot before the final top-3. Measured on the fixture
+    // this lifts recall@3 from 0.031 to 0.301 (PERF.md r10) — the 10×
+    // quality lever at ~zero extra scan cost. At 100 TB the shape is the
+    // point: the corpus-wide stage reads codes only; the shortlist
+    // (nq·R ids) broadcasts back against the raw-vector scan as a
+    // broadcast hash join, so full vectors are fetched for a bounded,
+    // corpus-size-independent row count. Exact scores go through the same
+    // float-multiply/double-accumulate vector_dot as q_cosine_topk, so
+    // the twin hash-matches on values.
+    "q_ann_pq_rerank" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      assertOracleDim(s, d)
+      val books = pqCodebooksCached(s, d)
+      val queries = headVecs(s, d, 5)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val codes = pqAssign(e, books).drop("embedding")
+      def scoreExpr(q: Array[Float]): Column = adcScoreExpr(books, q)
+      // stage 1: ADC over codes, exactly q_ann_pq's fan-out, but the heap
+      // keeps the R-wide shortlist instead of the final k
+      val shortlist = codes
+        .select(col("vec_id"), filter(array(queries.map { case (qid, qv) =>
+          when(col("vec_id") =!= lit(qid),
+            struct(lit(qid).as("q_id"), scoreExpr(qv).as("score")))
+        }: _*), x => x.isNotNull).as("qs"))
+        .select(col("vec_id").as("neighbor_id"), explode(col("qs")).as("q"))
+        .select(col("q.q_id").as("q_id"), col("neighbor_id"),
+          col("q.score").as("score"))
+        .groupBy("q_id")
+        .agg(expr(s"topk_by(score, neighbor_id, $RerankShortlist)").as("top"))
+        .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+      // stage 2: exact re-rank of the shortlist only — the raw-vector scan
+      // keeps just broadcast-matched rows, then per-query exact dots and
+      // the final bounded top-3 heap
+      e.join(broadcast(shortlist), e("vec_id") === shortlist("neighbor_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          coalesce(queries.map { case (qid, qv) =>
+            when(col("q_id") === lit(qid),
+              call_function("vector_dot", col("embedding"),
+                typedLit(qv.toSeq)))
+          }: _*).as("score"))
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"), col("t.score").as("score"))
+    }),
+
+    // Residual PQ train+assign — the paper's §IV-A arrangement registered
+    // as a first-class training operator (spec-proven strictly better
+    // reconstruction; measured 1.5× relative recall at the same bits,
+    // PERF.md r10): each vector quantizes its RESIDUAL against its coarse
+    // cell centroid, so the sub-codebooks spend their bits on within-cell
+    // structure instead of re-describing cell means. The coarse quantizer
+    // loads from the standing-index cache (a residual-PQ train consumes an
+    // already-trained coarse stage — the paper's ordering); the PQ stage
+    // itself trains per execution like q_pq_codes, so its benched cost
+    // includes the train. Output: (vec_id, coarse cent_id, code0..3) —
+    // the full two-stage code a serving index stores per vector.
+    "q_pq_residual" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      assertOracleDim(s, d)
+      val cents = kmeansCentroidsCached(s, d)
+      val resBooks = pqCodebooksResidual(s, d)
+      pqAssign(
+        pqResiduals(Tables.embeddings(s, d).select("vec_id", "embedding"),
+          cents),
+        resBooks, vecCol = "residual")
+        .select("vec_id", "cent_id", "code0", "code1", "code2", "code3")
+    }),
+
     // IVF-PQ composed search — the production billion-scale ANN
     // architecture (Jégou et al. 2011 §IV): the trained coarse quantizer
     // prunes the corpus to each query's nprobe=2 nearest cells, and ONLY
@@ -918,16 +999,18 @@ object SimilarityQueries {
     })
   )
 
-  /** The PQ train+assign chain, shared by both PQ twins (one definition —
-    * the same unrolled-Lloyd technique as the q_ivf_kmeans twin, with a
-    * subspace column m instead of one flat space). */
-  private def pqCtes: String = {
+  /** The PQ train+assign chain (subv..a1), parameterized on the source
+    * relation `src(vec_id, embedding)` so the SAME unrolled-Lloyd text
+    * trains on raw vectors (`q_pq_codes`/`q_ann_pq`, src = e) or on
+    * coarse-cell residuals (`q_pq_residual`, src = res) — one definition,
+    * two quantized spaces, exactly mirroring how the Scala side passes
+    * `vecCol` through [[pqAssign]]. */
+  private def pqChain(src: String): String = {
     val sub = OracleDim / PqM
-    s"""e AS (SELECT vec_id, embedding FROM embeddings),
-          subv AS (SELECT vec_id, CAST(mm.range AS INT) AS m,
+    s"""subv AS (SELECT vec_id, CAST(mm.range AS INT) AS m,
                           embedding[CAST(mm.range * $sub + 1 AS INT):
                                     CAST((mm.range + 1) * $sub AS INT)] AS v
-                   FROM e, range(0, $PqM) mm),
+                   FROM $src, range(0, $PqM) mm),
           c0 AS (SELECT m, vec_id AS cent_id,
                         list_transform(v, x -> CAST(x AS REAL)) AS ce
                  FROM subv WHERE vec_id < $PqK),
@@ -968,21 +1051,20 @@ object SimilarityQueries {
                    FROM s1) t WHERE rnk = 1)"""
   }
 
-  val oracle: Map[String, String] = Map(
-    "q_pq_codes" ->
-      s"""WITH $pqCtes
-          SELECT vec_id,
-                 MAX(CASE WHEN m = 0 THEN cent_id END) AS code0,
-                 MAX(CASE WHEN m = 1 THEN cent_id END) AS code1,
-                 MAX(CASE WHEN m = 2 THEN cent_id END) AS code2,
-                 MAX(CASE WHEN m = 3 THEN cent_id END) AS code3
-          FROM a1 GROUP BY vec_id""",
-    // the coarse chain (k-prefixed to coexist with the PQ chain) + probe
-    // pruning + the SAME ADC scoring as q_ann_pq, restricted to probed
-    // candidates — hash-exact end to end
-    "q_ann_ivfpq" ->
-      s"""WITH $pqCtes,
-          kc0 AS (SELECT vec_id AS cent_id,
+  /** Raw-vector PQ chain: the corpus itself is the quantized space. */
+  private def pqCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+          ${pqChain("e")}"""
+
+  /** The trained coarse quantizer chain (kc0..ka1, k-prefixed to coexist
+    * with a PQ chain in the same WITH): head-seeded Lloyd round under the
+    * squared-distance reduction, final per-vector cell in `ka1(vec_id,
+    * cell)`, trained centroids in `kc1(cent_id, ce)`. Shared by the
+    * q_ann_ivfpq twin (which adds its probe CTEs) and the q_pq_residual
+    * twin (which subtracts kc1 centroids to form residuals). References
+    * `e`. */
+  private def coarseCtes: String =
+    """kc0 AS (SELECT vec_id AS cent_id,
                          list_transform(embedding, x -> CAST(x AS REAL)) AS ce
                   FROM e WHERE vec_id < 16),
           kp0 AS (SELECT e.vec_id, c.cent_id,
@@ -1019,7 +1101,23 @@ object SimilarityQueries {
                     SELECT vec_id, cent_id,
                            ROW_NUMBER() OVER (PARTITION BY vec_id
                              ORDER BY dot - nc2 / 2 DESC, cent_id) AS rnk
-                    FROM ks1) t WHERE rnk = 1),
+                    FROM ks1) t WHERE rnk = 1)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_pq_codes" ->
+      s"""WITH $pqCtes
+          SELECT vec_id,
+                 MAX(CASE WHEN m = 0 THEN cent_id END) AS code0,
+                 MAX(CASE WHEN m = 1 THEN cent_id END) AS code1,
+                 MAX(CASE WHEN m = 2 THEN cent_id END) AS code2,
+                 MAX(CASE WHEN m = 3 THEN cent_id END) AS code3
+          FROM a1 GROUP BY vec_id""",
+    // the coarse chain (k-prefixed to coexist with the PQ chain) + probe
+    // pruning + the SAME ADC scoring as q_ann_pq, restricted to probed
+    // candidates — hash-exact end to end
+    "q_ann_ivfpq" ->
+      s"""WITH $pqCtes,
+          $coarseCtes,
           kprobe AS (SELECT q_id, cell FROM (
                        SELECT vec_id AS q_id, cent_id AS cell,
                               ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1078,6 +1176,69 @@ object SimilarityQueries {
                          ORDER BY score DESC, neighbor_id) AS rnk
                 FROM sc)
           SELECT q_id, neighbor_id, rnk, score FROM r WHERE rnk <= 3""",
+    // q_ann_pq's ADC ranking widened to the R=RerankShortlist cut, then an
+    // exact full-precision dot (the q_cosine_topk UNNEST-zip discipline —
+    // bit-identical to vector_dot) re-ranks only the shortlist
+    "q_ann_pq_rerank" ->
+      s"""WITH $pqCtes,
+          qs AS (SELECT vec_id AS q_id, m, v AS qv FROM subv WHERE vec_id < 5),
+          qp AS (SELECT q.q_id, c.m, c.cent_id,
+                        UNNEST(q.qv) AS x, UNNEST(c.ce) AS y
+                 FROM qs q JOIN c1 c USING (m)),
+          qd AS (SELECT q_id, m, cent_id,
+                        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS s
+                 FROM qp GROUP BY 1, 2, 3),
+          sc0 AS (SELECT qd.q_id, a.vec_id AS neighbor_id, a.m, qd.s
+                  FROM a1 a JOIN qd ON qd.m = a.m AND qd.cent_id = a.cent_id),
+          sp AS (SELECT q_id, neighbor_id,
+                        MAX(CASE WHEN m = 0 THEN s END) AS s0,
+                        MAX(CASE WHEN m = 1 THEN s END) AS s1,
+                        MAX(CASE WHEN m = 2 THEN s END) AS s2,
+                        MAX(CASE WHEN m = 3 THEN s END) AS s3
+                 FROM sc0 GROUP BY 1, 2),
+          sc AS (SELECT q_id, neighbor_id,
+                        ((s0 + s1) + s2) + s3 AS score
+                 FROM sp WHERE neighbor_id <> q_id),
+          sl AS (SELECT q_id, neighbor_id FROM (
+                   SELECT q_id, neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, neighbor_id) AS arnk
+                   FROM sc) t WHERE arnk <= $RerankShortlist),
+          rrx AS (SELECT sl.q_id, sl.neighbor_id,
+                         UNNEST(ne.embedding) AS x, UNNEST(qe.embedding) AS y
+                  FROM sl JOIN e ne ON ne.vec_id = sl.neighbor_id
+                          JOIN e qe ON qe.vec_id = sl.q_id),
+          rex AS (SELECT q_id, neighbor_id,
+                         SUM(CAST(x * y AS DOUBLE)) AS score
+                  FROM rrx GROUP BY 1, 2),
+          rr AS (SELECT q_id, neighbor_id, score,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, neighbor_id) AS rnk
+                 FROM rex)
+          SELECT q_id, neighbor_id, rnk, score FROM rr WHERE rnk <= 3""",
+    // coarse chain → per-vector residual against the trained cell
+    // centroid (REAL subtract, positionally re-listed) → the SAME PQ
+    // train+assign chain text, just sourced from `res` — mirroring the
+    // Scala side's pqAssign(vecCol = "residual") exactly
+    "q_pq_residual" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          $coarseCtes,
+          rs0 AS (SELECT a.vec_id, CAST(t.i AS INT) AS pos,
+                         CAST(e.embedding[CAST(t.i + 1 AS INT)] AS REAL)
+                           - c.ce[CAST(t.i + 1 AS INT)] AS x
+                  FROM ka1 a JOIN e USING (vec_id)
+                       JOIN kc1 c ON c.cent_id = a.cell,
+                       UNNEST(range(len(e.embedding))) t(i)),
+          res AS (SELECT vec_id, list(CAST(x AS REAL) ORDER BY pos) AS embedding
+                  FROM rs0 GROUP BY vec_id),
+          ${pqChain("res")}
+          SELECT a.vec_id, k.cell AS cent_id,
+                 MAX(CASE WHEN m = 0 THEN a.cent_id END) AS code0,
+                 MAX(CASE WHEN m = 1 THEN a.cent_id END) AS code1,
+                 MAX(CASE WHEN m = 2 THEN a.cent_id END) AS code2,
+                 MAX(CASE WHEN m = 3 THEN a.cent_id END) AS code3
+          FROM a1 a JOIN ka1 k USING (vec_id)
+          GROUP BY 1, 2""",
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
                     WHERE vec_id < 5),

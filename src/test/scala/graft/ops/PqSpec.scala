@@ -114,6 +114,75 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("PQ re-rank: exact scores, never worse than raw ADC, exact top-k when R covers the corpus") {
+    val out = SimilarityQueries.queries("q_ann_pq_rerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val rows = graft.tables.Tables.embeddings(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val vecs = rows.toMap
+    // re-ranked scores are the EXACT full-precision dot (same
+    // float-multiply/double-accumulate op sequence as vector_dot)
+    out.foreach { case (q, n, _, s) =>
+      assert(q != n)
+      assert(s === SimilarityQueries.dotLocal(vecs(q), vecs(n)),
+        s"query $q neighbor $n: score is not the exact dot")
+    }
+    // the re-rank only ever improves on raw ADC's picks: q_ann_pq's top-3
+    // sit inside the R-wide shortlist, so the exact-dot mass of the
+    // re-ranked top-3 must be >= that of the ADC top-3
+    val adc = SimilarityQueries.queries("q_ann_pq")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for (q <- adc.map(_._1).distinct) {
+      val adcMass = adc.filter(_._1 == q)
+        .map { case (_, n) => SimilarityQueries.dotLocal(vecs(q), vecs(n)) }.sum
+      val rerankMass = out.filter(_._1 == q).map(_._4).sum
+      assert(rerankMass >= adcMass,
+        f"query $q: rerank mass $rerankMass%.5f < ADC mass $adcMass%.5f")
+    }
+    // on a corpus the shortlist covers entirely, re-rank IS the exact
+    // brute-force top-3 (recall = 1 by construction)
+    if (rows.length - 1 <= 100) {
+      for (q <- out.map(_._1).distinct) {
+        val exact = rows.filter(_._1 != q)
+          .map { case (id, v) => (SimilarityQueries.dotLocal(vecs(q), v), id) }
+          .sortBy { case (s, id) => (-s, id) }.take(3)
+          .map { case (s, id) => (id, s) }.toSeq
+        val got = out.filter(_._1 == q).sortBy(_._3)
+          .map(r => (r._2, r._4)).toSeq
+        assert(got === exact, s"query $q: rerank != exact top-3")
+      }
+    }
+  }
+
+  test("q_pq_residual: coarse cell matches the standing index, codes in range, deterministic") {
+    def run() = SimilarityQueries.queries("q_pq_residual")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), Seq(r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))))
+      .sortBy(_._1).toSeq
+    val a = run()
+    assert(a.nonEmpty)
+    val cents = SimilarityQueries.kmeansCentroidsCached(spark, dir)
+    val cells = SimilarityQueries.kmeansAssign(
+      graft.tables.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding"), cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    a.foreach { case (id, (cell, codes)) =>
+      assert(cell === cells(id),
+        s"vec $id: registered cell $cell != standing-index cell ${cells(id)}")
+      codes.foreach(c => assert(c >= 0L && c < 8L, s"vec $id code $c"))
+    }
+    // residual codes differ from raw codes somewhere (a different space
+    // was actually quantized)
+    val raw = SimilarityQueries.queries("q_pq_codes")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(a.exists { case (id, (_, codes)) => codes != raw(id) })
+    assert(run() === a, "residual PQ training must be deterministic")
+  }
+
   test("residual PQ reconstructs strictly better than raw PQ") {
     import org.apache.spark.sql.functions.{col => c}
     val sub = 16
