@@ -547,7 +547,15 @@ object SimilarityQueries {
       // the in-bucket expansion is per-group work. sort_array orders
       // members by vec_id (first struct field), which IS the id_a < id_b
       // rule. The cosine formula (dot / (na·nb)) is unchanged to the op.
-      ScaleOps.spread(Tables.embeddings(s, d))
+      // NO ScaleOps.spread (r12 diet, EmbedNeardupProbe): the bucket
+      // exchange right below already distributes the quadratic expansion
+      // work, and the pre-exchange per-row work (one 8-plane signature +
+      // one norm) is trivial — the probe measured the projection at the
+      // bare-scan floor. At 100 TB the scan arrives wide and spread is a
+      // no-op; at fixture scale it was one extra full-corpus round-robin
+      // exchange costing 0.27 s (full 0.472 → nospread 0.205 min, ≈1.0×
+      // the DuckDB twin).
+      Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           expr(s"hplane_sig(embedding, $NPlanes)").as("bucket"),
           sqrt(expr("vector_dot(embedding, embedding)")).as("n"))
