@@ -194,7 +194,7 @@ object SimilarityQueries {
     * search) and q_semdedup (within-cell near-dup pruning). Returns
     * (vec_id, emb, nv, cell) where nv is the vector's own L2 norm —
     * computed once here so downstream pair math only pays the cross dot. */
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  private[ops] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cents = headVecs(s, d, 16).map { case (id, ce) =>
       (id, ce, math.sqrt(dotLocal(ce, ce))) }

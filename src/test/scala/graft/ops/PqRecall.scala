@@ -103,6 +103,42 @@ object PqRecall {
       f"ivfpq=${ivfpqHit.toDouble / total}%.3f " +
       f"rerank@$rerankR=${rerankHit.toDouble / total}%.3f " +
       f"residual=${resHit.toDouble / total}%.3f")
+
+    // REGISTERED-plan confirmation (VERDICT r10 #1 last clause / r11 #3):
+    // the harness arms above re-derive the policies in driver arithmetic;
+    // this arm collects SparkEntry.queries("q_ann_pq_rerank") itself and
+    // (a) asserts its per-query neighbor lists equal the harness's
+    // rerank@R selection for the same 5 fixture queries, (b) reports
+    // recall@3 computed FROM the registered rows. Any drift between the
+    // registered plan and the harness policy fails loudly here.
+    val registered = graft.SparkEntry.queries("q_ann_pq_rerank")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Number]("q_id").longValue,
+        r.getAs[Number]("rnk").longValue,
+        r.getAs[Number]("neighbor_id").longValue))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    var regHit = 0
+    var regTotal = 0
+    for ((qid, got) <- registered.toSeq.sortBy(_._1)) {
+      val qv = rows.find(_._1 == qid).get._2
+      val exactScore = rows.filter(_._1 != qid)
+        .map { case (id, v) => id -> dotD(qv, v) }.toMap
+      val exact = exactScore.toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val harness = recon.view.filterKeys(_ != qid)
+        .map { case (id, rv) => (dotD(qv, rv), id) }.toSeq
+        .sortBy { case (s, id) => (-s, id) }.take(rerankR).map(_._2)
+        .sortBy(id => (-exactScore(id), id)).take(k)
+      require(got == harness,
+        s"registered q_ann_pq_rerank diverges from harness policy for " +
+          s"q=$qid: got=$got harness=$harness")
+      regHit += got.count(exact)
+      regTotal += k
+    }
+    println(f"PQRECALL registered q_ann_pq_rerank: nq=${registered.size} " +
+      f"recall@$k=${regHit.toDouble / regTotal}%.3f " +
+      "(neighbor lists identical to the harness rerank arm)")
     spark.stop()
   }
 }

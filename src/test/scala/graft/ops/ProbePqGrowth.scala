@@ -48,6 +48,12 @@ object ProbePqGrowth {
       }.reduce(_ union _)
 
     val books = SimilarityQueries.pqCodebooks(spark, sfDir)
+    val cents = SimilarityQueries.kmeansCentroidsCached(spark, sfDir)
+    val resBooks = SimilarityQueries.pqCodebooksResidual(spark, sfDir)
+    val queries = graft.tables.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 5).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
     def t(body: => Unit): Double = {
       System.gc()
@@ -56,14 +62,68 @@ object ProbePqGrowth {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** The residual-PQ TRAIN's corpus side at scale: residual projection →
+      * assignment → the ONE narrow (m, cell, subpos) scaled-integer
+      * aggregate (its ≤ M·K·sub output rows are the part the real op
+      * collects — bounded, excluded here). */
+    def residualTrain(e: DataFrame): DataFrame = {
+      val sub = 64 / 4
+      SimilarityQueries.pqAssign(
+          SimilarityQueries.pqResiduals(e, cents), resBooks,
+          vecCol = "residual")
+        .select(Seq(col("code0"), col("code1"), col("code2"), col("code3"),
+          posexplode(col("residual")).as(Seq("pos", "x"))): _*)
+        .select(
+          expr(s"CAST(pos DIV $sub AS INT)").as("m"),
+          expr(s"element_at(array(code0, code1, code2, code3)," +
+            s" CAST(pos DIV $sub AS INT) + 1)").as("cell"),
+          expr(s"pos % $sub").as("subpos"),
+          col("x"))
+        .groupBy("m", "cell", "subpos")
+        .agg((sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+          .cast("double") / (count(lit(1)) * 1000000.0)).as("c"))
+    }
+
+    /** The two-stage shortlist + exact re-rank over a given corpus — the
+      * registered q_ann_pq_rerank body parameterized by the embeddings
+      * frame (standing-index codebooks + fixture queries, like the real
+      * serving path). */
+    def rerank(e: DataFrame): DataFrame = {
+      val codes = SimilarityQueries.pqAssign(e, books).drop("embedding")
+      val r = SimilarityQueries.RerankShortlist
+      val shortlist = codes
+        .select(col("vec_id"), filter(array(queries.map { case (qid, qv) =>
+          when(col("vec_id") =!= lit(qid),
+            struct(lit(qid).as("q_id"),
+              SimilarityQueries.adcScoreExpr(books, qv).as("score")))
+        }: _*), x => x.isNotNull).as("qs"))
+        .select(col("vec_id").as("neighbor_id"), explode(col("qs")).as("q"))
+        .select(col("q.q_id").as("q_id"), col("neighbor_id"),
+          col("q.score").as("score"))
+        .groupBy("q_id")
+        .agg(expr(s"topk_by(score, neighbor_id, $r)").as("top"))
+        .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+      e.join(broadcast(shortlist), e("vec_id") === shortlist("neighbor_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          coalesce(queries.map { case (qid, qv) =>
+            when(col("q_id") === lit(qid),
+              call_function("vector_dot", col("embedding"),
+                typedLit(qv.toSeq)))
+          }: _*).as("score"))
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
+    }
+
     // warm-up
     TextQueries.probeFit(docsTimes(1)).queryExecution.toRdd.count()
     SimilarityQueries.pqAssign(embTimes(1), books)
       .queryExecution.toRdd.count()
+    residualTrain(embTimes(1)).queryExecution.toRdd.count()
+    rerank(embTimes(1)).queryExecution.toRdd.count()
 
     println(f"${"scale"}%-6s ${"docs"}%8s ${"fit_s"}%8s " +
-      f"${"vecs"}%8s ${"pq_s"}%8s")
-    for (n <- Seq(1, 2, 4)) {
+      f"${"vecs"}%8s ${"pq_s"}%8s ${"restrain_s"}%10s ${"rerank_s"}%9s")
+    for (n <- Seq(1, 2, 4, 8, 16)) {
       val docs = docsTimes(n)
       val nDocs = docs.count()
       val tFit = t {
@@ -74,7 +134,10 @@ object ProbePqGrowth {
       val tPq = t {
         SimilarityQueries.pqAssign(emb, books).queryExecution.toRdd.count()
       }
-      println(f"${n}x$nDocs%9s $tFit%8.2f $nVecs%8s $tPq%8.2f")
+      val tRes = t { residualTrain(emb).queryExecution.toRdd.count() }
+      val tRr = t { rerank(emb).queryExecution.toRdd.count() }
+      println(f"${n}x$nDocs%9s $tFit%8.2f $nVecs%8s $tPq%8.2f " +
+        f"$tRes%10.2f $tRr%9.2f")
     }
     spark.stop()
   }
