@@ -460,7 +460,10 @@ object SimilarityQueries {
   /** Trained coarse centroids cached per (session, dir) for SEARCH
     * consumers (q_ann_ivfpq) — the same standing-index contract as
     * [[pqCodebooksCached]]; q_ivf_kmeans, the training operator, does
-    * not read this cache. */
+    * not read this cache. Staleness, explicitly: a fixture path whose
+    * CONTENTS are rewritten within the same session serves the stale
+    * centroids (the cache key is the path string, not the data) — open
+    * a fresh session after mutating a fixture dir. */
   private val kmeansCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
@@ -480,7 +483,10 @@ object SimilarityQueries {
     * q_ann_pq paying the training passes per execution is a fixture
     * artifact). q_pq_codes — the TRAINING operator — deliberately does
     * NOT read this cache: its benched cost must include the train. Weak
-    * session key, same staleness contract as [[headCache]]. */
+    * session key, same staleness contract as [[headCache]] — and
+    * explicitly: the SAME path rewritten within one session serves the
+    * stale codebooks (path-string key); reopen the session after a
+    * fixture mutation. */
   private val pqBooksCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,

@@ -422,7 +422,10 @@ object TextQueries {
     * contract of the registered q_bpe_tokenize (and any caller applying
     * a standing tokenizer): train once per fixture corpus, serve every
     * apply from the R cached pairs. Weak session key, the same staleness
-    * contract as the IVF head-seed cache. */
+    * contract as the IVF head-seed cache — explicitly: a corpus path
+    * whose contents are rewritten within one session serves the STALE
+    * merge table (the key is the path string); open a new session after
+    * mutating a fixture dir. */
   private val mergeCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,

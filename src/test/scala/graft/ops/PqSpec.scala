@@ -142,8 +142,10 @@ class PqSpec extends SparkTestBase {
         f"query $q: rerank mass $rerankMass%.5f < ADC mass $adcMass%.5f")
     }
     // on a corpus the shortlist covers entirely, re-rank IS the exact
-    // brute-force top-3 (recall = 1 by construction)
-    if (rows.length - 1 <= 100) {
+    // brute-force top-3 (recall = 1 by construction); the coverage
+    // condition tracks the library constant so a shortlist retune keeps
+    // the guard in sync (ADVICE r11)
+    if (rows.length - 1 <= SimilarityQueries.RerankShortlist) {
       for (q <- out.map(_._1).distinct) {
         val exact = rows.filter(_._1 != q)
           .map { case (id, v) => (SimilarityQueries.dotLocal(vecs(q), v), id) }

@@ -177,10 +177,15 @@ def check_approx_agg(con, out_dir, sql):
         v = sm[k][si["p50_value"]]
         if v is None:
             return f"{k[0]}: p50_value is NULL with {n} non-null values"
+        # IS NOT DISTINCT FROM: `= ?` would match nothing for a NULL
+        # group key (NULL = NULL is NULL) and spuriously fail the
+        # element check (ADVICE r11; latent — the fixture has no NULL
+        # event_type, but direct-SQL users may)
         lo, hi = con.execute(
             "SELECT COUNT(*) FILTER (WHERE value < ?), "
             "       COUNT(*) FILTER (WHERE value <= ?) "
-            "FROM events WHERE event_type = ?", [v, v, k[0]]).fetchone()
+            "FROM events WHERE event_type IS NOT DISTINCT FROM ?",
+            [v, v, k[0]]).fetchone()
         if lo == hi:
             return f"{k[0]}: p50_value={v!r} is not an element of the column"
         eps = 1.0 / PCTL_ACCURACY + PCTL_RANK_SLACK
@@ -222,10 +227,21 @@ def main(out_dir, sf_dir):
             print(f"ok   {name} (within tolerance)")
             n_ok += 1
     # Verify filters its tolerance dump by the `only` argument, so a
-    # checker whose query was out of scope is a SKIP, not a failure —
-    # only a dumped twin lacking a checker (handled above) is a FAIL.
+    # checker whose query was out of scope is a SKIP, not a failure.
+    # Scope is decided by the DUMP ITSELF (ADVICE r11): if the query's
+    # result directory exists in out_dir, the query RAN this verify —
+    # a missing tolerance_sql.json entry then means its twin was
+    # dropped (e.g. a reverted toleranceSql wiring) and the value gate
+    # silently vanished: FAIL loudly. Only a query absent from the
+    # dump is a genuine scope skip.
+    import os
     for name in sorted(set(CHECKS) - set(tol)):
-        print(f"skip {name}: not in this verify scope")
+        if os.path.isdir(os.path.join(out_dir, name)):
+            print(f"FAIL {name}: dumped by Verify but missing from "
+                  f"tolerance_sql.json — its value gate was dropped")
+            n_bad += 1
+        else:
+            print(f"skip {name}: not in this verify scope")
     print(f"== {n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0
 
