@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CorpusQueries, DedupQueries, MultimodalQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, TextQueries}
+import graft.ops.{CorpusQueries, DedupQueries, EventQueries, MultimodalQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
     RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ CorpusQueries.queries ++
-      RetrievalQueries.queries
+      RetrievalQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, LSH bucketing)
@@ -32,7 +32,7 @@ object SparkEntry {
     RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++
       MultimodalQueries.oracle ++ CorpusQueries.oracle ++
-      RetrievalQueries.oracle
+      RetrievalQueries.oracle ++ EventQueries.oracle
 
   /** Tolerance twins for the rows-only-by-design queries — natural DuckDB
     * expressions value-compared under explicit tolerances (rel-tol for

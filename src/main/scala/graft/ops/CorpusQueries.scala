@@ -209,6 +209,28 @@ object CorpusQueries {
     // agg collapses the corpus to #sources rows, the grand totals are ONE
     // more tiny agg broadcast back over them — nothing after the first
     // combine is proportional to corpus size.
+    // Language-concentration per source (Herfindahl–Hirschman index over
+    // the source's lang distribution) — the mixing-QA metric that flags
+    // a "multilingual" source that is actually 95% one language before
+    // q_mix_weights allocates budget to it. Exactness discipline: the
+    // squared counts and their sums are pure BIGINT (order-free on any
+    // partitioning); the single HHI division is ONE double op over exact
+    // integers, bit-identical cross-engine. Scale shape: (source, lang)
+    // partial+final agg collapses the corpus, then a #sources×#langs-row
+    // agg — nothing after the first combine is corpus-sized.
+    "q_mix_hhi" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(col("c") * col("c")).as("h2"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          (col("h2").cast("double") /
+            (col("n_docs") * col("n_docs")).cast("double")).as("hhi"))
+    }),
+
     "q_mix_weights" -> ((s, d) => {
       val per = Tables.documents(s, d)
         .groupBy("source")
@@ -937,6 +959,17 @@ object CorpusQueries {
                 AVG(length(text)) AS avg_chars
          FROM documents
          GROUP BY source, lang""",
+    "q_mix_hhi" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS c
+                    FROM documents GROUP BY 1, 2)
+         SELECT source,
+                CAST(SUM(c) AS BIGINT) AS n_docs,
+                COUNT(*) AS n_langs,
+                CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)
+                       AS DOUBLE) AS hhi
+         FROM c GROUP BY source""",
+
     "q_mix_weights" ->
       """WITH per AS (SELECT source, COUNT(*) AS n_docs,
                              CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Event-stream analytics over the `events` table — the telemetry side of
+  * a large-scale pipeline (ingest/processing event logs get exactly these
+  * three questions asked of them: did users/jobs progress through the
+  * expected stages, what transitions happen, does a cohort keep coming
+  * back). All three share ONE scalable plan shape: a single exchange on
+  * `user_id`, then bounded per-user work — no windows, no sorts, no
+  * self-joins.
+  *
+  * - `q_funnel`: ordered 3-step funnel (signup → click → purchase, each
+  *   step strictly after the previous step's FIRST completion). Per user
+  *   the events fold in time order through a 3-slot state; the fold input
+  *   is `sort_array(collect_list(struct(ts, event_id, type)))` — per-user
+  *   event counts are bounded by user activity, the same group-and-expand
+  *   budget q_embed_neardup runs on. Strictly-after (`>`) semantics make
+  *   the equal-timestamp tiebreak irrelevant (both engines exclude ties),
+  *   but event_id still rides in the sort struct so the fold order itself
+  *   is a deterministic total order.
+  * - `q_event_transitions`: event-type bigram counts per user in
+  *   (ts, event_id) order — the Markov-transition table. Adjacent pairs
+  *   come from a row-local `transform(slice(...))` over the same sorted
+  *   array (0-based `evs[i + 1]` bracket indexing), then one narrow
+  *   (prev, next) count aggregate: 25 output rows regardless of corpus.
+  * - `q_retention`: weekly cohort retention. cohort = Monday-truncated
+  *   week of the user's FIRST event; each (user, active week) pair counts
+  *   once. ONE pass: `min(week)` and `collect_set(week)` in the same
+  *   user aggregate — the set is bounded by the CALENDAR (weeks in the
+  *   observation window), not by event count, so the explode after it is
+  *   corpus-size-independent per user. Offsets are exact integer date
+  *   arithmetic (weeks are Mondays, so datediff is a multiple of 7).
+  *
+  * At 100 TB: all three shuffle each event row exactly once (to its
+  * user's partition, map-side-combined collect partials), and everything
+  * after the per-user fold is bounded (3 counters / 25 pairs / weeks ×
+  * cohorts). The alternative window-function forms pay the same exchange
+  * PLUS a sort per partition; the fold forms sort only within each user's
+  * collected array.
+  */
+object EventQueries {
+
+  private def sortedEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> ((s, d) => {
+      sortedEvents(s, d)
+        .select(expr(
+          """aggregate(evs,
+             named_struct('t1', CAST(NULL AS TIMESTAMP),
+                          't2', CAST(NULL AS TIMESTAMP),
+                          't3', CAST(NULL AS TIMESTAMP)),
+             (a, e) -> named_struct(
+               't1', IF(a.t1 IS NULL AND e.event_type = 'signup',
+                        e.ts, a.t1),
+               't2', IF(a.t2 IS NULL AND a.t1 IS NOT NULL
+                        AND e.event_type = 'click' AND e.ts > a.t1,
+                        e.ts, a.t2),
+               't3', IF(a.t3 IS NULL AND a.t2 IS NOT NULL
+                        AND e.event_type = 'purchase' AND e.ts > a.t2,
+                        e.ts, a.t3)))""").as("f"))
+        .agg(
+          sum(when(col("f.t1").isNotNull, 1L).otherwise(0L)).as("s1"),
+          sum(when(col("f.t2").isNotNull, 1L).otherwise(0L)).as("s2"),
+          sum(when(col("f.t3").isNotNull, 1L).otherwise(0L)).as("s3"))
+        .selectExpr(
+          """stack(3, 1L, 'signup', s1,
+                      2L, 'click_after_signup', s2,
+                      3L, 'purchase_after_click', s3)
+             AS (step_no, step, users)""")
+    }),
+
+    "q_event_transitions" -> ((s, d) => {
+      sortedEvents(s, d)
+        .select(explode(expr(
+          """transform(slice(evs, 1, size(evs) - 1), (e, i) ->
+               named_struct('prev_type', e.event_type,
+                            'next_type', evs[i + 1].event_type))"""))
+          .as("t"))
+        .groupBy(col("t.prev_type").as("prev_type"),
+          col("t.next_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q_retention" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("w"))
+        .groupBy("user_id")
+        .agg(min(col("w")).as("cohort_week"), collect_set(col("w")).as("ws"))
+        .select(col("cohort_week"), explode(col("ws")).as("w"))
+        .select(col("cohort_week"),
+          expr("datediff(w, cohort_week) DIV 7").as("week_no"))
+        .groupBy("cohort_week", "week_no")
+        .agg(count(lit(1)).as("users"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // min-chained CTEs: t2's min is over clicks strictly after the user's
+    // FIRST signup, which equals the Spark fold's "first click after t1"
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+              t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                     JOIN t1 ON e.user_id = t1.user_id
+                     WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+              t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                     JOIN t2 ON e.user_id = t2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1)
+         SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'signup',
+            (SELECT COUNT(*) FROM t1)),
+           (CAST(2 AS BIGINT), 'click_after_signup',
+            (SELECT COUNT(*) FROM t2)),
+           (CAST(3 AS BIGINT), 'purchase_after_click',
+            (SELECT COUNT(*) FROM t3))) AS v(step_no, step, users)""",
+
+    "q_event_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+                           LAG(event_type) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS prev_type
+                    FROM events)
+         SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+         FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id,
+                           CAST(MIN(date_trunc('week', ts)) AS DATE)
+                             AS cohort_week
+                    FROM events GROUP BY 1),
+              e AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('week', ts) AS DATE) AS w
+                    FROM events)
+         SELECT f.cohort_week,
+                CAST(datediff('day', f.cohort_week, e.w) // 7 AS BIGINT)
+                  AS week_no,
+                COUNT(*) AS users
+         FROM e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2"""
+  )
+}
