@@ -388,7 +388,43 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value")))
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"))),
+
+    // EXACT percentiles (r12) — the companion to q_approx_agg's sketches:
+    // Spark's `percentile` and DuckDB's `quantile_cont` share the
+    // (n−1)·p linear-interpolation definition, and the interpolation is
+    // the same IEEE sequence over the same doubles, so the twin is
+    // hash-exact (verified to the last ulp on the fixture, including
+    // non-representable results like 112.01000000000003). Scale contract,
+    // stated: exact percentile buffers each GROUP's values — right for
+    // bounded groups (here: 5 event types over a value column, the
+    // ops-dashboard shape); at unbounded per-group cardinality the
+    // sketched q_approx_agg is the corpus-scale path. That trade is
+    // exactly why both are registered.
+    "q_percentile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(col("value")).as("n_vals"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))),
+
+    // PIVOT (r12) — the wide-format report shape: one row per event date,
+    // one count column per event type. The type list is an explicit
+    // literal (as PIVOT requires for a stable schema — Spark's inferring
+    // variant would scan once just to learn the columns); each cell is a
+    // grouped conditional count, which is exactly what Catalyst lowers
+    // .pivot() to, and what the twin spells as CASE sums. Counts are
+    // BIGINT on both engines; absent combinations are 0 (count of an
+    // empty set), not NULL, on both. One partial+final agg over the scan
+    // — the pivot adds per-row width, never a shuffle.
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L))
   )
 
   /** Tolerance twin for q_approx_agg (r11 — the last rows-only query gets
@@ -593,6 +629,23 @@ object RelationalQueries {
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
          FROM orders
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"""
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    // quantile_cont shares Spark percentile's (n-1)*p interpolation rule
+    // and IEEE op sequence — hash-exact to the last ulp
+    "q_percentile" ->
+      """SELECT event_type,
+                COUNT(value) AS n_vals,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.9) AS p90,
+                quantile_cont(value, 0.99) AS p99
+         FROM events GROUP BY event_type""",
+    "q_pivot" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY 1"""
   )
 }

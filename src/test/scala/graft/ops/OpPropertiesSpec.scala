@@ -803,4 +803,39 @@ class OpPropertiesSpec extends SparkTestBase {
     val expected = counts.toSeq.sortBy { case (bg, c) => (-c, bg) }.take(20)
     assert(got.toSeq === expected)
   }
+
+  test("q_percentile: ordered quantiles, bracketed by min/max, n adds up") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = RelationalQueries.queries("q_percentile")(spark, sfDir).collect()
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    val n = ev.filter(col("value").isNotNull).count()
+    assert(rows.map(_.getAs[Long]("n_vals")).sum === n)
+    for (r <- rows) {
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99,
+        s"${r.getString(0)}: quantiles not ordered: $p50 $p90 $p99")
+    }
+    val (mn, mx) = ev.agg(min("value"), max("value")).collect()(0) match {
+      case row => (row.getDouble(0), row.getDouble(1))
+    }
+    assert(rows.forall(r => r.getAs[Double]("p50") >= mn &&
+      r.getAs[Double]("p99") <= mx))
+  }
+
+  test("q_pivot: cells sum to the event total and match long-format counts") {
+    val sfDir = "/root/testdata/sf0.001"
+    val piv = RelationalQueries.queries("q_pivot")(spark, sfDir)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val rows = piv.collect()
+    val total = rows.map(r => types.map(t => r.getAs[Long](t)).sum).sum
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    assert(total === ev.count())
+    // spot-check one cell against the long-format groupBy
+    val long = ev.groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getDate(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (r <- rows; t <- types)
+      assert(r.getAs[Long](t) === long.getOrElse((r.getDate(0), t), 0L))
+  }
 }
