@@ -570,6 +570,94 @@ object BeaconStreaming {
       graft.ops.SimilarityQueries.pqCodebooksCached(stream.sparkSession, fitDir))
   }
 
+  /** Streaming event-type transitions (r12) — the q_event_transitions
+    * bigram stream maintained ACROSS micro-batches: one small state per
+    * user (the last seen (ts, event_id, type) triple), each batch's rows
+    * for a user sorted by (ts, event_id) and folded against it, one
+    * output row per adjacent pair including the cross-batch boundary
+    * pair. Ordering contract, stated: per-user ARRIVAL order is event
+    * order across batches (the per-key ordering a keyed events topic
+    * guarantees); within a batch the sort repairs any interleaving, so
+    * slicing one ordered history into ANY micro-batch sequence yields
+    * exactly the batch operator's pair multiset (spec-pinned against
+    * q_event_transitions on a replayed fixture). State is three scalars
+    * per user — bounded by the user population, no timeout needed (an
+    * idle user's next event still continues its chain, which is the
+    * semantics; add a TTL policy at the sink if the population is
+    * unbounded). Emits (user_id, prev_type, next_type); the transition
+    * TABLE is any sink-side grouped count over this stream. */
+  def eventTransitionsStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toVector.sortBy { case (_, tsu, id, _) => (tsu, id) }
+          val chain = state.getOption.map(s => Vector(s)).getOrElse(Vector.empty) ++
+            sorted.map { case (_, tsu, id, t) => (tsu, id, t) }
+          if (chain.nonEmpty) state.update(chain.last)
+          chain.iterator.zip(chain.iterator.drop(1))
+            .map { case ((_, _, prev), (_, _, next)) => (user, prev, next) }
+      }
+      .toDF("user_id", "prev_type", "next_type")
+  }
+
+  /** Streaming ordered funnel (r12) — q_funnel's 3-slot fold held as
+    * per-user state, so step completions fire AS THEY ARRIVE instead of
+    * at batch end (the alerting shape: "user X just completed purchase").
+    * The fold is the exact batch rule — first signup, first click
+    * strictly after it, first purchase strictly after that — applied to
+    * each batch's (ts, event_id)-sorted rows; under the same per-user
+    * arrival-order contract as [[eventTransitionsStream]] the final
+    * emitted (user, step, ts) set equals the batch fold's non-null slots
+    * on the replayed history (spec-pinned). A slot fires exactly once per
+    * user (Append-mode safe); state is three nullable timestamps per
+    * user. Emits (user_id, step_no, step, step_ts). */
+  def funnelStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Option[Long], Option[Long], Option[Long])]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse(
+            (None: Option[Long], None: Option[Long], None: Option[Long]))
+          val out = Vector.newBuilder[(Long, Long, String, Long)]
+          for ((_, tsu, _, tpe) <- rows.toVector
+              .sortBy { case (_, tsu, id, _) => (tsu, id) }) {
+            if (t1.isEmpty && tpe == "signup") {
+              t1 = Some(tsu); out += ((user, 1L, "signup", tsu))
+            } else if (t2.isEmpty && t1.exists(tsu > _) && tpe == "click") {
+              t2 = Some(tsu); out += ((user, 2L, "click_after_signup", tsu))
+            } else if (t3.isEmpty && t2.exists(tsu > _) && tpe == "purchase") {
+              t3 = Some(tsu); out += ((user, 3L, "purchase_after_click", tsu))
+            }
+          }
+          state.update((t1, t2, t3))
+          out.result().iterator
+      }
+      .toDF("user_id", "step_no", "step", "tsu")
+      .select(col("user_id"), col("step_no"), col("step"),
+        timestamp_micros(col("tsu")).as("step_ts"))
+  }
+
   /** D6 — dual sink: every micro-batch appends the hourly history layout and
     * overwrites the `latest` snapshot — `foreachBatch` is the streaming
     * form of the reference's validators dual write

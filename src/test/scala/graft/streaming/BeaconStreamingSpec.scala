@@ -892,4 +892,75 @@ class BeaconStreamingSpec extends SparkTestBase {
         r.getLong(3), r.getLong(4))).toMap
     assert(streamed === batch)
   }
+
+  /** Replay the sf0.001 events history in global (ts, event_id) order as
+    * three parquet slices, each drained by its own AvailableNow
+    * invocation (state crosses invocations via the checkpoint — the
+    * restart-survival pattern), so cross-batch boundary pairs and
+    * mid-funnel state are actually exercised. */
+  private def replayEventSlices(dirPrefix: String,
+                                build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = tmpDir(dirPrefix)
+    val ev = graft.tables.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type")
+    val sch = ev.schema
+    val ordered = ev.orderBy("ts", "event_id").collect()
+    val slices = ordered.grouped((ordered.length + 2) / 3).toSeq
+    for (slice <- slices) {
+      spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(slice: _*)), sch)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val src = spark.readStream.schema(sch).parquet(s"$dir/in")
+      val q = build(src).writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    spark.read.parquet(s"$dir/out")
+  }
+
+  test("eventTransitionsStream over a sliced replay equals batch q_event_transitions") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = replayEventSlices("stream-trans",
+        BeaconStreaming.eventTransitionsStream)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.EventQueries
+      .queries("q_event_transitions")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
+  test("funnelStream fires each step once and matches batch q_funnel totals") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = replayEventSlices("stream-funnel", BeaconStreaming.funnelStream)
+      .collect()
+    // a slot fires exactly once per user
+    val perUserStep = rows.groupBy(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("step_no")))
+    assert(perUserStep.values.forall(_.length == 1),
+      "a funnel step fired more than once for some user")
+    val streamedCounts = rows.groupBy(_.getAs[Long]("step_no"))
+      .view.mapValues(_.length.toLong).toMap
+    val batch = graft.ops.EventQueries.queries("q_funnel")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 3L).forall(s =>
+      streamedCounts.getOrElse(s, 0L) === batch(s)),
+      s"streamed=$streamedCounts batch=$batch")
+    // and the step timestamps respect the strictly-after chain per user
+    for ((user, rs) <- rows.groupBy(_.getAs[Long]("user_id"))) {
+      val byStep = rs.map(r => r.getAs[Long]("step_no") ->
+        r.getAs[java.sql.Timestamp]("step_ts")).toMap
+      for (s <- 2L to 3L if byStep.contains(s))
+        assert(byStep(s - 1).before(byStep(s)),
+          s"user $user: step $s not strictly after step ${s - 1}")
+    }
+  }
 }
