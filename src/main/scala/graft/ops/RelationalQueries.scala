@@ -189,6 +189,31 @@ object RelationalQueries {
           sum(dec("value", 12, 2)).over(w).cast("double").as("run_sum"))
     }),
 
+    // C12 extension (r12) — TIME-RANGE window frame: per event, the
+    // user's activity in the trailing hour (burst/rate detection — the
+    // per-entity time-series shape: shuffle on the entity key, sort by
+    // time, one linear frame pass; at 100 TB this is how rate limits and
+    // anomaly windows are computed). Order key is integer microseconds on
+    // BOTH engines (epoch_us ↔ unix_micros) so frame membership is exact
+    // integer arithmetic; RANGE bounds are inclusive and tie-peers enter
+    // the frame together on both engines; the sum rides DECIMAL(12,2)
+    // (the q_window_frame discipline) so accumulation order cannot
+    // hash-diverge.
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tsu")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      // NTZ-robust: some fixture SFs surface ts as TIMESTAMP_NTZ; the
+      // cast's session-tz interpretation shifts every tsu by the same
+      // constant, so frame MEMBERSHIP (a difference) is unaffected and
+      // tsu itself never leaves the plan
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_hour"),
+          sum(dec("value", 12, 2)).over(w).cast("double").as("sum_hour"))
+    }),
+
     // C16 — rollup.
     "q_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -533,6 +558,13 @@ object RelationalQueries {
                   PARTITION BY user_id ORDER BY event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
          FROM events""",
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+                COUNT(*) OVER w AS n_hour,
+                CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_hour
+         FROM (SELECT *, epoch_us(ts) AS tsu FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",

@@ -320,8 +320,13 @@ object SimilarityQueries {
     * time score(q, n) = dot(q, coarse(cell_n)) + Σ_m adc_m(code_m) — one
     * extra bounded lookup table per query. Spec-proven to reconstruct
     * strictly better than raw PQ on the fixture. */
-  private[graft] def pqResiduals(e: DataFrame,
-                                 cents: Array[(Long, Array[Float])]): DataFrame = {
+  /** The per-row residual column `embedding − coarse(cent_id)` over a
+    * frame that already carries `cent_id` — factored out of
+    * [[pqResiduals]] (r12) so the residual-serving composition can PRUNE
+    * to probed cells between assignment and the residual subtract (the
+    * order a real inverted index enforces physically). Same cent_id-keyed
+    * NaN-holed literal discipline. */
+  private[ops] def residualExpr(cents: Array[(Long, Array[Float])]): Column = {
     // centroid literal keyed BY CENT_ID, not array position (ADVICE r10:
     // dropped empty cells make ids non-contiguous; a positional lookup
     // would subtract the wrong centroid). Holes hold NaN vectors and are
@@ -331,12 +336,14 @@ object SimilarityQueries {
       Seq.fill(dim)(Float.NaN))
     cents.foreach { case (cid, ce) => dense(cid.toInt) = ce.toSeq }
     val centsLit = typedLit(dense.toSeq)
-    kmeansAssign(e, cents)
-      .withColumn("residual",
-        zip_with(col("embedding"),
-          element_at(centsLit, (col("cent_id") + 1).cast("int")),
-          (a, b) => a - b))
+    zip_with(col("embedding"),
+      element_at(centsLit, (col("cent_id") + 1).cast("int")),
+      (a, b) => a - b)
   }
+
+  private[graft] def pqResiduals(e: DataFrame,
+                                 cents: Array[(Long, Array[Float])]): DataFrame =
+    kmeansAssign(e, cents).withColumn("residual", residualExpr(cents))
 
   private[graft] def pqCodebooksResidual(s: SparkSession, d: String): Array[Array[(Long, Array[Float])]] = {
     val sub = OracleDim / PqM
@@ -499,6 +506,26 @@ object SimilarityQueries {
           String, Array[Array[(Long, Array[Float])]]]
       })
       .computeIfAbsent(d, { _ => pqCodebooks(s, d) })
+
+  /** Residual sub-codebooks cached for the SEARCH side (r12 —
+    * q_ann_ivfpq_residual serves from the standing two-stage index;
+    * q_pq_residual, the TRAINING operator, deliberately does not read
+    * this cache: its benched cost must include the train). Same weak
+    * session key and path-string staleness contract as
+    * [[pqCodebooksCached]] — a fixture dir rewritten within one session
+    * serves the stale books; reopen the session after mutating it. */
+  private val pqResBooksCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[
+          String, Array[Array[(Long, Array[Float])]]]]())
+  private[graft] def pqResidualBooksCached(s: SparkSession, d: String): Array[Array[(Long, Array[Float])]] =
+    pqResBooksCache
+      .computeIfAbsent(s, { _ =>
+        new java.util.concurrent.ConcurrentHashMap[
+          String, Array[Array[(Long, Array[Float])]]]
+      })
+      .computeIfAbsent(d, { _ => pqCodebooksResidual(s, d) })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-10 for 5 broadcast query vectors. Top-k is the
@@ -1010,6 +1037,63 @@ object SimilarityQueries {
         .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("q_id"), col("t.id").as("neighbor_id"),
           (col("pos") + 1).as("rnk"), col("t.score").as("score"))
+    }),
+
+    // Residual IVF-PQ serving (r12 — Jégou §IV-A AT SEARCH TIME,
+    // completing the two-stage index's serving matrix: q_pq_residual
+    // trains it, this query serves from it). score(q, n) =
+    // dot(q, coarse(cell_n)) + Σ_m adc_m(res_code_m): the first term is
+    // a per-(query, cell) DOUBLE from the trained coarse centroids — a
+    // cent_id-keyed literal lookup, since nprobe cells per query make it
+    // a bounded table — and the second is the standard ADC sum over the
+    // RESIDUAL sub-codebooks with the RAW query sub-vectors (for the dot
+    // metric the residual ADC table is cell-independent: dot(q, c + r) =
+    // dot(q, c) + dot(q, r) exactly, so one table per query serves every
+    // probed cell — the identity that makes residual serving cheap).
+    // Both standing-index pieces load from caches (coarse centroids +
+    // residual codebooks); candidates cell-prune BEFORE the residual
+    // subtract and code assignment, the inverted-list order. Association
+    // fixed as cdot + (((s0+s1)+s2)+s3) on both engines.
+    "q_ann_ivfpq_residual" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      assertOracleDim(s, d)
+      val cents = kmeansCentroidsCached(s, d)
+      val resBooks = pqResidualBooksCached(s, d)
+      val queries = headVecs(s, d, 5)
+      val probes: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+        qid -> cents.map { case (cid, ce) =>
+          (dotD(qv, ce) - dotD(ce, ce) / 2, cid)
+        }.sortBy { case (score, cid) => (-score, cid) }.take(2).map(_._2).toSeq
+      }.toMap
+      val allProbed = probes.values.flatten.toSeq.distinct
+      // per-query cent_id-keyed dot(q, coarse centroid) table (NaN holes
+      // unreachable — cent_id always comes from kmeansAssign over cents)
+      def cellDot(qv: Array[Float]): Column = {
+        val table = Array.fill(cents.map(_._1).max.toInt + 1)(Double.NaN)
+        cents.foreach { case (cid, ce) => table(cid.toInt) = dotD(qv, ce) }
+        element_at(typedLit(table.toSeq), (col("cent_id") + 1).cast("int"))
+      }
+      def scoreExpr(qv: Array[Float]): Column =
+        cellDot(qv) + adcScoreExpr(resBooks, qv)
+      pqAssign(kmeansAssign(
+          Tables.embeddings(s, d).select("vec_id", "embedding"), cents)
+        .filter(col("cent_id").isin(allProbed: _*))
+        .withColumn("residual", residualExpr(cents)),
+        resBooks, vecCol = "residual")
+        .select(col("vec_id").as("neighbor_id"),
+          filter(array(queries.map { case (qid, qv) =>
+            when(col("cent_id").isin(probes(qid): _*) &&
+                col("vec_id") =!= lit(qid),
+              struct(lit(qid).as("q_id"), scoreExpr(qv).as("score")))
+          }: _*), x => x.isNotNull).as("qs"))
+        .select(col("neighbor_id"), explode(col("qs")).as("q"))
+        .select(col("q.q_id").as("q_id"), col("neighbor_id"),
+          col("q.score").as("score"))
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"), col("t.score").as("score"))
     })
   )
 
@@ -1160,6 +1244,68 @@ object SimilarityQueries {
           sc AS (SELECT q_id, neighbor_id,
                         ((s0 + s1) + s2) + s3 AS score
                  FROM sp),
+          r AS (SELECT q_id, neighbor_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, neighbor_id) AS rnk
+                FROM sc)
+          SELECT q_id, neighbor_id, rnk, score FROM r WHERE rnk <= 3""",
+    // coarse chain → residuals → the SAME PQ chain text over `res` (so
+    // c1/a1 are the RESIDUAL codebooks/codes) → probe pruning → ADC from
+    // RAW query sub-vectors against the residual codebooks, plus the
+    // per-(query, cell) coarse dot — association fixed as
+    // cdot + (((s0+s1)+s2)+s3) to mirror the Spark expression tree
+    "q_ann_ivfpq_residual" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          $coarseCtes,
+          rs0 AS (SELECT a.vec_id, CAST(t.i AS INT) AS pos,
+                         CAST(e.embedding[CAST(t.i + 1 AS INT)] AS REAL)
+                           - c.ce[CAST(t.i + 1 AS INT)] AS x
+                  FROM ka1 a JOIN e USING (vec_id)
+                       JOIN kc1 c ON c.cent_id = a.cell,
+                       UNNEST(range(len(e.embedding))) t(i)),
+          res AS (SELECT vec_id, list(CAST(x AS REAL) ORDER BY pos) AS embedding
+                  FROM rs0 GROUP BY vec_id),
+          ${pqChain("res")},
+          kprobe AS (SELECT q_id, cell FROM (
+                       SELECT vec_id AS q_id, cent_id AS cell,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot - nc2 / 2 DESC, cent_id) AS prnk
+                       FROM ks1 WHERE vec_id < 5) p WHERE prnk <= 2),
+          kcand AS (SELECT p.q_id, a.vec_id AS neighbor_id, a.cell
+                    FROM kprobe p JOIN ka1 a ON a.cell = p.cell
+                    WHERE a.vec_id <> p.q_id),
+          qsub AS (SELECT vec_id AS q_id, CAST(mm.range AS INT) AS m,
+                          embedding[CAST(mm.range * ${OracleDim / PqM} + 1 AS INT):
+                                    CAST((mm.range + 1) * ${OracleDim / PqM} AS INT)] AS qv
+                   FROM e, range(0, $PqM) mm WHERE vec_id < 5),
+          qp AS (SELECT q.q_id, c.m, c.cent_id,
+                        UNNEST(q.qv) AS x, UNNEST(c.ce) AS y
+                 FROM qsub q JOIN c1 c USING (m)),
+          qd AS (SELECT q_id, m, cent_id,
+                        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS s
+                 FROM qp GROUP BY 1, 2, 3),
+          kqp AS (SELECT qe.vec_id AS q_id, c.cent_id,
+                         UNNEST(qe.embedding) AS x, UNNEST(c.ce) AS y
+                  FROM e qe CROSS JOIN kc1 c WHERE qe.vec_id < 5),
+          kqd AS (SELECT q_id, cent_id,
+                         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS cdot
+                  FROM kqp GROUP BY 1, 2),
+          sc0 AS (SELECT qd.q_id, a.vec_id AS neighbor_id, a.m, qd.s
+                  FROM a1 a
+                  JOIN qd ON qd.m = a.m AND qd.cent_id = a.cent_id
+                  JOIN kcand k ON k.q_id = qd.q_id AND k.neighbor_id = a.vec_id),
+          sp AS (SELECT q_id, neighbor_id,
+                        MAX(CASE WHEN m = 0 THEN s END) AS s0,
+                        MAX(CASE WHEN m = 1 THEN s END) AS s1,
+                        MAX(CASE WHEN m = 2 THEN s END) AS s2,
+                        MAX(CASE WHEN m = 3 THEN s END) AS s3
+                 FROM sc0 GROUP BY 1, 2),
+          sc AS (SELECT sp.q_id, sp.neighbor_id,
+                        kqd.cdot + (((s0 + s1) + s2) + s3) AS score
+                 FROM sp
+                 JOIN kcand k ON k.q_id = sp.q_id
+                             AND k.neighbor_id = sp.neighbor_id
+                 JOIN kqd ON kqd.q_id = sp.q_id AND kqd.cent_id = k.cell),
           r AS (SELECT q_id, neighbor_id, score,
                        ROW_NUMBER() OVER (PARTITION BY q_id
                          ORDER BY score DESC, neighbor_id) AS rnk

@@ -68,6 +68,7 @@ object PqRecall {
     var ivfpqHit = 0
     var rerankHit = 0
     var resHit = 0
+    var resIvfHit = 0
     var total = 0
     for ((qid, qv) <- rows) {
       val exactAll = rows.filter(_._1 != qid)
@@ -92,17 +93,25 @@ object PqRecall {
       val res = reconRes.view.filterKeys(_ != qid)
         .map { case (id, rv) => (dotD(qv, rv), id) }.toSeq
         .sortBy { case (s, id) => (-s, id) }.take(k).map(_._2)
+      // the r12 registered serving composition: residual reconstruction
+      // restricted to the probed cells (q_ann_ivfpq_residual's policy)
+      val resIvf = reconRes.view
+        .filterKeys(id => id != qid && probed.contains(resCodes(id)._1))
+        .map { case (id, rv) => (dotD(qv, rv), id) }.toSeq
+        .sortBy { case (s, id) => (-s, id) }.take(k).map(_._2)
       adcHit += adc.count(exact)
       ivfpqHit += ivfpq.count(exact)
       rerankHit += rerank.count(exact)
       resHit += res.count(exact)
+      resIvfHit += resIvf.count(exact)
       total += k
     }
     println(f"PQRECALL n=${rows.length} recall@$k " +
       f"adc=${adcHit.toDouble / total}%.3f " +
       f"ivfpq=${ivfpqHit.toDouble / total}%.3f " +
       f"rerank@$rerankR=${rerankHit.toDouble / total}%.3f " +
-      f"residual=${resHit.toDouble / total}%.3f")
+      f"residual=${resHit.toDouble / total}%.3f " +
+      f"resivf=${resIvfHit.toDouble / total}%.3f")
 
     // REGISTERED-plan confirmation (VERDICT r10 #1 last clause / r11 #3):
     // the harness arms above re-derive the policies in driver arithmetic;

@@ -114,6 +114,58 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("residual IVF-PQ serving: probed-cell membership and the exact score decomposition") {
+    val out = SimilarityQueries.queries("q_ann_ivfpq_residual")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val cents = SimilarityQueries.kmeansCentroidsCached(spark, dir)
+    val centMap = cents.toMap
+    val resBooks = SimilarityQueries.pqResidualBooksCached(spark, dir)
+    val cellsAndCodes = SimilarityQueries.pqAssign(
+        SimilarityQueries.pqResiduals(
+          graft.tables.Tables.embeddings(spark, dir)
+            .select("vec_id", "embedding"), cents),
+        resBooks, vecCol = "residual")
+      .select("vec_id", "cent_id", "code0", "code1", "code2", "code3")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        Array(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val queries = graft.tables.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = queries.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, ce) =>
+        (SimilarityQueries.dotD(qv, ce) -
+          SimilarityQueries.dotD(ce, ce) / 2, cid)
+      }.sortBy { case (s, c) => (-s, c) }.take(2).map(_._2).toSet
+    }.toMap
+    val qMap = queries.toMap
+    val sub = 16
+    out.foreach { case (q, n, _, score) =>
+      assert(q != n)
+      val (cell, codes) = cellsAndCodes(n)
+      assert(probes(q).contains(cell),
+        s"neighbor $n of query $q sits in unprobed cell $cell")
+      // score == dot(q, coarse(cell)) + sum_m dot(q_sub_m, resbook[code]),
+      // the cdot + (((s0+s1)+s2)+s3) association, bit-for-bit
+      val qv = qMap(q)
+      val cdot = SimilarityQueries.dotD(qv, centMap(cell))
+      val sums = (0 until 4).map { m =>
+        val slice = qv.slice(m * sub, (m + 1) * sub)
+        val ce = resBooks(m).find(_._1 == codes(m)).get._2
+        SimilarityQueries.dotD(slice, ce)
+      }
+      val expect = cdot + (((sums(0) + sums(1)) + sums(2)) + sums(3))
+      assert(score === expect,
+        s"query $q neighbor $n: score $score != decomposition $expect")
+    }
+    // same coarse index as q_ann_ivfpq → identical CANDIDATE universe;
+    // only the quantized metric differs
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
   test("PQ re-rank: exact scores, never worse than raw ADC, exact top-k when R covers the corpus") {
     val out = SimilarityQueries.queries("q_ann_pq_rerank")(spark, dir)
       .collect()
