@@ -722,6 +722,22 @@ object DedupQueries {
 
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
 
+    // Near-dup DEGREE per document (r12) — how many banded candidate
+    // partners each doc has. The curation read: high-degree docs are
+    // templates/boilerplate (every crawl's nav chrome near-dups hundreds
+    // of pages) and deserve a template gate, not one-by-one dedup. Rides
+    // the verified shared pair pipeline; the endpoint fan-out is one
+    // 2-element explode per pair and the degree agg is (doc, count) with
+    // map-side combine — nothing beyond the pipeline's own exchanges is
+    // corpus-sized.
+    "q_dup_degree" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      lshPairsOf(Tables.documents(s, d))
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("degree"))
+    }),
+
     // Incremental dedup: the last 20% of the id space plays today's delta
     // batch, the first 80% the standing corpus (the split is an in-plan
     // scalar subquery so the same query runs at every SF — see dedupDelta
@@ -991,6 +1007,11 @@ object DedupQueries {
     "q_lsh_pairs" ->
       s"""WITH $shingleCte
           SELECT doc_a, doc_b, shared_bands FROM pairs""",
+    "q_dup_degree" ->
+      s"""WITH $shingleCte,
+          ends AS (SELECT doc_a AS doc_id FROM pairs
+                   UNION ALL SELECT doc_b FROM pairs)
+          SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id""",
     // pairs is one row per banded pair (grouped), exactly the Spark side's
     // first-agreeing-band multiplicity; the 80/20 split threshold is the
     // same MAX(doc_id)*0.8 scalar both engines compute

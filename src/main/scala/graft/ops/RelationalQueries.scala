@@ -214,6 +214,69 @@ object RelationalQueries {
           sum(dec("value", 12, 2)).over(w).cast("double").as("sum_hour"))
     }),
 
+    // C9/C13 composition (r12) — the TPC-H Q3 shape: segment-filtered
+    // customers broadcast into date-filtered orders, shuffle-join with
+    // lineitem on the order key, revenue aggregate, top-10. The classic
+    // analytics plan end-to-end in one registered query: both filters
+    // reach their parquet scans, the small build side broadcasts, only
+    // the orders⋈lineitem key shuffles, and the final cut is
+    // TakeOrderedAndProject. Revenue is the scaled-integer discipline:
+    // price·(1−discount) is per-row DOUBLE (identical IEEE sequence both
+    // engines), floored to integer cents and SUMMED AS BIGINT — exact
+    // and order-free on any partitioning — with ONE division back at the
+    // end (a raw double SUM would hash-diverge on accumulation order).
+    "q_tpch_q3" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > "1998-01-01")
+        .select(col("l_orderkey"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
+            .as("rev_c"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg((sum(col("rev_c")).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Anomaly flagging (r12) — per-type z-score outliers over the value
+    // column, the telemetry-guardrail shape. Exactness discipline: values
+    // quantize per row to integer CENTS (floor(v·100) — identical IEEE
+    // multiply+floor both engines), so the per-type sum and sum-of-squares
+    // are pure BIGINT (order-free; cents² sums stay far under 2^63 at any
+    // fixture SF), and mean/variance/z are the SAME short double sequence
+    // over those exact integers on both engines. Plan: one narrow stats
+    // agg (5 rows) broadcast back over the scan — nothing corpus-sized
+    // shuffles. Sample variance (n−1); var = 0 groups emit nothing.
+    "q_anomaly_z" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("q"))
+      val stats = ev.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+          sum(col("q") * col("q")).as("s2"))
+        .select(col("et"), col("n"),
+          (col("s").cast("double") / col("n")).as("mean_q"),
+          ((col("s2").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1)).as("var_q"))
+        .filter(col("n") > 1 && col("var_q") > 0)
+      ev.join(broadcast(stats), ev("event_type") === stats("et"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("q").cast("double") - col("mean_q")) /
+            sqrt(col("var_q"))).as("z"))
+        .filter(abs(col("z")) > 3.0)
+    }),
+
     // C16 — rollup.
     "q_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -558,6 +621,39 @@ object RelationalQueries {
                   PARTITION BY user_id ORDER BY event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
          FROM events""",
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                o_orderpriority,
+                CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                  (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+         FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+    "q_anomaly_z" ->
+      """WITH ev AS (SELECT event_id, event_type, value,
+                            CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS q
+                     FROM events WHERE value IS NOT NULL),
+              st AS (SELECT event_type AS et, COUNT(*) AS n,
+                            CAST(SUM(q) AS BIGINT) AS s,
+                            CAST(SUM(q * q) AS BIGINT) AS s2
+                     FROM ev GROUP BY 1),
+              sv AS (SELECT et, n,
+                            CAST(s AS DOUBLE) / n AS mean_q,
+                            (CAST(s2 AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                              / (n - 1) AS var_q
+                     FROM st WHERE n > 1)
+         SELECT event_id, event_type, value,
+                (CAST(q AS DOUBLE) - mean_q) / sqrt(var_q) AS z
+         FROM ev JOIN sv ON ev.event_type = sv.et
+         WHERE var_q > 0 AND abs((CAST(q AS DOUBLE) - mean_q) / sqrt(var_q)) > 3.0""",
     "q_window_range" ->
       """SELECT event_id, user_id,
                 COUNT(*) OVER w AS n_hour,
