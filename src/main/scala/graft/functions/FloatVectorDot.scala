@@ -88,6 +88,13 @@ object GraftFunctions {
         val at = ArrayType(FloatType, containsNull = true)
         FloatVectorDot(Cast(args.head, at), Cast(args(1), at))
       }),
+    (new FunctionIdentifier("vector_sub"),
+      new ExpressionInfo(classOf[FloatVectorSub].getName, "vector_sub"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vector_sub expects 2 arguments")
+        val at = ArrayType(FloatType, containsNull = true)
+        FloatVectorSub(Cast(args.head, at), Cast(args(1), at))
+      }),
     (new FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
       (args: Seq[Expression]) => {

@@ -336,9 +336,14 @@ object SimilarityQueries {
       Seq.fill(dim)(Float.NaN))
     cents.foreach { case (cid, ce) => dense(cid.toInt) = ce.toSeq }
     val centsLit = typedLit(dense.toSeq)
-    zip_with(col("embedding"),
-      element_at(centsLit, (col("cent_id") + 1).cast("int")),
-      (a, b) => a - b)
+    // native codegen'd subtract (r12, ResidualServeProbe): a zip_with
+    // here drags every consuming projection out of whole-stage codegen,
+    // and without codegen's subexpression elimination the interpreted
+    // lambda re-evaluates at every one of the serving fan-out's ~20
+    // references to the derived codes (measured 2.05 → expected ~0.9 s
+    // on q_ann_ivfpq_residual). Same per-element FLOAT subtract.
+    call_function("vector_sub", col("embedding"),
+      element_at(centsLit, (col("cent_id") + 1).cast("int")))
   }
 
   private[graft] def pqResiduals(e: DataFrame,
@@ -1073,22 +1078,39 @@ object SimilarityQueries {
         cents.foreach { case (cid, ce) => table(cid.toInt) = dotD(qv, ce) }
         element_at(typedLit(table.toSeq), (col("cent_id") + 1).cast("int"))
       }
-      def scoreExpr(qv: Array[Float]): Column =
-        cellDot(qv) + adcScoreExpr(resBooks, qv)
-      pqAssign(kmeansAssign(
+      val codes = pqAssign(kmeansAssign(
           Tables.embeddings(s, d).select("vec_id", "embedding"), cents)
         .filter(col("cent_id").isin(allProbed: _*))
         .withColumn("residual", residualExpr(cents)),
         resBooks, vecCol = "residual")
-        .select(col("vec_id").as("neighbor_id"),
-          filter(array(queries.map { case (qid, qv) =>
-            when(col("cent_id").isin(probes(qid): _*) &&
-                col("vec_id") =!= lit(qid),
-              struct(lit(qid).as("q_id"), scoreExpr(qv).as("score")))
-          }: _*), x => x.isNotNull).as("qs"))
-        .select(col("neighbor_id"), explode(col("qs")).as("q"))
-        .select(col("q.q_id").as("q_id"), col("neighbor_id"),
-          col("q.score").as("score"))
+        .select("vec_id", "cent_id", "code0", "code1", "code2", "code3")
+      // FAN OUT FIRST on a cheap (q_id) array, SCORE AFTER the Generate
+      // (r12, ResidualServeProbe): with score structs inside the array
+      // build, the optimizer re-inlined the ENTIRE residual code
+      // computation at every one of the 20 (query × subspace) code
+      // references — measured 1.87 s vs the 0.50 s this shape runs. The
+      // pre-explode array references only cent_id/vec_id (non-hit
+      // queries null out in the same HOF-filter discipline as
+      // q_ann_ivfpq — no post-Generate row filter, the r10 trap);
+      // code0..3 pass THROUGH the Generate as attributes, and
+      // projections cannot collapse across a Generate, so the codes are
+      // structurally evaluated once per input row regardless of how
+      // many times the post-Generate CASE score references them.
+      val qidArr = filter(array(queries.map { case (qid, _) =>
+        when(col("cent_id").isin(probes(qid): _*) &&
+            col("vec_id") =!= lit(qid), lit(qid))
+      }: _*), x => x.isNotNull)
+      val score = queries.foldRight(lit(null).cast("double"): Column) {
+        case ((qid, qv), els) =>
+          when(col("q_id") === lit(qid),
+            cellDot(qv) + adcScoreExpr(resBooks, qv))
+            .otherwise(els)
+      }
+      codes
+        .select(col("vec_id").as("neighbor_id"), col("cent_id"),
+          col("code0"), col("code1"), col("code2"), col("code3"),
+          explode(qidArr).as("q_id"))
+        .select(col("q_id"), col("neighbor_id"), score.as("score"))
         .groupBy("q_id")
         .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
         .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
