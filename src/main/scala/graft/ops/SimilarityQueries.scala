@@ -282,6 +282,39 @@ object SimilarityQueries {
     }.reduce(_ + _)
   }
 
+  /** Fan-out-first per-query scoring over a codes frame, shared by every
+    * ADC search (r12 — ResidualServeProbe/AnnPqShapeProbe): the
+    * pre-explode array carries ONLY the query ids behind cheap gates
+    * (vec_id / cent_id predicates — non-hit queries null out inside the
+    * array and die in the same projection's HOF filter, the r10
+    * discipline), and the per-query score is a CASE evaluated AFTER the
+    * Generate, where the code columns arrive as pass-through attributes.
+    * With score structs INSIDE the array build, the optimizer re-inlined
+    * the whole code derivation at every (query × subspace) code
+    * reference — measured 2.0× on q_ann_pq and 3.7× on the residual
+    * serving composition; projections cannot collapse across a Generate,
+    * so this shape evaluates the codes exactly once per input row.
+    * Returns the per-query `topk_by` heap output (q_id, top). */
+  private def adcFanoutFirst(codes: DataFrame,
+                             queries: Array[(Long, Array[Float])],
+                             gate: Long => Column,
+                             scoreOf: Array[Float] => Column,
+                             k: Int): DataFrame = {
+    val qidArr = filter(array(queries.map { case (qid, _) =>
+      when(gate(qid), lit(qid))
+    }: _*), x => x.isNotNull)
+    val score = queries.foldRight(lit(null).cast("double"): Column) {
+      case ((qid, qv), els) =>
+        when(col("q_id") === lit(qid), scoreOf(qv)).otherwise(els)
+    }
+    codes
+      .select(col("*"), explode(qidArr).as("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        score.as("score"))
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(score, neighbor_id, $k)").as("top"))
+  }
+
   /** Per-row PQ assignment: adds `code0..code{M-1}` — each the argmin
     * sub-centroid (squared distance via the dot − |c|²/2 reduction, ties
     * to the smaller cent_id) for that subspace slice — as pure expression
@@ -892,22 +925,12 @@ object SimilarityQueries {
       val books = pqCodebooksCached(s, d)
       val queries = headVecs(s, d, 5)
       val codes = pqAssign(Tables.embeddings(s, d).select("vec_id", "embedding"), books).drop("embedding")
-      // per query: ADC table_m keyed by cent_id (see adcScoreExpr)
-      def scoreExpr(q: Array[Float]): Column = adcScoreExpr(books, q)
-      // self-match nulls out INSIDE the array and dies in the same
-      // projection's HOF filter — a post-explode row filter would be
-      // alias-substituted below the Generate (same fix as q_ann_ivfpq's
-      // fan-out, measured there at ~3× on the stage)
-      codes
-        .select(col("vec_id"), filter(array(queries.map { case (qid, qv) =>
-          when(col("vec_id") =!= lit(qid),
-            struct(lit(qid).as("q_id"), scoreExpr(qv).as("score")))
-        }: _*), x => x.isNotNull).as("qs"))
-        .select(col("vec_id").as("neighbor_id"), explode(col("qs")).as("q"))
-        .select(col("q.q_id").as("q_id"), col("neighbor_id"),
-          col("q.score").as("score"))
-        .groupBy("q_id")
-        .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
+      // fan-out-first + post-Generate CASE score (r12, AnnPqShapeProbe:
+      // 0.715 → 0.350 s min — see [[adcFanoutFirst]]); ADC table_m keyed
+      // by cent_id (see adcScoreExpr)
+      adcFanoutFirst(codes, queries,
+        gate = qid => col("vec_id") =!= lit(qid),
+        scoreOf = qv => adcScoreExpr(books, qv), k = 3)
         .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("q_id"), col("t.id").as("neighbor_id"),
           (col("pos") + 1).as("rnk"), col("t.score").as("score"))
@@ -933,19 +956,12 @@ object SimilarityQueries {
       val queries = headVecs(s, d, 5)
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val codes = pqAssign(e, books).drop("embedding")
-      def scoreExpr(q: Array[Float]): Column = adcScoreExpr(books, q)
-      // stage 1: ADC over codes, exactly q_ann_pq's fan-out, but the heap
-      // keeps the R-wide shortlist instead of the final k
-      val shortlist = codes
-        .select(col("vec_id"), filter(array(queries.map { case (qid, qv) =>
-          when(col("vec_id") =!= lit(qid),
-            struct(lit(qid).as("q_id"), scoreExpr(qv).as("score")))
-        }: _*), x => x.isNotNull).as("qs"))
-        .select(col("vec_id").as("neighbor_id"), explode(col("qs")).as("q"))
-        .select(col("q.q_id").as("q_id"), col("neighbor_id"),
-          col("q.score").as("score"))
-        .groupBy("q_id")
-        .agg(expr(s"topk_by(score, neighbor_id, $RerankShortlist)").as("top"))
+      // stage 1: ADC over codes, exactly q_ann_pq's fan-out-first shape
+      // (r12, [[adcFanoutFirst]]), but the heap keeps the R-wide
+      // shortlist instead of the final k
+      val shortlist = adcFanoutFirst(codes, queries,
+          gate = qid => col("vec_id") =!= lit(qid),
+          scoreOf = qv => adcScoreExpr(books, qv), k = RerankShortlist)
         .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
       // stage 2: exact re-rank of the shortlist only — the raw-vector scan
       // keeps just broadcast-matched rows, then per-query exact dots and
@@ -1015,30 +1031,22 @@ object SimilarityQueries {
           (dotD(qv, ce) - dotD(ce, ce) / 2, cid)
         }.sortBy { case (score, cid) => (-score, cid) }.take(2).map(_._2).toSeq
       }.toMap
-      def scoreExpr(q: Array[Float]): Column = adcScoreExpr(books, q)
       val allProbed = probes.values.flatten.toSeq.distinct
       // cell-prune BEFORE code computation: rows outside every probe list
       // never pay the M·K sub-dot assignment (the order a real index
-      // enforces physically by storing codes per inverted list)
-      // non-hit queries null out INSIDE the array and die in the same
-      // projection's HOF filter — a post-explode row filter would be
-      // alias-substituted below the Generate and re-evaluate the whole
-      // candidate array per predicate reference (the measured
-      // filter-on-alias trap; this shape cut the fan-out stage ~3×)
-      pqAssign(kmeansAssign(
-          Tables.embeddings(s, d).select("vec_id", "embedding"), cents)
-        .filter(col("cent_id").isin(allProbed: _*)), books)
-        .select(col("vec_id").as("neighbor_id"),
-          filter(array(queries.map { case (qid, qv) =>
-            when(col("cent_id").isin(probes(qid): _*) &&
-                col("vec_id") =!= lit(qid),
-              struct(lit(qid).as("q_id"), scoreExpr(qv).as("score")))
-          }: _*), x => x.isNotNull).as("qs"))
-        .select(col("neighbor_id"), explode(col("qs")).as("q"))
-        .select(col("q.q_id").as("q_id"), col("neighbor_id"),
-          col("q.score").as("score"))
-        .groupBy("q_id")
-        .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
+      // enforces physically by storing codes per inverted list); then the
+      // r12 fan-out-first shape ([[adcFanoutFirst]]) — query ids behind
+      // cheap cent_id/vec_id gates in the array, the ADC CASE score after
+      // the Generate where the codes are pass-through attributes
+      adcFanoutFirst(
+        pqAssign(kmeansAssign(
+            Tables.embeddings(s, d).select("vec_id", "embedding"), cents)
+          .filter(col("cent_id").isin(allProbed: _*)), books)
+          .select("vec_id", "cent_id", "code0", "code1", "code2", "code3"),
+        queries,
+        gate = qid => col("cent_id").isin(probes(qid): _*) &&
+          col("vec_id") =!= lit(qid),
+        scoreOf = qv => adcScoreExpr(books, qv), k = 3)
         .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("q_id"), col("t.id").as("neighbor_id"),
           (col("pos") + 1).as("rnk"), col("t.score").as("score"))
@@ -1078,41 +1086,23 @@ object SimilarityQueries {
         cents.foreach { case (cid, ce) => table(cid.toInt) = dotD(qv, ce) }
         element_at(typedLit(table.toSeq), (col("cent_id") + 1).cast("int"))
       }
-      val codes = pqAssign(kmeansAssign(
-          Tables.embeddings(s, d).select("vec_id", "embedding"), cents)
-        .filter(col("cent_id").isin(allProbed: _*))
-        .withColumn("residual", residualExpr(cents)),
-        resBooks, vecCol = "residual")
-        .select("vec_id", "cent_id", "code0", "code1", "code2", "code3")
-      // FAN OUT FIRST on a cheap (q_id) array, SCORE AFTER the Generate
-      // (r12, ResidualServeProbe): with score structs inside the array
-      // build, the optimizer re-inlined the ENTIRE residual code
-      // computation at every one of the 20 (query × subspace) code
-      // references — measured 1.87 s vs the 0.50 s this shape runs. The
-      // pre-explode array references only cent_id/vec_id (non-hit
-      // queries null out in the same HOF-filter discipline as
-      // q_ann_ivfpq — no post-Generate row filter, the r10 trap);
-      // code0..3 pass THROUGH the Generate as attributes, and
-      // projections cannot collapse across a Generate, so the codes are
-      // structurally evaluated once per input row regardless of how
-      // many times the post-Generate CASE score references them.
-      val qidArr = filter(array(queries.map { case (qid, _) =>
-        when(col("cent_id").isin(probes(qid): _*) &&
-            col("vec_id") =!= lit(qid), lit(qid))
-      }: _*), x => x.isNotNull)
-      val score = queries.foldRight(lit(null).cast("double"): Column) {
-        case ((qid, qv), els) =>
-          when(col("q_id") === lit(qid),
-            cellDot(qv) + adcScoreExpr(resBooks, qv))
-            .otherwise(els)
-      }
-      codes
-        .select(col("vec_id").as("neighbor_id"), col("cent_id"),
-          col("code0"), col("code1"), col("code2"), col("code3"),
-          explode(qidArr).as("q_id"))
-        .select(col("q_id"), col("neighbor_id"), score.as("score"))
-        .groupBy("q_id")
-        .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
+      // FAN OUT FIRST, SCORE AFTER the Generate (r12, ResidualServeProbe
+      // — the lesson now shared as [[adcFanoutFirst]]): with score
+      // structs inside the array build, the optimizer re-inlined the
+      // ENTIRE residual code computation at every one of the 20
+      // (query × subspace) code references — measured 1.87 s vs the
+      // 0.50 s this shape runs.
+      adcFanoutFirst(
+        pqAssign(kmeansAssign(
+            Tables.embeddings(s, d).select("vec_id", "embedding"), cents)
+          .filter(col("cent_id").isin(allProbed: _*))
+          .withColumn("residual", residualExpr(cents)),
+          resBooks, vecCol = "residual")
+          .select("vec_id", "cent_id", "code0", "code1", "code2", "code3"),
+        queries,
+        gate = qid => col("cent_id").isin(probes(qid): _*) &&
+          col("vec_id") =!= lit(qid),
+        scoreOf = qv => cellDot(qv) + adcScoreExpr(resBooks, qv), k = 3)
         .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("q_id"), col("t.id").as("neighbor_id"),
           (col("pos") + 1).as("rnk"), col("t.score").as("score"))
