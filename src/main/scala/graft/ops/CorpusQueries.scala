@@ -197,6 +197,31 @@ object CorpusQueries {
           min("n_tokens").as("min_tokens"),
           max("n_tokens").as("max_tokens"))),
 
+    // Winsorized per-source length — robust normalization before quality
+    // thresholds: clip each doc's length at its OWN source's exact
+    // [p05, p95], so one source's tail can't dominate a global cutoff.
+    // Exactness: the percentile input is cast to DOUBLE first (Spark's
+    // exact `percentile` and DuckDB's `quantile_cont` then run the same
+    // lo + (hi−lo)·frac interpolation on identical doubles — the
+    // q_percentile-proven ulp equality), and the clip is LEAST/GREATEST
+    // compares, never new arithmetic. Plan: one narrow per-source
+    // percentile agg (sources are few by definition; exact percentile
+    // buffers per-group values — the 100 TB swap is approx_percentile
+    // with identical clip plumbing) broadcast back over the scan; per-row
+    // work after that is three compares.
+    "q_winsorize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("len"))
+      val cuts = docs.groupBy(col("source").as("src"))
+        .agg(expr("percentile(len, 0.05)").as("p05"),
+          expr("percentile(len, 0.95)").as("p95"))
+      docs.join(broadcast(cuts), col("source") === col("src"))
+        .select(col("doc_id"), col("source"), col("len"),
+          least(greatest(col("len"), col("p05")), col("p95")).as("w"),
+          (col("len") < col("p05") || col("len") > col("p95")).as("clipped"))
+    }),
+
     // Temperature-smoothed source mixing weights — the step that turns the
     // report card into a training recipe: upsample small sources, damp the
     // giants (the multilingual-sampling convention, alpha = 0.5). Every
@@ -1025,6 +1050,17 @@ object CorpusQueries {
                  MIN(n_tokens) AS min_tokens,
                  MAX(n_tokens) AS max_tokens
           FROM t GROUP BY source, n_tokens // 8""",
+    "q_winsorize" ->
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS len
+                    FROM documents),
+          c AS (SELECT source AS src,
+                       quantile_cont(len, 0.05) AS p05,
+                       quantile_cont(len, 0.95) AS p95
+                FROM d GROUP BY 1)
+         SELECT doc_id, source, len,
+                LEAST(GREATEST(len, p05), p95) AS w,
+                (len < p05 OR len > p95) AS clipped
+         FROM d JOIN c ON d.source = c.src""",
     "q_mix_temperature" ->
       """WITH per AS (SELECT source,
                              CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens

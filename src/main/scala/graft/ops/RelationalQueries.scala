@@ -139,6 +139,35 @@ object RelationalQueries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_acctbal")),
 
+    // C9 — full-outer reconciliation: per-user click vs purchase activity
+    // merged with COALESCE over the join key; rows survive from EITHER
+    // side (click-only, buy-only, both) — the one join type the rest of
+    // the board never exercises. Scale shape: both sides pre-aggregate to
+    // user cardinality BEFORE the join (map-side-combined groupBys), so
+    // the full-outer SMJ joins two already-shrunk inputs — one shuffle per
+    // side on user_id, never an event-cardinality join. Spend uses the
+    // floor-cents BIGINT discipline (exact, order-free) with the single
+    // double division at the very end.
+    "q_join_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("bu"))
+        .agg(count(lit(1)).as("n_buys"),
+          sum(expr("CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)"))
+            .as("spend_cents"))
+      clicks.join(buys, col("cu") === col("bu"), "full_outer")
+        .select(coalesce(col("cu"), col("bu")).as("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+          (coalesce(col("spend_cents"), lit(0L)).cast("double") / 100.0)
+            .as("spend"),
+          when(col("cu").isNull, lit("buy_only"))
+            .when(col("bu").isNull, lit("click_only"))
+            .otherwise(lit("both")).as("seg"))
+    }),
+
     // C10 — range/interval join: bands are uniform, so the band predicate
     // collapses to a derived equi-key (floor(price/width)) + broadcast hash
     // join — whole-stage-codegen'd, no nested loop. The residual lo/hi
@@ -593,6 +622,21 @@ object RelationalQueries {
     "q_anti_join" ->
       """SELECT c_custkey, c_acctbal FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_join_outer" ->
+      """WITH c AS (SELECT user_id AS cu, COUNT(*) AS n_clicks
+                    FROM events WHERE event_type = 'click' GROUP BY 1),
+              b AS (SELECT user_id AS bu, COUNT(*) AS n_buys,
+                           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100)
+                             AS BIGINT)) AS BIGINT) AS spend_cents
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT COALESCE(cu, bu) AS user_id,
+                COALESCE(n_clicks, 0) AS n_clicks,
+                COALESCE(n_buys, 0) AS n_buys,
+                CAST(COALESCE(spend_cents, 0) AS DOUBLE) / 100.0 AS spend,
+                CASE WHEN cu IS NULL THEN 'buy_only'
+                     WHEN bu IS NULL THEN 'click_only'
+                     ELSE 'both' END AS seg
+         FROM c FULL OUTER JOIN b ON cu = bu""",
     "q_range_join" ->
       """WITH bands AS (
            SELECT band_id, band_id * 50000.0 AS lo, (band_id + 1) * 50000.0 AS hi

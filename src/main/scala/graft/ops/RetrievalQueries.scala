@@ -364,6 +364,42 @@ object RetrievalQueries {
         .agg(sum("contrib").as("rrf"), count(lit(1)).as("n_lists"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // Diversified top-k (MMR-style via source blocking): best hit per
+    // (query, source), then global top-3 over those representatives — at
+    // most one result per source, the cheap deterministic form of "don't
+    // return three near-identical hits from one domain". Scale shape: the
+    // corpus-wide part is cosineScored's broadcast-query scoring pass plus
+    // ONE equi-join to the documents source column (both sides shuffle on
+    // id — honest at corpus scale, no broadcast of a corpus-sized dim);
+    // per-source best is a max-of-struct agg (map-side combined, ties
+    // break to the smallest id via the negated-id struct field), which
+    // shrinks to nq×nsources rows — corpus-independent and bounded, so it
+    // is localCheckpointed once and BOTH consumers (the topk_by heap and
+    // the source-recovery join) read the materialized handful of rows
+    // instead of duplicating the scan+join+agg subtree (the r9
+    // duplicate-subtree trap).
+    "q_topk_diverse" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val best = SimilarityQueries.cosineScored(s, d)
+        .join(docs, col("neighbor_id") === col("doc_id"))
+        .groupBy(col("q_id"), col("source"))
+        .agg(max(struct(col("score"), (-col("neighbor_id")).as("nid")))
+          .as("b"))
+        .select(col("q_id"), col("source"), (-col("b.nid")).as("bid"),
+          col("b.score").as("score"))
+        .localCheckpoint(true)
+      val top = best.groupBy("q_id")
+        .agg(expr("topk_by(score, bid, 3)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"), col("t.score").as("score"))
+      top.join(best.select(col("q_id").as("bq"), col("source"),
+          col("bid").as("bid2")),
+          col("q_id") === col("bq") && col("neighbor_id") === col("bid2"))
+        .select("q_id", "neighbor_id", "source", "rnk", "score")
     })
   )
 
@@ -474,6 +510,37 @@ object RetrievalQueries {
           g AS (SELECT doc_id, SUM(contrib) AS rrf, COUNT(*) AS n_lists
                 FROM u GROUP BY doc_id)
           SELECT doc_id, rrf, n_lists FROM g
-          ORDER BY rrf DESC, doc_id LIMIT 20"""
+          ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // cosineScored's exact score chain (UNNEST dot ↔ vector_dot) + the
+    // per-(query, source) best via ROW_NUMBER, global rank mirroring the
+    // (score DESC, id ASC) heap order
+    "q_topk_diverse" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                    WHERE vec_id < 5),
+          p AS (SELECT q.q_id, e.vec_id AS neighbor_id, e.embedding AS emb,
+                       q.qe
+                FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+          t AS (SELECT q_id, neighbor_id, UNNEST(emb) AS x, UNNEST(qe) AS y
+                FROM p),
+          sc AS (SELECT q_id, neighbor_id,
+                        SUM(CAST(x * y AS DOUBLE)) AS dot,
+                        SUM(CAST(x * x AS DOUBLE)) AS nx,
+                        SUM(CAST(y * y AS DOUBLE)) AS ny
+                 FROM t GROUP BY 1, 2),
+          s3 AS (SELECT q_id, neighbor_id,
+                        dot / (sqrt(nx) * sqrt(ny)) AS score
+                 FROM sc),
+          j AS (SELECT s3.q_id, s3.neighbor_id, s3.score, d.source
+                FROM s3 JOIN documents d ON s3.neighbor_id = d.doc_id),
+          best AS (SELECT q_id, source, neighbor_id, score,
+                          ROW_NUMBER() OVER (PARTITION BY q_id, source
+                            ORDER BY score DESC, neighbor_id) AS sr
+                   FROM j),
+          r AS (SELECT q_id, source, neighbor_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, neighbor_id) AS rnk
+                FROM best WHERE sr = 1)
+         SELECT q_id, neighbor_id, source, rnk, score
+         FROM r WHERE rnk <= 3"""
   )
 }

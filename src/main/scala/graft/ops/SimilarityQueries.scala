@@ -788,6 +788,42 @@ object SimilarityQueries {
           to_json(col("q")).as("qvec"),
           expr("size(filter(q, v -> abs(v) = 127))").as("n_sat"))),
 
+    // Binary (1-bit sign) embedding codes + Hamming top-k — the cheapest
+    // retrieval tier below int8 (q_embed_quantize) and PQ (q_ann_pq): 64
+    // float dims pack to 8 BYTES of code, distance = popcount(xor) — pure
+    // integer end to end, so the twin hash-matches with no float
+    // discipline needed. Codes are packed as TWO 32-bit halves carried in
+    // BIGINTs: a single 64-bit pack would need bit 63, and 2^63 overflows
+    // signed BIGINT on the oracle side (DuckDB checks overflow; Spark
+    // wraps) — halves keep both engines in safe exact range. Scale shape:
+    // the corpus-wide pass touches only the 8 B/row codes (vs 256 B of
+    // floats); the nq query codes broadcast; the score is codegen'd
+    // xor+bit_count; topk_by's bounded heap crosses the shuffle with k
+    // rows per query per partition. Hamming ties are dense (range 0..64)
+    // — determinism comes from topk_by's (score DESC, id ASC) total order
+    // with score = -distance, mirrored by the twin's ORDER BY hd,
+    // neighbor_id.
+    "q_ann_hamming" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def half(lo: Int): Column = expr(
+        s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+          s"(acc, i) -> acc + IF(embedding[i] > 0, shiftleft(1L, i - $lo), 0L))")
+      val codes = ScaleOps.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      val q = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("lo").as("qlo"),
+          col("hi").as("qhi"))
+      codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nid"),
+          expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").as("hd"))
+        .groupBy("q_id")
+        .agg(expr("topk_by(-CAST(hd AS DOUBLE), nid, 10)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"),
+          (-col("t.score")).cast("long").as("hd"))
+    }),
+
     // Pairwise source similarity over domain centroids — the "how close
     // are two sources" input to mixing decisions (q_mix_weights picks HOW
     // MUCH of each source; this measures which sources are redundant).
@@ -1553,6 +1589,32 @@ object SimilarityQueries {
          FROM (SELECT vec_id, embedding,
                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
                FROM embeddings) t""",
+    // same two-halves sign pack (1-based UNNEST pos ↔ Spark's 0-based
+    // element index); integer xor+popcount, ROW_NUMBER mirrors the
+    // (distance ASC, id ASC) heap order
+    "q_ann_hamming" ->
+      """WITH t AS (SELECT vec_id, UNNEST(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS pos
+                    FROM embeddings),
+          codes AS (SELECT vec_id,
+                           CAST(SUM(CASE WHEN pos <= 32 AND x > 0
+                             THEN CAST(1 AS BIGINT) << (pos - 1) ELSE 0 END)
+                             AS BIGINT) AS lo,
+                           CAST(SUM(CASE WHEN pos > 32 AND x > 0
+                             THEN CAST(1 AS BIGINT) << (pos - 33) ELSE 0 END)
+                             AS BIGINT) AS hi
+                    FROM t GROUP BY 1),
+          q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi
+                FROM codes WHERE vec_id < 5),
+          sc AS (SELECT q.q_id, c.vec_id AS neighbor_id,
+                        CAST(bit_count(xor(c.lo, q.qlo))
+                          + bit_count(xor(c.hi, q.qhi)) AS BIGINT) AS hd
+                 FROM codes c, q WHERE c.vec_id <> q.q_id),
+          r AS (SELECT q_id, neighbor_id, hd,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY hd, neighbor_id) AS rnk
+                FROM sc)
+         SELECT q_id, neighbor_id, rnk, hd FROM r WHERE rnk <= 10""",
     // integer centroid sums via the lockstep-UNNEST zip; cosine on the sum
     // vectors — the one double division happens after all exact math
     "q_source_sim" ->

@@ -100,6 +100,31 @@ object TextQueries {
     // stream anywhere.
     "q_doc_tfidf" -> ((s, d) => docTfidf(Tables.documents(s, d))),
 
+    // Rare-term novelty — the fraction of a document's DISTINCT terms
+    // that are corpus-unique (df = 1): "is this doc adding vocabulary or
+    // repeating the corpus", a cheap curation signal next to q_doc_tfidf.
+    // Integer counts end to end with ONE double division at the very end
+    // → hash-exact with no float discipline. Plan: per-doc distinct
+    // terms via array_distinct INSIDE the row (no corpus-wide distinct
+    // exchange), then the same two-pass vocabulary shape as q_doc_tfidf
+    // (term-df agg + join back on term + per-doc agg) — the r9-decomposed
+    // algorithmic minimum for any df-dependent per-doc score; exchanges
+    // key on high-cardinality terms, so the shape holds at 100 TB.
+    "q_novelty" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+            .as("term"))
+      val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      terms.join(df, "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_terms"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_terms")).as("novelty"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text.
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -928,6 +953,23 @@ object TextQueries {
                         ORDER BY score DESC, term) AS rnk
             FROM scored) t
           WHERE rnk <= 5""",
+    // SELECT DISTINCT over the unnested stream ≡ Spark's in-row
+    // array_distinct (a term appears once per doc either way); the CASE
+    // sum casts to BIGINT at the source (the HUGEINT trap)
+    "q_novelty" ->
+      """WITH ws AS (SELECT DISTINCT doc_id, term
+                     FROM (SELECT doc_id,
+                                  UNNEST(string_split_regex(trim(lower(text)),
+                                    '\s+')) AS term
+                           FROM documents WHERE text IS NOT NULL) t),
+          df AS (SELECT term, COUNT(*) AS df FROM ws GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_terms,
+                CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unique,
+                CAST(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS DOUBLE) / COUNT(*) AS novelty
+         FROM ws JOIN df USING (term)
+         GROUP BY doc_id""",
     // Same hashed-bigram model, fixed-point weights and single-rounded
     // corpus-mean scalar as the Spark side — every comparison that decides
     // a bucket is integer, so the CASE labels cannot drift cross-engine.

@@ -838,4 +838,132 @@ class OpPropertiesSpec extends SparkTestBase {
     for (r <- rows; t <- types)
       assert(r.getAs[Long](t) === long.getOrElse((r.getDate(0), t), 0L))
   }
+
+  test("q_join_outer: segments partition the user union, counts recount") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = RelationalQueries.queries("q_join_outer")(spark, sfDir).collect()
+    val ev = graft.tables.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clicks = ev.filter(_._2 == "click").groupBy(_._1).map { case (u, xs) => u -> xs.length.toLong }
+    val buys = ev.filter(_._2 == "purchase").groupBy(_._1).map { case (u, xs) => u -> xs.length.toLong }
+    assert(rows.map(_.getAs[Long]("user_id")).toSet ===
+      (clicks.keySet ++ buys.keySet))
+    for (r <- rows) {
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("n_clicks") === clicks.getOrElse(u, 0L))
+      assert(r.getAs[Long]("n_buys") === buys.getOrElse(u, 0L))
+      val seg = r.getAs[String]("seg")
+      assert(seg === ((clicks.contains(u), buys.contains(u)) match {
+        case (true, true) => "both"
+        case (true, false) => "click_only"
+        case (false, true) => "buy_only"
+        case _ => fail("user from neither side")
+      }))
+    }
+  }
+
+  test("q_ann_hamming: matches brute-force sign-bit Hamming top-10") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SimilarityQueries.queries("q_ann_hamming")(spark, sfDir)
+      .collect()
+    val vecs = graft.tables.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bits(v: Array[Float]): Array[Boolean] = v.map(_ > 0f)
+    def hd(a: Array[Float], b: Array[Float]): Int =
+      bits(a).zip(bits(b)).count { case (x, y) => x != y }
+    for (q <- 0L until 5L) {
+      val expect = vecs.keys.filter(_ != q).toSeq
+        .map(id => (hd(vecs(q), vecs(id)), id)).sorted.take(10)
+      val got = rows.filter(_.getAs[Long]("q_id") == q)
+        .sortBy(_.getAs[Int]("rnk"))
+        .map(r => (r.getAs[Long]("hd").toInt, r.getAs[Long]("neighbor_id")))
+      assert(got.toSeq === expect, s"query $q")
+      assert(got.forall { case (d, _) => d >= 0 && d <= 64 })
+    }
+  }
+
+  test("q_topk_diverse: one hit per source, each its source's best") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = RetrievalQueries.queries("q_topk_diverse")(spark, sfDir)
+      .collect()
+    val src = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = graft.tables.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- 0L until 5L) {
+      val mine = rows.filter(_.getAs[Long]("q_id") == q)
+        .sortBy(_.getAs[Int]("rnk"))
+      assert(mine.length === 3)
+      // one result per source
+      assert(mine.map(_.getAs[String]("source")).distinct.length === 3)
+      // scores non-increasing in rank
+      val scores = mine.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // each hit beats (or ties within fp slack) every other doc of its source
+      for (r <- mine) {
+        val mySrc = r.getAs[String]("source")
+        val myScore = r.getAs[Double]("score")
+        val bestInSrc = vecs.keys
+          .filter(id => id != q && src.get(id).contains(mySrc))
+          .map(id => cos(vecs(q), vecs(id))).max
+        assert(math.abs(myScore - bestInSrc) < 1e-9,
+          s"q=$q src=$mySrc: $myScore vs brute $bestInSrc")
+      }
+    }
+  }
+
+  test("q_winsorize: w clipped into [p05, p95], flag iff outside") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q_winsorize")(spark, sfDir).collect()
+    assert(rows.length === 500)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    for ((_, rs) <- bySrc) {
+      val lens = rs.map(_.getAs[Double]("len"))
+      val ws = rs.map(_.getAs[Double]("w"))
+      // winsorized values live strictly inside the raw range and their
+      // extremes are the cut points shared by every clipped row
+      assert(ws.min >= lens.min && ws.max <= lens.max)
+      for (r <- rs) {
+        val (len, w, clipped) =
+          (r.getAs[Double]("len"), r.getAs[Double]("w"),
+            r.getAs[Boolean]("clipped"))
+        if (clipped) assert(w === ws.min || w === ws.max)
+        else assert(w === len)
+      }
+      // at most ~10% clipped (5% per tail) + discreteness slack
+      val fracClipped =
+        rs.count(_.getAs[Boolean]("clipped")).toDouble / rs.length
+      assert(fracClipped <= 0.2, s"clipped $fracClipped")
+    }
+  }
+
+  test("q_novelty: equals an in-memory df recount; bounds hold") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = TextQueries.queries("q_novelty")(spark, sfDir).collect()
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").distinct.toSet)
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ts) <- docs; t <- ts) df(t) = df.getOrElse(t, 0) + 1
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet === docs.map(_._1).toSet)
+    for ((id, ts) <- docs) {
+      val r = byId(id)
+      val uniq = ts.count(df(_) == 1).toLong
+      assert(r.getAs[Long]("n_terms") === ts.size.toLong)
+      assert(r.getAs[Long]("n_unique") === uniq)
+      assert(r.getAs[Double]("novelty") === uniq.toDouble / ts.size)
+    }
+  }
 }

@@ -22,7 +22,10 @@ class PlanAuditSpec extends SparkTestBase {
     * totals became scalar subqueries, so no join node remains.) */
   private val allowedBnlj =
     Set("q_cosine_topk", "q_ann_ivf", "q_ivf_kmeans", "q_mix_weights",
-      "q_knn_classify")
+      "q_knn_classify",
+      // r12: both ride the same broadcast-query non-equi (exclude-self)
+      // scoring pass — nq rows broadcast against the corpus scan
+      "q_ann_hamming", "q_topk_diverse")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
