@@ -101,6 +101,37 @@ object EventQueries {
           expr("datediff(w, cohort_week) DIV 7").as("week_no"))
         .groupBy("cohort_week", "week_no")
         .agg(count(lit(1)).as("users"))
+    }),
+
+    // Click→purchase attribution — the interval self-join: every
+    // purchase pairs with the SAME user's clicks in the strictly
+    // preceding hour (all of them — last-touch/first-touch are sink-side
+    // picks over gap_us). Times compare as epoch MICROSECOND integers
+    // (unix_micros ↔ epoch_us — the q_window_range discipline; raw
+    // TIMESTAMP output would hash-diverge on the fixture's nanos
+    // physical type). Plan: both sides filter to one event type at the
+    // scan, equi-join on user_id with the time band as a residual — one
+    // shuffle per side keyed on users, and the band bounds per-user
+    // match counts, so no pair blow-up at any scale. The streaming twin
+    // is [[graft.streaming.BeaconStreaming.clickAttributionStream]]
+    // (watermarked stream-stream join, spec-pinned equal on a sliced
+    // replay).
+    "q_click_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("click_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("purchase_us"),
+          col("value").as("amount"))
+      c.join(p, col("cu") === col("pu") &&
+          col("click_us") < col("purchase_us") &&
+          col("click_us") >= col("purchase_us") - lit(3600000000L))
+        .select(col("pu").as("user_id"), col("purchase_id"),
+          col("click_id"),
+          (col("purchase_us") - col("click_us")).as("gap_us"),
+          col("amount"))
     })
   )
 
@@ -146,6 +177,17 @@ object EventQueries {
                   AS week_no,
                 COUNT(*) AS users
          FROM e JOIN f ON e.user_id = f.user_id
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q_click_attribution" ->
+      """WITH c AS (SELECT user_id AS cu, event_id AS click_id,
+                           epoch_us(ts) AS click_us
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id AS pu, event_id AS purchase_id,
+                           epoch_us(ts) AS purchase_us, value AS amount
+                    FROM events WHERE event_type = 'purchase')
+         SELECT pu AS user_id, purchase_id, click_id,
+                purchase_us - click_us AS gap_us, amount
+         FROM c JOIN p ON cu = pu AND click_us < purchase_us
+                       AND click_us >= purchase_us - 3600000000"""
   )
 }

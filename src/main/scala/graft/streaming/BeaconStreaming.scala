@@ -658,6 +658,48 @@ object BeaconStreaming {
         timestamp_micros(col("tsu")).as("step_ts"))
   }
 
+  /** Stream-stream interval join (r12) — `q_click_attribution` as a live
+    * pipeline: purchases join the same user's clicks from the strictly
+    * preceding hour, both sides derived from ONE events stream (a
+    * streaming self-join, which Structured Streaming plans as a
+    * symmetric hash join with per-side state stores). This is the one
+    * two-stream operator shape the rest of the streaming family lacks.
+    *
+    * Bounded state is the whole point: BOTH sides carry a watermark and
+    * the join predicate bounds click_ts to [purchase_ts − 1 h,
+    * purchase_ts), so the state store evicts clicks older than
+    * (watermark − 1 h) and purchases older than the watermark — state
+    * holds roughly one hour of clicks plus the watermark lag, never the
+    * history. Inner join ⇒ matches emit as they form (no
+    * watermark-delayed output); a match whose click and purchase land in
+    * different micro-batches (or different AvailableNow invocations —
+    * restart-survival) forms from the checkpointed click state, which
+    * the spec exercises with a sliced replay. Emits the batch query's
+    * exact columns (gap in epoch-microsecond integers). */
+  def clickAttributionStream(stream: DataFrame): DataFrame = {
+    val base = stream.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type").cast("string").as("event_type"),
+      col("value").cast("double").as("value"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases, col("cu") === col("pu") &&
+        col("click_ts") < col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("pu").as("user_id"), col("purchase_id"), col("click_id"),
+        (expr("unix_micros(purchase_ts)") - expr("unix_micros(click_ts)"))
+          .as("gap_us"),
+        col("amount"))
+  }
+
   /** D6 — dual sink: every micro-batch appends the hourly history layout and
     * overwrites the `latest` snapshot — `foreachBatch` is the streaming
     * form of the reference's validators dual write

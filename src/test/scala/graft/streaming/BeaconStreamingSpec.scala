@@ -903,7 +903,7 @@ class BeaconStreamingSpec extends SparkTestBase {
     val sfDir = "/root/testdata/sf0.001"
     val dir = tmpDir(dirPrefix)
     val ev = graft.tables.Tables.events(spark, sfDir)
-      .select("user_id", "ts", "event_id", "event_type")
+      .select("user_id", "ts", "event_id", "event_type", "value")
     val sch = ev.schema
     val ordered = ev.orderBy("ts", "event_id").collect()
     val slices = ordered.grouped((ordered.length + 2) / 3).toSeq
@@ -962,5 +962,51 @@ class BeaconStreamingSpec extends SparkTestBase {
         assert(byStep(s - 1).before(byStep(s)),
           s"user $user: step $s not strictly after step ${s - 1}")
     }
+  }
+
+  test("clickAttributionStream sliced replay equals batch q_click_attribution") {
+    val sfDir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("click_id"), r.getAs[Long]("gap_us"))
+    val batch = graft.ops.EventQueries
+      .queries("q_click_attribution")(spark, sfDir).collect()
+    assert(batch.nonEmpty, "fixture produced no attribution pairs")
+    // Slice the replay ON PURPOSE between one known pair's click and its
+    // purchase (the fixture's pairs sit 1-3 positions apart in global
+    // order, so equal-thirds slicing never straddles one): slice 1 ends
+    // just before the purchase, so the match can only form from the
+    // click buffered in the checkpointed join state across invocations.
+    val ev = graft.tables.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val ordered = ev.orderBy("ts", "event_id").collect()
+    val pos = ordered.map(_.getAs[Long]("event_id")).zipWithIndex.toMap
+    val probe = batch.minBy(r => pos(r.getAs[Long]("purchase_id")))
+    val split = pos(probe.getAs[Long]("purchase_id"))
+    assert(pos(probe.getAs[Long]("click_id")) < split)
+    val dir = tmpDir("stream-attr")
+    for (slice <- Seq(ordered.take(split), ordered.drop(split))) {
+      spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(slice: _*)),
+          ev.schema)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val q = BeaconStreaming.clickAttributionStream(
+          spark.readStream.schema(ev.schema).parquet(s"$dir/in"))
+        .writeStream
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    val streamed = spark.read.parquet(s"$dir/out").collect()
+    assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
+    // every pair's gap respects the (0, 1h] band
+    assert(streamed.forall { r =>
+      val g = r.getAs[Long]("gap_us"); g > 0 && g <= 3600000000L
+    })
+    // and the engineered cross-slice pair exercised the buffered state
+    assert(streamed.exists(r => key(r) == key(probe)),
+      "the cross-slice pair did not survive the replay")
   }
 }
