@@ -209,6 +209,45 @@ object CorpusQueries {
     // buffers per-group values — the 100 TB swap is approx_percentile
     // with identical clip plumbing) broadcast back over the scan; per-row
     // work after that is three compares.
+    // Distribution drift per source — bucketed two-sample KS statistic
+    // between each source's doc-length distribution and the corpus: the
+    // "did this crawl batch change shape" monitor next to q_len_hist's
+    // raw histogram. Exactness: the CDF gap is an INTEGER cross-product —
+    // max_b |cum_s·N_c − cum_c·N_s| in BIGINT, maxed exactly — with the
+    // ONE double division (by N_s·N_c) at the very end, so no accumulated
+    // float ever crosses an engine boundary. (At 100 TB doc counts the
+    // BIGINT product needs a rescale to fixed-point shares; the exact
+    // form here is the reference semantics.) Plan: one narrow
+    // (source, bucket) count agg collapses the corpus; EVERYTHING after
+    // runs on the bounded sources×buckets grid — localCheckpointed once
+    // for its consumers (grid build, cumulative windows, totals), where
+    // bounded-row windows provide the cumulative sums.
+    "q_dist_drift" -> ((s, d) => {
+      val cell = Tables.documents(s, d)
+        .select(col("source"), expr("n_chars div 32").as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val grid = cell.select("source").distinct
+        .crossJoin(cell.select("b").distinct)
+      val full = grid.join(cell, Seq("source", "b"), "left")
+        .select(col("source"), col("b"), coalesce(col("n"), lit(0L)).as("n"))
+      val srcCum = full.select(col("source"), col("b"),
+        sum("n").over(Window.partitionBy("source").orderBy("b")).as("cum_s"))
+      val corpusCum = full.groupBy("b").agg(sum("n").as("nb"))
+        .select(col("b"), sum("nb").over(Window.orderBy("b")).as("cum_c"))
+      val totals = full.groupBy("source").agg(sum("n").as("n_s"))
+      val nc = totals.agg(sum("n_s").as("n_c"))
+      srcCum.join(corpusCum, "b")
+        .join(broadcast(totals), "source")
+        .crossJoin(broadcast(nc))
+        .groupBy(col("source"), col("n_s"), col("n_c"))
+        .agg(max(abs(col("cum_s") * col("n_c") - col("cum_c") * col("n_s")))
+          .as("d_num"))
+        .select(col("source"), col("n_s"),
+          (col("d_num").cast("double") /
+            (col("n_s") * col("n_c")).cast("double")).as("ks"))
+    }),
+
     "q_winsorize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
@@ -1050,6 +1089,30 @@ object CorpusQueries {
                  MIN(n_tokens) AS min_tokens,
                  MAX(n_tokens) AS max_tokens
           FROM t GROUP BY source, n_tokens // 8""",
+    "q_dist_drift" ->
+      """WITH cell AS (SELECT source, n_chars // 32 AS b, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+          grid AS (SELECT s.source, bb.b
+                   FROM (SELECT DISTINCT source FROM cell) s,
+                        (SELECT DISTINCT b FROM cell) bb),
+          fg AS (SELECT g.source, g.b, COALESCE(cell.n, 0) AS n
+                 FROM grid g LEFT JOIN cell
+                   ON g.source = cell.source AND g.b = cell.b),
+          sc AS (SELECT source, b,
+                        CAST(SUM(n) OVER (PARTITION BY source ORDER BY b)
+                          AS BIGINT) AS cum_s
+                 FROM fg),
+          cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM fg GROUP BY 1),
+          cc AS (SELECT b, CAST(SUM(nb) OVER (ORDER BY b) AS BIGINT) AS cum_c
+                 FROM cb),
+          tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_s
+                  FROM fg GROUP BY 1),
+          nc AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_c FROM tot)
+         SELECT source, n_s,
+                CAST(MAX(abs(cum_s * n_c - cum_c * n_s)) AS DOUBLE)
+                  / CAST(n_s * n_c AS DOUBLE) AS ks
+         FROM sc JOIN cc USING (b) JOIN tot USING (source), nc
+         GROUP BY source, n_s, n_c""",
     "q_winsorize" ->
       """WITH d AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS len
                     FROM documents),

@@ -276,6 +276,43 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // C9 composition (r12) — the TPC-H Q5 shape: the 6-table "local
+    // supplier volume" join. Joins chain fact-to-fact on their natural
+    // keys (customer⋈orders on custkey, ⋈lineitem on orderkey, ⋈supplier
+    // on suppkey); the local-supplier condition (c_nationkey =
+    // s_nationkey) rides the supplier join as a residual, and the two
+    // catalog dims broadcast with the region filter pushed into the
+    // broadcast side. Only the three fact-side keys shuffle — the
+    // year-range filter reaches the orders scan, and revenue is the same
+    // floor-cents BIGINT discipline as q_tpch_q3 (exact, order-free sum;
+    // one division at the end).
+    "q_tpch_q5" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
+            .as("rev_c"))
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select("n_nationkey", "n_name")
+      Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(col("rev_c")).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Anomaly flagging (r12) — per-type z-score outliers over the value
     // column, the telemetry-guardrail shape. Exactness discipline: values
     // quantize per row to integer CENTS (floor(v·100) — identical IEEE
@@ -680,6 +717,23 @@ object RelationalQueries {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderdate, l_orderkey
          LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                  (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
     "q_anomaly_z" ->
       """WITH ev AS (SELECT event_id, event_type, value,
                             CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS q

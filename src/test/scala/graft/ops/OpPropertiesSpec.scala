@@ -966,4 +966,57 @@ class OpPropertiesSpec extends SparkTestBase {
       assert(r.getAs[Double]("novelty") === uniq.toDouble / ts.size)
     }
   }
+
+  test("q_tpch_q5: equals an independently-composed SQL form of Q5") {
+    val sfDir = "/root/testdata/sf0.001"
+    val mine = RelationalQueries.queries("q_tpch_q5")(spark, sfDir).collect()
+    for (t <- Seq("customer", "orders", "lineitem", "supplier", "nation",
+        "region"))
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    // same semantics, written as one flat SQL join for Catalyst to plan
+    // from scratch (different source text, same rows expected)
+    val alt = spark.sql(
+      """SELECT n_name,
+                CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                  (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""").collect()
+    assert(mine.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      alt.map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    assert(mine.forall(_.getDouble(1) > 0))
+  }
+
+  test("q_dist_drift: equals a driver-recomputed bucketed KS per source") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q_dist_drift")(spark, sfDir).collect()
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 32))
+    val buckets = docs.map(_._2).distinct.sorted
+    val nAll = docs.length.toLong
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet === bySrc.keySet)
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      val mine = bySrc(src).map(_._2)
+      val nS = mine.length.toLong
+      assert(r.getAs[Long]("n_s") === nS)
+      var cumS = 0L; var cumC = 0L; var dNum = 0L
+      for (b <- buckets) {
+        cumS += mine.count(_ == b)
+        cumC += docs.count(_._2 == b)
+        dNum = math.max(dNum, math.abs(cumS * nAll - cumC * nS))
+      }
+      assert(r.getAs[Double]("ks") === dNum.toDouble / (nS * nAll).toDouble,
+        s"source $src")
+      assert(r.getAs[Double]("ks") >= 0.0 && r.getAs[Double]("ks") <= 1.0)
+    }
+  }
 }
