@@ -27,6 +27,29 @@ object RelationalQueries {
 
   private def dec(c: String, p: Int, s: Int) = col(c).cast(DecimalType(p, s))
 
+  /** Cent-quantized event stream shared by `q_anomaly_z` and
+    * [[graft.streaming.BeaconStreaming.anomalyScoreStream]] — ONE
+    * definition so the batch gate and the streaming scorer cannot drift.
+    * floor(value·100) is the same IEEE multiply+floor on both engines. */
+  private[graft] def anomalyQuantized(ev0: DataFrame): DataFrame =
+    ev0.filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("q"))
+
+  /** Per-type mean/variance over the quantized cents (sample variance,
+    * n−1); n ≤ 1 or zero-variance groups drop out. Sums are pure BIGINT —
+    * exact and order-free on any partitioning. */
+  private[graft] def anomalyStats(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("s2"))
+      .select(col("et"), col("n"),
+        (col("s").cast("double") / col("n")).as("mean_q"),
+        ((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) /
+          (col("n") - 1)).as("var_q"))
+      .filter(col("n") > 1 && col("var_q") > 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1/C2/B2 — projection + range filter; both reach the parquet scan
     // (PushedFilters + pruned ReadSchema).
@@ -323,19 +346,8 @@ object RelationalQueries {
     // agg (5 rows) broadcast back over the scan — nothing corpus-sized
     // shuffles. Sample variance (n−1); var = 0 groups emit nothing.
     "q_anomaly_z" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .filter(col("value").isNotNull)
-        .select(col("event_id"), col("event_type"), col("value"),
-          expr("CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("q"))
-      val stats = ev.groupBy(col("event_type").as("et"))
-        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
-          sum(col("q") * col("q")).as("s2"))
-        .select(col("et"), col("n"),
-          (col("s").cast("double") / col("n")).as("mean_q"),
-          ((col("s2").cast("double") -
-            col("s").cast("double") * col("s").cast("double") / col("n")) /
-            (col("n") - 1)).as("var_q"))
-        .filter(col("n") > 1 && col("var_q") > 0)
+      val ev = anomalyQuantized(Tables.events(s, d))
+      val stats = anomalyStats(ev)
       ev.join(broadcast(stats), ev("event_type") === stats("et"))
         .select(col("event_id"), col("event_type"), col("value"),
           ((col("q").cast("double") - col("mean_q")) /

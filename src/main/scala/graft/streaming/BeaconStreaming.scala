@@ -658,6 +658,38 @@ object BeaconStreaming {
         timestamp_micros(col("tsu")).as("step_ts"))
   }
 
+  /** Frozen-stats streaming anomaly scorer (r12) — `q_anomaly_z` as a
+    * live alerting arm: per-type mean/variance FIT ONCE on a reference
+    * corpus at build time (the frozen-model pattern BM25/fluency/probe
+    * scoring use — train on yesterday, score today's stream), then each
+    * arriving event z-scores row-locally against the broadcast 5-row
+    * stats table and |z| > 3 rows flow to the sink. Stateless: no
+    * watermark, no store — the per-batch work is one broadcast hash join
+    * and three arithmetic ops per row. The quantization and stats
+    * definitions are [[graft.ops.RelationalQueries.anomalyQuantized]] /
+    * `.anomalyStats` — shared with the batch gate so the two scorers
+    * cannot drift; the spec replays the fixture and pins streamed flags
+    * equal to batch `q_anomaly_z` when the fit corpus is the same
+    * history. */
+  def anomalyScoreStream(stream: DataFrame, fitEvents: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val stats = graft.ops.RelationalQueries
+      .anomalyStats(graft.ops.RelationalQueries.anomalyQuantized(fitEvents))
+      .collect() // bounded: one row per event type
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    require(stats.nonEmpty,
+      "anomalyScoreStream: fit corpus yields no usable per-type stats " +
+        "(every type has n <= 1 or zero variance)")
+    val statsDf = stats.toSeq.toDF("et", "mean_q", "var_q")
+    val ev = graft.ops.RelationalQueries.anomalyQuantized(stream)
+    ev.join(broadcast(statsDf), ev("event_type") === statsDf("et"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("q").cast("double") - col("mean_q")) /
+          sqrt(col("var_q"))).as("z"))
+      .filter(abs(col("z")) > 3.0)
+  }
+
   /** Stream-stream interval join (r12) — `q_click_attribution` as a live
     * pipeline: purchases join the same user's clicks from the strictly
     * preceding hour, both sides derived from ONE events stream (a

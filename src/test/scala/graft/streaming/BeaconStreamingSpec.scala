@@ -1009,4 +1009,17 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(streamed.exists(r => key(r) == key(probe)),
       "the cross-slice pair did not survive the replay")
   }
+
+  test("anomalyScoreStream with frozen fixture stats equals batch q_anomaly_z") {
+    val sfDir = "/root/testdata/sf0.001"
+    val fit = graft.tables.Tables.events(spark, sfDir)
+    val streamed = replayEventSlices("stream-anom",
+      BeaconStreaming.anomalyScoreStream(_, fit)).collect()
+    val batch = graft.ops.RelationalQueries
+      .queries("q_anomaly_z")(spark, sfDir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"), r.getAs[Double]("z"))
+    assert(batch.nonEmpty, "fixture produced no |z|>3 outliers")
+    assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
+  }
 }
