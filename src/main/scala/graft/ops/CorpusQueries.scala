@@ -410,6 +410,30 @@ object CorpusQueries {
         length(red).as("n_chars_red"))
     }),
 
+    // Fuzzy denylist matching — levenshtein ≤ 1 token scrubbing: catches
+    // the typo'd/inflected denylist hits exact q_redact misses
+    // ("custmer", "suppliers"). Scale shape: the denylist is SMALL BY
+    // DEFINITION and broadcasts; each doc's DISTINCT token set
+    // (array_distinct inside the row) fans out once, and the length
+    // prefilter (|len(tok) − len(term)| ≤ 1 — a necessary condition for
+    // distance ≤ 1) gates the codegen'd levenshtein so most pairs die on
+    // one integer compare. Distances are integers → hash-exact twin.
+    "q_fuzzy_match" -> ((s, d) => {
+      import s.implicits._
+      val dl = broadcast(
+        Seq("customer", "supplier", "port", "joint").toDF("term")
+          .select(col("term"), length(col("term")).as("tlen")))
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+            .as("tok"))
+        .join(dl, abs(length(col("tok")) - col("tlen")) <= 1 &&
+          levenshtein(col("tok"), col("term")) <= 1)
+        .select(col("doc_id"), col("term"), col("tok"),
+          levenshtein(col("tok"), col("term")).cast("long").as("dist"))
+    }),
+
     // Deterministic stratified sampling — reproducible per-source mixing
     // weights (keep 25% of src0, 50% of src1, everything else whole). The
     // sampling key is a content-independent md5 bucket of the doc_id, so
@@ -1146,6 +1170,18 @@ object CorpusQueries {
                 length(regexp_replace(text, '\b(customer|supplier)\b',
                                       '[REDACTED]', 'g')) AS n_chars_red
          FROM documents""",
+    "q_fuzzy_match" ->
+      """WITH dl AS (SELECT * FROM (VALUES ('customer'), ('supplier'),
+                       ('port'), ('joint')) AS t(term)),
+          toks AS (SELECT DISTINCT doc_id, tok
+                   FROM (SELECT doc_id,
+                                UNNEST(string_split_regex(trim(lower(text)),
+                                  '\s+')) AS tok
+                         FROM documents WHERE text IS NOT NULL) t)
+         SELECT doc_id, term, tok,
+                CAST(levenshtein(tok, term) AS BIGINT) AS dist
+         FROM toks JOIN dl ON abs(length(tok) - length(term)) <= 1
+                           AND levenshtein(tok, term) <= 1""",
     "q_sample_stratified" ->
       """SELECT doc_id, source, lang,
                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR))

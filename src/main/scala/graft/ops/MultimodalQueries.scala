@@ -35,7 +35,36 @@ object MultimodalQueries {
           frameBytes = 16, everyK = 2)
         .select(col("media_id"), col("frame_no"),
           length(col("frame")).as("frame_bytes"),
-          md5(hex(col("frame"))).as("frame_hash")))
+          md5(hex(col("frame"))).as("frame_hash"))),
+
+    // Perceptual dedup of media binaries — a 64-bit AVERAGE HASH (the
+    // classic aHash: bit i set iff "pixel" i is brighter than the image
+    // mean) over the decoded feature stream, then phash-equality groups:
+    // the media-side q_dedup_exact, robust to re-encodings that preserve
+    // brightness structure (which the stub models as byte structure; a
+    // real decoder slots into the same mapPartitions seam). Exactness:
+    // the decode's byte/255 floats round-trip to exact byte integers
+    // (round(x·255)), the mean compare is INTEGER cross-multiplied
+    // (b_i·64 > Σb — no division anywhere), and the pack reuses the
+    // two-BIGINT-halves discipline of q_ann_hamming, so the twin
+    // hash-matches. Scale: per-row decode + pack (the mapPartitions
+    // codec seam), ONE narrow groupBy on the 16-byte code; group rows,
+    // not media rows, leave the aggregate.
+    "q_media_phash" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(s, d), dim = 64)
+        .select(col("media_id"),
+          expr("transform(features, x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * 255) AS BIGINT))").as("b"))
+        .select(col("media_id"), col("b"),
+          expr("aggregate(b, 0L, (a, x) -> a + x)").as("sumb"))
+        .select(col("media_id"),
+          expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+            "acc + IF(b[i] * 64 > sumb, shiftleft(1L, i), 0L))").as("lo"),
+          expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
+            "acc + IF(b[i] * 64 > sumb, shiftleft(1L, i - 32), 0L))")
+            .as("hi"))
+        .groupBy("lo", "hi")
+        .agg(count(lit(1)).as("n_media"), min("media_id").as("keeper")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -67,6 +96,32 @@ object MultimodalQueries {
          SELECT media_id, CAST(i // 2 AS INT) AS frame_no,
                 CAST(length(fhx) // 2 AS INT) AS frame_bytes,
                 md5(fhx) AS frame_hash
-         FROM chunks"""
+         FROM chunks""",
+    // byte extraction identical to the decode oracle (hex-sliced payload
+    // bytes, i % nb stride, empty payload → all-zero bytes); the mean
+    // compare is the integer cross-product, the pack the two-halves shift
+    "q_media_phash" ->
+      """WITH h AS (SELECT doc_id AS media_id,
+                           hex(encode(coalesce(text, ''))) AS hx,
+                           octet_length(encode(coalesce(text, ''))) AS nb
+                    FROM documents),
+          b AS (SELECT media_id, i,
+                       CASE WHEN nb = 0 THEN 0
+                            ELSE CAST(concat('0x', substr(hx,
+                              CAST((i % nb) * 2 + 1 AS INT), 2)) AS INT)
+                       END AS bv
+                FROM h, UNNEST(range(64)) t(i)),
+          sums AS (SELECT media_id, CAST(SUM(bv) AS BIGINT) AS sumb
+                   FROM b GROUP BY 1),
+          codes AS (SELECT b.media_id,
+                           CAST(SUM(CASE WHEN i < 32 AND bv * 64 > sumb
+                             THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                             ELSE 0 END) AS BIGINT) AS lo,
+                           CAST(SUM(CASE WHEN i >= 32 AND bv * 64 > sumb
+                             THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT)
+                             ELSE 0 END) AS BIGINT) AS hi
+                    FROM b JOIN sums USING (media_id) GROUP BY 1)
+         SELECT lo, hi, COUNT(*) AS n_media, MIN(media_id) AS keeper
+         FROM codes GROUP BY 1, 2"""
   )
 }

@@ -967,6 +967,64 @@ class OpPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("q_media_phash: equals a driver aHash recount; collisions exist") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = MultimodalQueries.queries("q_media_phash")(spark, sfDir)
+      .collect()
+    val expect = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getString(1).getBytes("UTF-8")
+        val b = Array.tabulate(64)(i =>
+          if (bytes.isEmpty) 0L else (bytes(i % bytes.length) & 0xff).toLong)
+        val sum = b.sum
+        def pack(lo: Int): Long = (0 until 32).map { j =>
+          if (b(lo + j) * 64 > sum) 1L << j else 0L
+        }.sum
+        r.getLong(0) -> (pack(0), pack(32))
+      }
+    val groups = expect.groupBy(_._2).map { case (code, xs) =>
+      code -> (xs.length.toLong, xs.map(_._1).min)
+    }
+    val got = rows.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")) ->
+      (r.getAs[Long]("n_media"), r.getAs[Long]("keeper"))).toMap
+    assert(got === groups)
+    // the fixture has zero exact text dups, yet brightness-structure
+    // collisions exist — the perceptual tier adds something exact dedup
+    // can't see
+    assert(rows.map(_.getAs[Long]("n_media")).sum === 500L)
+    assert(rows.exists(_.getAs[Long]("n_media") > 1L))
+  }
+
+  test("q_fuzzy_match: equals a driver levenshtein recount; exact hits covered") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q_fuzzy_match")(spark, sfDir).collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val terms = Seq("customer", "supplier", "port", "joint")
+    val expect = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .flatMap { r =>
+        val toks = r.getString(1).toLowerCase.trim.split("\\s+").distinct
+        for (tok <- toks; t <- terms if lev(tok, t) <= 1)
+          yield (r.getLong(0), t, tok, lev(tok, t).toLong)
+      }
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+      r.getAs[String]("tok"), r.getAs[Long]("dist")))
+    assert(got.sorted.toSeq === expect.sorted.toSeq)
+    // the exact-redact denylist words appear, so dist-0 rows must exist,
+    // and the fuzzy tier must add something beyond them
+    assert(got.exists(_._4 == 0L) && got.exists(_._4 == 1L))
+  }
+
   test("q_tpch_q5: equals an independently-composed SQL form of Q5") {
     val sfDir = "/root/testdata/sf0.001"
     val mine = RelationalQueries.queries("q_tpch_q5")(spark, sfDir).collect()

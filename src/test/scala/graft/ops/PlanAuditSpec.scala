@@ -25,7 +25,13 @@ class PlanAuditSpec extends SparkTestBase {
       "q_knn_classify",
       // r12: both ride the same broadcast-query non-equi (exclude-self)
       // scoring pass — nq rows broadcast against the corpus scan
-      "q_ann_hamming", "q_topk_diverse")
+      "q_ann_hamming", "q_topk_diverse",
+      // r12: tiny broadcast denylist × token stream, length-gated
+      // levenshtein predicate — non-equi by design
+      "q_fuzzy_match",
+      // r12: bounded sources×buckets grid build + the 1-row N_c
+      // cross-join — every BNLJ input here is corpus-independent
+      "q_dist_drift")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
