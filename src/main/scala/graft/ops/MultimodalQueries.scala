@@ -15,6 +15,56 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** Per-media 64-bit average-hash as two BIGINT halves — shared by
+    * q_media_phash (exact groups) and q_phash_neardup (banded pairs) so
+    * the code derivation cannot drift between the two consumers. */
+  private def phashCodes(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.fromDocuments(s, d), dim = 64)
+      // the adcFanoutFirst discipline: byte array + its sum cross a
+      // single-element Generate so they become ATTRIBUTES — projections
+      // cannot collapse across a Generate, so the pack lambdas below
+      // reference bound columns instead of re-inlining transform/sum
+      // INSIDE the 32-iteration fold (the alias-substitution trap: the
+      // naive chain re-evaluated the byte derivation per fold step, 26 s
+      // instead of ~1 s on the banded-pairs consumer)
+      .select(col("media_id"), posexplode(array(struct(
+        expr("transform(features, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 255) AS BIGINT))").as("b"),
+        expr("aggregate(transform(features, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 255) AS BIGINT)), 0L, " +
+          "(a, x) -> a + x)").as("sumb")))).as(Seq("_p", "t")))
+      .select(col("media_id"), col("t.b").as("b"), col("t.sumb").as("sumb"))
+      .select(col("media_id"),
+        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+          "acc + IF(b[i] * 64 > sumb, shiftleft(1L, i), 0L))").as("lo"),
+        expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
+          "acc + IF(b[i] * 64 > sumb, shiftleft(1L, i - 32), 0L))")
+          .as("hi"))
+
+  /** The matching DuckDB CTE chain (ends in `codes(media_id, lo, hi)`) —
+    * interpolated into both oracles for the same no-drift reason. */
+  private val phashCodesSql: String =
+    """h AS (SELECT doc_id AS media_id,
+                    hex(encode(coalesce(text, ''))) AS hx,
+                    octet_length(encode(coalesce(text, ''))) AS nb
+             FROM documents),
+       b AS (SELECT media_id, i,
+                    CASE WHEN nb = 0 THEN 0
+                         ELSE CAST(concat('0x', substr(hx,
+                           CAST((i % nb) * 2 + 1 AS INT), 2)) AS INT)
+                    END AS bv
+             FROM h, UNNEST(range(64)) t(i)),
+       sums AS (SELECT media_id, CAST(SUM(bv) AS BIGINT) AS sumb
+                FROM b GROUP BY 1),
+       codes AS (SELECT b.media_id,
+                        CAST(SUM(CASE WHEN i < 32 AND bv * 64 > sumb
+                          THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                          ELSE 0 END) AS BIGINT) AS lo,
+                        CAST(SUM(CASE WHEN i >= 32 AND bv * 64 > sumb
+                          THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT)
+                          ELSE 0 END) AS BIGINT) AS hi
+                 FROM b JOIN sums USING (media_id) GROUP BY 1)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Features are presented as a scaled-integer JSON string: raw float
     // arrays crash the driver's pandas sorter and float→string formatting
@@ -51,20 +101,44 @@ object MultimodalQueries {
     // codec seam), ONE narrow groupBy on the 16-byte code; group rows,
     // not media rows, leave the aggregate.
     "q_media_phash" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.fromDocuments(s, d), dim = 64)
-        .select(col("media_id"),
-          expr("transform(features, x -> " +
-            "CAST(round(CAST(x AS DOUBLE) * 255) AS BIGINT))").as("b"))
-        .select(col("media_id"), col("b"),
-          expr("aggregate(b, 0L, (a, x) -> a + x)").as("sumb"))
-        .select(col("media_id"),
-          expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
-            "acc + IF(b[i] * 64 > sumb, shiftleft(1L, i), 0L))").as("lo"),
-          expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
-            "acc + IF(b[i] * 64 > sumb, shiftleft(1L, i - 32), 0L))")
-            .as("hi"))
+      phashCodes(s, d)
         .groupBy("lo", "hi")
-        .agg(count(lit(1)).as("n_media"), min("media_id").as("keeper")))
+        .agg(count(lit(1)).as("n_media"), min("media_id").as("keeper"))),
+
+    // Perceptual NEAR-dup pairs — multi-index Hamming over the phash
+    // (Norouzi et al.'s pigeonhole banding, the media-side q_lsh_pairs):
+    // the 64-bit code splits into four 16-bit bands; two codes within
+    // Hamming distance 3 MUST agree on at least one whole band
+    // (pigeonhole: 3 differing bits can touch at most 3 of 4 bands), so
+    // bucketing on (band_idx, band_value) finds every hd ≤ 3 pair
+    // exactly, and candidates are verified against the reported hd ≤ 6
+    // cut (above 3 the banding is best-effort recall — the standard LSH
+    // tradeoff, stated honestly like q_lsh_pairs'). Scale shape: one
+    // exchange on the band key — NEVER all-pairs; within-bucket pairs
+    // verify with two xor+popcounts; cross-band duplicate candidates
+    // collapse in one distinct.
+    "q_phash_neardup" -> ((s, d) => {
+      // 24 B/row of codes, materialized ONCE: the self-join's two sides
+      // would otherwise each re-run the decode + pack subtree
+      val bands = phashCodes(s, d).localCheckpoint(true)
+        .select(col("media_id"), col("lo"), col("hi"),
+          posexplode(array(
+            expr("lo & 65535L"),
+            expr("shiftright(lo, 16) & 65535L"),
+            expr("hi & 65535L"),
+            expr("shiftright(hi, 16) & 65535L"))).as(Seq("bi", "bv")))
+      val a = bands.select(col("bi"), col("bv"), col("media_id").as("a"),
+        col("lo").as("la"), col("hi").as("ha"))
+      val b = bands.select(col("bi"), col("bv"), col("media_id").as("b"),
+        col("lo").as("lb"), col("hi").as("hb"))
+      a.join(b, Seq("bi", "bv"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("bit_count(la ^ lb) + bit_count(ha ^ hb)")
+            .cast("long").as("hd"))
+        .filter(col("hd") <= 6)
+        .distinct()
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -101,27 +175,23 @@ object MultimodalQueries {
     // bytes, i % nb stride, empty payload → all-zero bytes); the mean
     // compare is the integer cross-product, the pack the two-halves shift
     "q_media_phash" ->
-      """WITH h AS (SELECT doc_id AS media_id,
-                           hex(encode(coalesce(text, ''))) AS hx,
-                           octet_length(encode(coalesce(text, ''))) AS nb
-                    FROM documents),
-          b AS (SELECT media_id, i,
-                       CASE WHEN nb = 0 THEN 0
-                            ELSE CAST(concat('0x', substr(hx,
-                              CAST((i % nb) * 2 + 1 AS INT), 2)) AS INT)
-                       END AS bv
-                FROM h, UNNEST(range(64)) t(i)),
-          sums AS (SELECT media_id, CAST(SUM(bv) AS BIGINT) AS sumb
-                   FROM b GROUP BY 1),
-          codes AS (SELECT b.media_id,
-                           CAST(SUM(CASE WHEN i < 32 AND bv * 64 > sumb
-                             THEN CAST(1 AS BIGINT) << CAST(i AS INT)
-                             ELSE 0 END) AS BIGINT) AS lo,
-                           CAST(SUM(CASE WHEN i >= 32 AND bv * 64 > sumb
-                             THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT)
-                             ELSE 0 END) AS BIGINT) AS hi
-                    FROM b JOIN sums USING (media_id) GROUP BY 1)
+      s"""WITH $phashCodesSql
          SELECT lo, hi, COUNT(*) AS n_media, MIN(media_id) AS keeper
-         FROM codes GROUP BY 1, 2"""
+         FROM codes GROUP BY 1, 2""",
+    "q_phash_neardup" ->
+      s"""WITH $phashCodesSql,
+          bands AS (SELECT media_id, lo, hi, bi,
+                           CASE bi WHEN 0 THEN lo & 65535
+                                   WHEN 1 THEN (lo >> 16) & 65535
+                                   WHEN 2 THEN hi & 65535
+                                   ELSE (hi >> 16) & 65535 END AS bnd
+                    FROM codes, UNNEST(range(4)) t(bi))
+         SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+                CAST(bit_count(xor(x.lo, y.lo))
+                  + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hd
+         FROM bands x JOIN bands y
+           ON x.bi = y.bi AND x.bnd = y.bnd AND x.media_id < y.media_id
+         WHERE bit_count(xor(x.lo, y.lo))
+             + bit_count(xor(x.hi, y.hi)) <= 6"""
   )
 }

@@ -997,6 +997,51 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("n_media") > 1L))
   }
 
+  test("q_phash_neardup: banded pairs verified; every hd<=3 pair found") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = MultimodalQueries.queries("q_phash_neardup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("hd")))
+    // driver phash recount (same derivation as the q_media_phash spec)
+    val codes = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getString(1).getBytes("UTF-8")
+        val b = Array.tabulate(64)(i =>
+          if (bytes.isEmpty) 0L else (bytes(i % bytes.length) & 0xff).toLong)
+        val sum = b.sum
+        def pack(lo: Int): Long = (0 until 32).map { j =>
+          if (b(lo + j) * 64 > sum) 1L << j else 0L
+        }.sum
+        r.getLong(0) -> (pack(0), pack(32))
+      }.toMap
+    def hd(x: (Long, Long), y: (Long, Long)): Long =
+      (java.lang.Long.bitCount(x._1 ^ y._1) +
+        java.lang.Long.bitCount(x._2 ^ y._2)).toLong
+    def bandsOf(c: (Long, Long)) = Seq(c._1 & 65535L, (c._1 >> 16) & 65535L,
+      c._2 & 65535L, (c._2 >> 16) & 65535L)
+    val ids = codes.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      d = hd(codes(a), codes(b))
+      if d <= 6 && bandsOf(codes(a)).zip(bandsOf(codes(b)))
+        .exists { case (x, y) => x == y }
+    } yield (a, b, d)).toSet
+    assert(rows.toSet === expect)
+    // the pigeonhole guarantee: EVERY hd <= 3 pair shares a band, so the
+    // banded candidates cover the close pairs with recall 1
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if hd(codes(a), codes(b)) <= 3
+    } assert(rows.exists(r => r._1 == a && r._2 == b),
+      s"missed hd<=3 pair ($a, $b)")
+    assert(rows.nonEmpty)
+  }
+
   test("q_fuzzy_match: equals a driver levenshtein recount; exact hits covered") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = CorpusQueries.queries("q_fuzzy_match")(spark, sfDir).collect()
