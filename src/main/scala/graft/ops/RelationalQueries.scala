@@ -336,6 +336,50 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // C9 composition (r12) — the TPC-H Q13 shape: customer distribution
+    // by order count, with the classic LEFT OUTER + join-side predicate
+    // (the filter must live ON THE JOIN INPUT, not after it — post-join
+    // filtering would delete the zero-order customers the query exists to
+    // count). count(o_orderkey) skips the null-extended rows, so
+    // no-order customers land in the c_count = 0 bucket. Two aggregates:
+    // per-customer (one shuffle on custkey shared with the join), then a
+    // tiny histogram agg over count values.
+    "q_tpch_q13" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      Tables.customer(s, d).select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // C9/C7 composition (r12) — the TPC-H Q18 shape: large-volume
+    // customers. The HAVING side runs FIRST as its own aggregate
+    // (lineitem → per-order quantity sums, DECIMAL(12,2)-exact, filtered
+    // to > 250) so the expensive fact⋈fact joins only ever see the ~1%
+    // of orders that survive — the filter-before-join discipline at
+    // aggregate granularity. Join back to orders and customers, top-100
+    // by price via TakeOrderedAndProject.
+    "q_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(dec("l_quantity", 12, 2)).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Anomaly flagging (r12) — per-type z-score outliers over the value
     // column, the telemetry-guardrail shape. Exactness discipline: values
     // quantize per row to integer CENTS (floor(v·100) — identical IEEE
@@ -746,6 +790,28 @@ object RelationalQueries {
            AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+    "q_tpch_q13" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                     FROM customer LEFT OUTER JOIN orders
+                       ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+                     GROUP BY c_custkey)
+         SELECT c_count, COUNT(*) AS custdist
+         FROM pc GROUP BY c_count""",
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+                             SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                               AS sum_qty
+                      FROM lineitem GROUP BY l_orderkey
+                      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+         SELECT c_custkey, c_name, o_orderkey,
+                CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+                CAST(sum_qty AS DOUBLE) AS sum_qty
+         FROM orders
+         JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
     "q_anomaly_z" ->
       """WITH ev AS (SELECT event_id, event_type, value,
                             CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS q

@@ -1096,6 +1096,52 @@ class OpPropertiesSpec extends SparkTestBase {
     assert(mine.forall(_.getDouble(1) > 0))
   }
 
+  test("q_tpch_q13: custdist partitions customers; zero bucket = anti-join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = RelationalQueries.queries("q_tpch_q13")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("c_count") ->
+        r.getAs[Long]("custdist")).toMap
+    val cust = graft.tables.Tables.customer(spark, sfDir)
+    assert(rows.values.sum === cust.count())
+    // the zero-order bucket is exactly the anti-join under the same
+    // join-side predicate
+    val zero = cust.join(
+      graft.tables.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") =!= "1-URGENT").select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(rows.getOrElse(0L, 0L) === zero)
+    // and the weighted sum of counts recounts the filtered orders
+    val filteredOrders = graft.tables.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(rows.map { case (c, n) => c * n }.sum === filteredOrders)
+  }
+
+  test("q_tpch_q18: every hit's quantity recounts above the cut, ordered") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = RelationalQueries.queries("q_tpch_q18")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val qty = graft.tables.Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[java.math.BigDecimal]("s").doubleValue()).toMap
+    for (r <- rows) {
+      val o = r.getAs[Long]("o_orderkey")
+      assert(r.getAs[Double]("sum_qty") === qty(o), s"order $o")
+      assert(qty(o) > 250.0)
+    }
+    // descending by price with the id tiebreak
+    val prices = rows.map(r => (r.getAs[Double]("o_totalprice"),
+      r.getAs[Long]("o_orderkey")))
+    assert(prices.zip(prices.tail).forall { case ((p1, o1), (p2, o2)) =>
+      p1 > p2 || (p1 == p2 && o1 < o2)
+    })
+    // and nothing above the cut was dropped below the LIMIT horizon
+    val nBig = qty.count(_._2 > 250.0)
+    assert(rows.length === math.min(100, nBig))
+  }
+
   test("q_dist_drift: equals a driver-recomputed bucketed KS per source") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = CorpusQueries.queries("q_dist_drift")(spark, sfDir).collect()
