@@ -116,6 +116,29 @@ object EventQueries {
     // is [[graft.streaming.BeaconStreaming.clickAttributionStream]]
     // (watermarked stream-stream join, spec-pinned equal on a sliced
     // replay).
+    // The other half of attribution — ABANDONMENT: clicks with NO
+    // same-user purchase in the following hour (the funnel-drop list).
+    // Left ANTI join on the user key with the time band as residual —
+    // same scale shape as q_click_attribution, existence-probe semantics
+    // (never multiplies rows). Streaming twin:
+    // [[graft.streaming.BeaconStreaming.clickAbandonmentStream]] — the
+    // LEFT OUTER stream-stream join whose unmatched rows emit on
+    // watermark expiry, spec-pinned equal on a flushed replay.
+    "q_click_abandonment" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("click_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("purchase_us"))
+      c.join(p, col("cu") === col("pu") &&
+          col("purchase_us") > col("click_us") &&
+          col("purchase_us") <= col("click_us") + lit(3600000000L),
+          "left_anti")
+        .select(col("cu").as("user_id"), col("click_id"), col("click_us"))
+    }),
+
     "q_click_attribution" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val c = ev.filter(col("event_type") === "click")
@@ -178,6 +201,17 @@ object EventQueries {
                 COUNT(*) AS users
          FROM e JOIN f ON e.user_id = f.user_id
          GROUP BY 1, 2""",
+    "q_click_abandonment" ->
+      """WITH c AS (SELECT user_id AS cu, event_id AS click_id,
+                           epoch_us(ts) AS click_us
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id AS pu, epoch_us(ts) AS purchase_us
+                    FROM events WHERE event_type = 'purchase')
+         SELECT cu AS user_id, click_id, click_us
+         FROM c
+         WHERE NOT EXISTS (SELECT 1 FROM p
+                           WHERE pu = cu AND purchase_us > click_us
+                             AND purchase_us <= click_us + 3600000000)""",
     "q_click_attribution" ->
       """WITH c AS (SELECT user_id AS cu, event_id AS click_id,
                            epoch_us(ts) AS click_us

@@ -103,6 +103,23 @@ object RelationalQueries {
                WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)""")
     }),
 
+    // B7 extension (r12) — CORRELATED scalar subquery: each customer's
+    // maximum-value order(s), written as the correlated form so Catalyst
+    // performs the decorrelation itself (rewrites to a per-custkey MAX
+    // aggregate + an equi-join — one shuffle on the correlation key; the
+    // subquery never executes per row). Comparison happens on exact
+    // floor-cents BIGINTs (MAX is order-free), so ties emit identically
+    // on both engines and no float aggregate crosses the hash gate.
+    "q_corr_subquery" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("pc",
+          expr("CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)"))
+        .createOrReplaceTempView("orders_pc")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_pc o
+               WHERE pc = (SELECT MAX(pc) FROM orders_pc i
+                           WHERE i.o_custkey = o.o_custkey)""")
+    }),
+
     // B7-B11 analog of the reference's blocks_count verify invariant
     // (`blocks_count.sql:1-11`): MAX(id)+1 = COUNT(*) ⇒ no gaps.
     "q_completeness_check" -> ((s, d) => {
@@ -790,6 +807,14 @@ object RelationalQueries {
            AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+    "q_corr_subquery" ->
+      """WITH opc AS (SELECT *,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+                     AS pc
+                 FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM opc o
+         WHERE pc = (SELECT MAX(pc) FROM opc i
+                     WHERE i.o_custkey = o.o_custkey)""",
     "q_tpch_q13" ->
       """WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
                      FROM customer LEFT OUTER JOIN orders

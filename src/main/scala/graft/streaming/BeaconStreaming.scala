@@ -658,6 +658,41 @@ object BeaconStreaming {
         timestamp_micros(col("tsu")).as("step_ts"))
   }
 
+  /** LEFT OUTER stream-stream join (r12) — `q_click_abandonment` live:
+    * clicks that saw NO same-user purchase within the following hour.
+    * Outer stream-stream semantics are the interesting part: a matched
+    * click emits (and is filtered out) as matches form, but an UNMATCHED
+    * click can only emit once the watermark proves no qualifying
+    * purchase can still arrive — Structured Streaming holds it in the
+    * join state and releases the null-extended row at eviction
+    * (watermark past click_ts + 1 h). So this stream's output is
+    * inherently watermark-delayed, unlike the inner-join attribution
+    * arm — the spec flushes the replay with a far-future sentinel event
+    * to drain the final horizon and then pins set-equality with the
+    * batch left-anti query. State bounds are the attribution arm's. */
+  def clickAbandonmentStream(stream: DataFrame): DataFrame = {
+    val base = stream.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type").cast("string").as("event_type"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases, col("cu") === col("pu") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .filter(col("purchase_id").isNull)
+      .select(col("cu").as("user_id"), col("click_id"),
+        expr("unix_micros(click_ts)").as("click_us"))
+  }
+
   /** Frozen-stats streaming anomaly scorer (r12) — `q_anomaly_z` as a
     * live alerting arm: per-type mean/variance FIT ONCE on a reference
     * corpus at build time (the frozen-model pattern BM25/fluency/probe

@@ -1010,6 +1010,67 @@ class BeaconStreamingSpec extends SparkTestBase {
       "the cross-slice pair did not survive the replay")
   }
 
+  test("clickAbandonmentStream flushed replay equals batch q_click_abandonment") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.tables.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val ordered = ev.orderBy("ts", "event_id").collect()
+    // Far-future sentinels for a disjoint user (-1) push BOTH sides'
+    // watermark past every real click's 1h horizon so the LEFT OUTER
+    // join's unmatched rows all drain. One sentinel per side is needed:
+    // a watermark node only advances on rows that REACH it, and each
+    // side filters to one event type before its withWatermark — a
+    // neutral 'view' sentinel advanced neither (the global watermark is
+    // the min of both). The click sentinel itself never emits: its own
+    // horizon (+1h past the future ts) is never crossed.
+    // ts surfaces as Timestamp or LocalDateTime depending on the
+    // fixture's physical type (NTZ at some SFs) — handle both.
+    val future = ordered.last.getAs[Any]("ts") match {
+      case t: java.sql.Timestamp =>
+        new java.sql.Timestamp(t.getTime + 30L * 24 * 3600 * 1000)
+      case t: java.time.LocalDateTime => t.plusDays(30)
+      case t: java.time.Instant => t.plusSeconds(30L * 24 * 3600)
+    }
+    val sentinels = Array(
+      org.apache.spark.sql.Row(-1L, future, 10000000L, "click", null),
+      org.apache.spark.sql.Row(-1L, future, 10000001L, "purchase", null))
+    val half = ordered.length / 2
+    val dir = tmpDir("stream-abandon")
+    for (slice <- Seq(ordered.take(half), ordered.drop(half),
+        sentinels)) {
+      spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(slice: _*)),
+          ev.schema)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val q = BeaconStreaming.clickAbandonmentStream(
+          spark.readStream.schema(ev.schema).parquet(s"$dir/in"))
+        .writeStream
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("click_us"))
+    val streamed = spark.read.parquet(s"$dir/out").collect().map(key)
+    val batch = graft.ops.EventQueries
+      .queries("q_click_abandonment")(spark, sfDir).collect().map(key)
+    assert(batch.nonEmpty, "fixture produced no abandoned clicks")
+    assert(streamed.sorted.toSeq === batch.sorted.toSeq)
+    // abandonment + attribution partition the clicks: every click is
+    // attributed or abandoned, never both
+    val attributed = graft.ops.EventQueries
+      .queries("q_click_attribution")(spark, sfDir).collect()
+      .map(_.getAs[Long]("click_id")).toSet
+    val abandoned = streamed.map(_._2).toSet
+    assert((attributed & abandoned).isEmpty)
+    val allClicks = graft.tables.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count()
+    assert(attributed.size + abandoned.size === allClicks)
+  }
+
   test("anomalyScoreStream with frozen fixture stats equals batch q_anomaly_z") {
     val sfDir = "/root/testdata/sf0.001"
     val fit = graft.tables.Tables.events(spark, sfDir)
