@@ -410,6 +410,39 @@ object CorpusQueries {
         length(red).as("n_chars_red"))
     }),
 
+    // Per-source Pearson correlation between two per-doc features (chars
+    // vs tokens) — the "are these two quality signals redundant" check
+    // before adding a column to a scoring recipe. Exactness: BOTH
+    // features are integers, so the five sufficient statistics (n, Σx,
+    // Σy, Σxy, Σx², Σy²) are pure BIGINT — exact and order-free on any
+    // partitioning — and r's numerator/denominator are assembled from
+    // those exact integers with a fixed short double sequence (the
+    // q_anomaly_z discipline). Headroom documented: Σxy ≤ n·max(x)·max(y)
+    // needs BIGINT rescaling at ~1e12-doc sources. Plan: ONE narrow
+    // partial+final agg collapses the corpus to #sources rows; everything
+    // after is per-row arithmetic on that bounded table.
+    "q_score_corr" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("source"), col("n_chars").as("x"),
+          size(split(trim(lower(col("text"))), "\\s+"))
+            .cast("long").as("y"))
+      f.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .filter(col("n") > 1 &&
+          col("n") * col("sxx") > col("sx") * col("sx") &&
+          col("n") * col("syy") > col("sy") * col("sy"))
+        .select(col("source"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+               .cast("double")))).as("r"))
+    }),
+
     // Fuzzy denylist matching — levenshtein ≤ 1 token scrubbing: catches
     // the typo'd/inflected denylist hits exact q_redact misses
     // ("custmer", "suppliers"). Scale shape: the denylist is SMALL BY
@@ -1170,6 +1203,24 @@ object CorpusQueries {
                 length(regexp_replace(text, '\b(customer|supplier)\b',
                                       '[REDACTED]', 'g')) AS n_chars_red
          FROM documents""",
+    "q_score_corr" ->
+      """WITH f AS (SELECT source, n_chars AS x,
+                           CAST(len(string_split_regex(trim(lower(text)),
+                             '\s+')) AS BIGINT) AS y
+                    FROM documents WHERE text IS NOT NULL),
+          st AS (SELECT source, COUNT(*) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x * y) AS BIGINT) AS sxy,
+                        CAST(SUM(x * x) AS BIGINT) AS sxx,
+                        CAST(SUM(y * y) AS BIGINT) AS syy
+                 FROM f GROUP BY 1)
+         SELECT source, n,
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+         FROM st
+         WHERE n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy""",
     "q_fuzzy_match" ->
       """WITH dl AS (SELECT * FROM (VALUES ('customer'), ('supplier'),
                        ('port'), ('joint')) AS t(term)),

@@ -967,6 +967,33 @@ class OpPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("q_score_corr: equals a driver Pearson recount; r in [-1, 1]") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q_score_corr")(spark, sfDir).collect()
+    val feats = graft.tables.Tables.documents(spark, sfDir)
+      .select("source", "n_chars", "text").collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).toLowerCase.trim.split("\\s+").length.toLong))
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      val xs = feats.filter(_._1 == src)
+      val n = xs.length.toLong
+      assert(r.getAs[Long]("n") === n)
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxy = xs.map(t => t._2 * t._3).sum
+      val sxx = xs.map(t => t._2 * t._2).sum
+      val syy = xs.map(t => t._3 * t._3).sum
+      val expect = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      assert(r.getAs[Double]("r") === expect, s"source $src")
+      assert(math.abs(r.getAs[Double]("r")) <= 1.0)
+    }
+    // chars and tokens of the same text should correlate strongly
+    assert(rows.forall(_.getAs[Double]("r") > 0.5))
+  }
+
   test("q_media_phash: equals a driver aHash recount; collisions exist") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = MultimodalQueries.queries("q_media_phash")(spark, sfDir)
