@@ -13,9 +13,22 @@ import org.apache.spark.sql.SparkSession
   * Interleaving spreads any contended minute across many queries' single
   * reps, which the per-query median then discards (VERDICT r5 #1). */
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1.0 where unreadable —
+    * non-Linux hosts). Recorded at start and end of the run: thrice now
+    * (r10–r12) a committed snapshot's uniform +16–23% drift across
+    * UNTOUCHED queries has had to be adjudicated as ambient contention by
+    * after-the-fact re-runs; the load fields turn that archaeology into a
+    * field read (VERDICT r12 #7). */
+  private def load1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = load1m()
+    val benchT0 = System.nanoTime()
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -64,6 +77,34 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // n_queries vs n_registered makes a partial (SPARK_GRAFT_ONLY) artifact
+    // self-describing, and the sf/subset-suffixed default filename keeps a
+    // subset run or a different-SF run from clobbering the full artifact
+    // (ADVICE r7 #4)
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val subsetTag = if (only.isDefined) s"_sub${selected.length}" else ""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined || sfTag != "sf0.1") s"BENCH_LOCAL_$sfTag$subsetTag.json"
+      else "BENCH_LOCAL.json")
+    // Per-rep JSONL sidecar, written INCREMENTALLY as each rep lands:
+    // `at` = seconds since bench start, `load` = 1-min loadavg at that
+    // moment. A mid-run ambient shift (the r12 +16% adjudication) shows up
+    // as a load step + a time step at the same `at` across ALL queries —
+    // readable post-hoc without re-running anything (VERDICT r12 #7).
+    val jsonlPath = outPath.stripSuffix(".json") + ".jsonl"
+    val jsonl = try {
+      val w = java.nio.file.Files.newBufferedWriter(
+        java.nio.file.Paths.get(jsonlPath))
+      Some(w)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not open $jsonlPath: ${e.getMessage}")
+      None
+    }
+    def emitRep(name: String, rep: Int, sec: Double): Unit = jsonl.foreach { w =>
+      val at = (System.nanoTime() - benchT0) / 1e9
+      w.write(f"""{"q":"$name","rep":$rep,"sec":$sec%.6f,"at":$at%.1f,"load":${load1m()}}%n""")
+      w.flush()
+    }
     // Round-robin: rep r of EVERY query before rep r+1 of any. A query
     // whose rep throws is marked failed and skipped for remaining rounds.
     val reps = 5
@@ -73,13 +114,18 @@ object Bench {
       // GC fence: drain the previous query's garbage so its collection tail
       // isn't billed to this query's timing
       System.gc()
-      try timings(name) :+= timeOnce(fn)
-      catch {
+      try {
+        val t = timeOnce(fn)
+        timings(name) :+= t
+        emitRep(name, r, t)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED (rep $r): ${e.getMessage}")
+          emitRep(name, r, -1.0)
           failed += name
       }
     }
+    jsonl.foreach(_.close())
     val results = selected.map { case (name, _) =>
       val (med, min) =
         if (failed(name)) (-1.0, -1.0)
@@ -97,21 +143,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, med, _) if med >= 0 => med }.sum
     val totalMin = results.collect { case (_, _, min) if min >= 0 => min }.sum
-    // n_queries vs n_registered makes a partial (SPARK_GRAFT_ONLY) artifact
-    // self-describing, and the sf/subset-suffixed default filename keeps a
-    // subset run or a different-SF run from clobbering the full artifact
-    // (ADVICE r7 #4)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir","n_queries":${selected.length},"n_registered":${SparkEntry.queries.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir","n_queries":${selected.length},"n_registered":${SparkEntry.queries.size},"load_start":$loadStart,"load_end":${load1m()}}"""
     println(json)
     // Also land the artifact as a FILE: BENCH_r06.json was scraped from a
     // truncated log tail and lost its "total" plus 12 queries ("parsed":
     // null). A file write is atomic-enough and self-contained.
-    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val subsetTag = if (only.isDefined) s"_sub${selected.length}" else ""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined || sfTag != "sf0.1") s"BENCH_LOCAL_$sfTag$subsetTag.json"
-      else "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

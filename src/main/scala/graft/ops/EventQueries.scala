@@ -44,64 +44,86 @@ import graft.tables.Tables
   */
 object EventQueries {
 
-  private def sortedEvents(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("user_id")
+  // DataFrame-input builders (private[ops]): the registered queries call
+  // them with Tables.events; EventGrowth times the SAME builders over
+  // replicated inputs, so the growth harness cannot drift from the
+  // registered shapes.
+  private def sortedEvents(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
 
+  private[ops] def funnelOf(ev: DataFrame): DataFrame =
+    sortedEvents(ev)
+      .select(expr(
+        """aggregate(evs,
+           named_struct('t1', CAST(NULL AS TIMESTAMP),
+                        't2', CAST(NULL AS TIMESTAMP),
+                        't3', CAST(NULL AS TIMESTAMP)),
+           (a, e) -> named_struct(
+             't1', IF(a.t1 IS NULL AND e.event_type = 'signup',
+                      e.ts, a.t1),
+             't2', IF(a.t2 IS NULL AND a.t1 IS NOT NULL
+                      AND e.event_type = 'click' AND e.ts > a.t1,
+                      e.ts, a.t2),
+             't3', IF(a.t3 IS NULL AND a.t2 IS NOT NULL
+                      AND e.event_type = 'purchase' AND e.ts > a.t2,
+                      e.ts, a.t3)))""").as("f"))
+      .agg(
+        sum(when(col("f.t1").isNotNull, 1L).otherwise(0L)).as("s1"),
+        sum(when(col("f.t2").isNotNull, 1L).otherwise(0L)).as("s2"),
+        sum(when(col("f.t3").isNotNull, 1L).otherwise(0L)).as("s3"))
+      .selectExpr(
+        """stack(3, 1L, 'signup', s1,
+                    2L, 'click_after_signup', s2,
+                    3L, 'purchase_after_click', s3)
+           AS (step_no, step, users)""")
+
+  private[ops] def transitionsOf(ev: DataFrame): DataFrame =
+    sortedEvents(ev)
+      .select(explode(expr(
+        """transform(slice(evs, 1, size(evs) - 1), (e, i) ->
+             named_struct('prev_type', e.event_type,
+                          'next_type', evs[i + 1].event_type))"""))
+        .as("t"))
+      .groupBy(col("t.prev_type").as("prev_type"),
+        col("t.next_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+
+  private[ops] def retentionOf(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("w"))
+      .groupBy("user_id")
+      .agg(min(col("w")).as("cohort_week"), collect_set(col("w")).as("ws"))
+      .select(col("cohort_week"), explode(col("ws")).as("w"))
+      .select(col("cohort_week"),
+        expr("datediff(w, cohort_week) DIV 7").as("week_no"))
+      .groupBy("cohort_week", "week_no")
+      .agg(count(lit(1)).as("users"))
+
+  private[ops] def attributionOf(ev: DataFrame): DataFrame = {
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("purchase_us"),
+        col("value").as("amount"))
+    c.join(p, col("cu") === col("pu") &&
+        col("click_us") < col("purchase_us") &&
+        col("click_us") >= col("purchase_us") - lit(3600000000L))
+      .select(col("pu").as("user_id"), col("purchase_id"),
+        col("click_id"),
+        (col("purchase_us") - col("click_us")).as("gap_us"),
+        col("amount"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_funnel" -> ((s, d) => {
-      sortedEvents(s, d)
-        .select(expr(
-          """aggregate(evs,
-             named_struct('t1', CAST(NULL AS TIMESTAMP),
-                          't2', CAST(NULL AS TIMESTAMP),
-                          't3', CAST(NULL AS TIMESTAMP)),
-             (a, e) -> named_struct(
-               't1', IF(a.t1 IS NULL AND e.event_type = 'signup',
-                        e.ts, a.t1),
-               't2', IF(a.t2 IS NULL AND a.t1 IS NOT NULL
-                        AND e.event_type = 'click' AND e.ts > a.t1,
-                        e.ts, a.t2),
-               't3', IF(a.t3 IS NULL AND a.t2 IS NOT NULL
-                        AND e.event_type = 'purchase' AND e.ts > a.t2,
-                        e.ts, a.t3)))""").as("f"))
-        .agg(
-          sum(when(col("f.t1").isNotNull, 1L).otherwise(0L)).as("s1"),
-          sum(when(col("f.t2").isNotNull, 1L).otherwise(0L)).as("s2"),
-          sum(when(col("f.t3").isNotNull, 1L).otherwise(0L)).as("s3"))
-        .selectExpr(
-          """stack(3, 1L, 'signup', s1,
-                      2L, 'click_after_signup', s2,
-                      3L, 'purchase_after_click', s3)
-             AS (step_no, step, users)""")
-    }),
+    "q_funnel" -> ((s, d) => funnelOf(Tables.events(s, d))),
 
-    "q_event_transitions" -> ((s, d) => {
-      sortedEvents(s, d)
-        .select(explode(expr(
-          """transform(slice(evs, 1, size(evs) - 1), (e, i) ->
-               named_struct('prev_type', e.event_type,
-                            'next_type', evs[i + 1].event_type))"""))
-          .as("t"))
-        .groupBy(col("t.prev_type").as("prev_type"),
-          col("t.next_type").as("next_type"))
-        .agg(count(lit(1)).as("n"))
-    }),
+    "q_event_transitions" -> ((s, d) => transitionsOf(Tables.events(s, d))),
 
-    "q_retention" -> ((s, d) => {
-      Tables.events(s, d)
-        .select(col("user_id"),
-          to_date(date_trunc("week", col("ts"))).as("w"))
-        .groupBy("user_id")
-        .agg(min(col("w")).as("cohort_week"), collect_set(col("w")).as("ws"))
-        .select(col("cohort_week"), explode(col("ws")).as("w"))
-        .select(col("cohort_week"),
-          expr("datediff(w, cohort_week) DIV 7").as("week_no"))
-        .groupBy("cohort_week", "week_no")
-        .agg(count(lit(1)).as("users"))
-    }),
+    "q_retention" -> ((s, d) => retentionOf(Tables.events(s, d))),
 
     // Click→purchase attribution — the interval self-join: every
     // purchase pairs with the SAME user's clicks in the strictly
@@ -139,23 +161,7 @@ object EventQueries {
         .select(col("cu").as("user_id"), col("click_id"), col("click_us"))
     }),
 
-    "q_click_attribution" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("click_us"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("purchase_us"),
-          col("value").as("amount"))
-      c.join(p, col("cu") === col("pu") &&
-          col("click_us") < col("purchase_us") &&
-          col("click_us") >= col("purchase_us") - lit(3600000000L))
-        .select(col("pu").as("user_id"), col("purchase_id"),
-          col("click_id"),
-          (col("purchase_us") - col("click_us")).as("gap_us"),
-          col("amount"))
-    })
+    "q_click_attribution" -> ((s, d) => attributionOf(Tables.events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(

