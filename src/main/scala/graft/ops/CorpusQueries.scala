@@ -45,6 +45,30 @@ object CorpusQueries {
       .drop("keeper")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic train/val/test split (r13) — the assignment every
+    // training pipeline needs to be REPRODUCIBLE and FILTER-FREE at 100 TB:
+    // bucket = (doc_id · 1103515245 + 12345) mod 100 (the classic LCG
+    // multiplier; pure BIGINT arithmetic — products stay far under 2^63
+    // for any realistic id space — so both engines agree bit-for-bit,
+    // unlike engine-native hash functions which never match
+    // cross-engine), split = train/val/test at 80/10/10. Per-row work
+    // inside the scan; the registered form reports the per-(source,
+    // split) row/char audit counts — ONE narrow aggregate, map-side
+    // combined; the assignment itself never shuffles and any worker can
+    // recompute it from the id alone (no split table to join at scale).
+    "q_split_assign" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          ((col("doc_id") * lit(1103515245L) + lit(12345L)) % 100L)
+            .as("bucket"))
+        .select(col("source"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          col("n_chars"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))),
+
     // The curated keep-list: for every surviving document its language and
     // token count — the rows a downstream tokenizer would actually read.
     "q_corpus_keep" -> ((s, d) => {
@@ -940,6 +964,20 @@ object CorpusQueries {
                   FROM kq, st)"""
 
   val oracle: Map[String, String] = Map(
+    // SUM over BIGINT is HUGEINT in DuckDB — CAST at the source (the
+    // recurring r6/r8 trap)
+    "q_split_assign" ->
+      """WITH a AS (SELECT source, n_chars,
+                           (doc_id * 1103515245 + 12345) % 100 AS bucket
+                    FROM documents)
+         SELECT source,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM a GROUP BY 1, 2""",
+
     "q_corpus_keep" -> {
       val qual =
         """qual AS (SELECT doc_id, text, lang,

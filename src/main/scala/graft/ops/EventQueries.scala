@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -161,7 +162,73 @@ object EventQueries {
         .select(col("cu").as("user_id"), col("click_id"), col("click_us"))
     }),
 
-    "q_click_attribution" -> ((s, d) => attributionOf(Tables.events(s, d)))
+    "q_click_attribution" -> ((s, d) => attributionOf(Tables.events(s, d))),
+
+    // Gap-based sessionization (r13) — assign every event a per-user
+    // session number: a session breaks when >30 min passes since the
+    // user's previous event. The classic LAG + running-sum-of-breaks
+    // window composition (complementing q_session_window's aggregate
+    // form: that one yields per-SESSION rows via the session_window
+    // aggregate; this one labels every EVENT row, the shape feature
+    // pipelines need when session_id becomes a join/group key
+    // downstream). Times compare as epoch-microsecond integers
+    // (unix_micros ↔ epoch_us — the q_window_range discipline; gap
+    // membership is a difference, so any session-tz shift cancels and
+    // tsu itself never leaves the plan). Scale: ONE exchange on
+    // user_id + per-partition sort shared by both window functions —
+    // the same single-window plan q_window_lag runs; nothing
+    // corpus-sized leaves its partition.
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"))
+        .withColumn("brk",
+          when(col("tsu") - lag("tsu", 1).over(w) > lit(1800000000L)
+            || lag("tsu", 1).over(w).isNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_id"),
+          sum(col("brk")).over(run).as("session_no"))
+    }),
+
+    // Heavy-hitter keys (r13) — the skew diagnostic run BEFORE every
+    // large join/groupBy at scale: the top-10 keys by row count and each
+    // one's share of the table (the salting decision input — PERF.md's
+    // dedup salt hatch triggers off exactly this measurement). ONE
+    // map-side-combined count aggregate, the bounded topk_by heap over
+    // the per-key counts (never a sort of the key distribution), and the
+    // grand total rides a scalar subquery off the SAME aggregate —
+    // integer counts end-to-end, one double division for the share.
+    "q_heavy_hitters" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val counts = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // bounded (one row per key); two consumers
+      val total = counts.agg(sum(col("cnt")).as("t")).select(col("t")).scalar()
+      counts
+        .groupBy()
+        .agg(expr("topk_by(CAST(cnt AS DOUBLE), user_id, 10)").as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("t.id").as("user_id"), (col("pos") + 1).as("rnk"),
+          col("t.score").cast("long").as("cnt"))
+        .withColumn("share", col("cnt").cast("double") / total)
+    }),
+
+    // Last-touch attribution (r13) — the sink-side pick the
+    // q_click_attribution scaladoc promises: per purchase, the single
+    // click with the smallest gap (ties → smallest click_id), via
+    // min(struct(gap_us, click_id)) — an order-free integer argmin, so
+    // any partitioning agrees. One bounded aggregate on top of the
+    // attribution join (purchase_id keys — exchange width = purchases
+    // with ≥1 click, already bounded by the hour band).
+    "q_attribution_last" -> ((s, d) =>
+      attributionOf(Tables.events(s, d))
+        .groupBy("user_id", "purchase_id", "amount")
+        .agg(min(struct(col("gap_us"), col("click_id"))).as("b"))
+        .select(col("user_id"), col("purchase_id"),
+          col("b.click_id").as("click_id"), col("b.gap_us").as("gap_us"),
+          col("amount")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -228,6 +295,53 @@ object EventQueries {
          SELECT pu AS user_id, purchase_id, click_id,
                 purchase_us - click_us AS gap_us, amount
          FROM c JOIN p ON cu = pu AND click_us < purchase_us
-                       AND click_us >= purchase_us - 3600000000"""
+                       AND click_us >= purchase_us - 3600000000""",
+
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+              t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+              r AS (SELECT user_id, cnt,
+                           ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id)
+                             AS rnk
+                    FROM c)
+         SELECT user_id, rnk, cnt,
+                CAST(cnt AS DOUBLE) / (SELECT total FROM t) AS share
+         FROM r WHERE rnk <= 10""",
+
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tsu
+                    FROM events),
+              g AS (SELECT user_id, event_id, tsu,
+                           CASE WHEN tsu - LAG(tsu) OVER
+                                  (PARTITION BY user_id
+                                   ORDER BY tsu, event_id) > 1800000000
+                                  OR LAG(tsu) OVER
+                                  (PARTITION BY user_id
+                                   ORDER BY tsu, event_id) IS NULL
+                                THEN 1 ELSE 0 END AS brk
+                    FROM x)
+         SELECT user_id, event_id,
+                CAST(SUM(brk) OVER (PARTITION BY user_id
+                  ORDER BY tsu, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_no
+         FROM g""",
+
+    "q_attribution_last" ->
+      """WITH c AS (SELECT user_id AS cu, event_id AS click_id,
+                           epoch_us(ts) AS click_us
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id AS pu, event_id AS purchase_id,
+                           epoch_us(ts) AS purchase_us, value AS amount
+                    FROM events WHERE event_type = 'purchase'),
+              j AS (SELECT pu AS user_id, purchase_id, click_id,
+                           purchase_us - click_us AS gap_us, amount,
+                           ROW_NUMBER() OVER (PARTITION BY purchase_id
+                             ORDER BY purchase_us - click_us, click_id)
+                             AS rn
+                    FROM c JOIN p ON cu = pu AND click_us < purchase_us
+                                  AND click_us >= purchase_us - 3600000000)
+         SELECT user_id, purchase_id, click_id, gap_us, amount
+         FROM j WHERE rn = 1"""
   )
 }

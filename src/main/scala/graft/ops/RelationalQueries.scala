@@ -397,6 +397,185 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // C7 composition (r13) — the TPC-H Q1 pricing summary: THE canonical
+    // scan-heavy aggregate (one pass, 4 groups, 8 aggregates). Exactness
+    // discipline: quantity/base-price sums ride DECIMAL(12,2) (exact,
+    // order-free); the multiplied measures (disc price, charge, the
+    // discount itself) quantize per row to floor-cents BIGINTs — the
+    // per-row double sequence is identical IEEE on both engines, the
+    // sums are pure integers — and every average is the SAME
+    // left-associated double division over those exact sums. Plan: filter
+    // pushed to the scan, partial+final hash agg, nothing else — the
+    // query whole-stage codegen exists for.
+    "q_tpch_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= "2001-09-01")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          dec("l_quantity", 12, 2).as("qty"),
+          dec("l_extendedprice", 12, 2).as("price"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
+            .as("disc_c"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * " +
+            "(1.0 + CAST(l_tax AS DOUBLE)) * 100) AS BIGINT)")
+            .as("charge_c"),
+          expr("CAST(floor(CAST(l_discount AS DOUBLE) * 100) AS BIGINT)")
+            .as("dpc"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("qty").cast("double").as("sum_qty"),
+          sum("price").cast("double").as("sum_base_price"),
+          (sum("disc_c").cast("double") / 100.0).as("sum_disc_price"),
+          (sum("charge_c").cast("double") / 100.0).as("sum_charge"),
+          (sum("qty").cast("double") / count(lit(1))).as("avg_qty"),
+          (sum("price").cast("double") / count(lit(1))).as("avg_price"),
+          (sum("dpc").cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // C9 composition (r13) — the TPC-H Q7 volume-shipping shape: revenue
+    // between two nations by year. Both tiny nation-filtered dims
+    // broadcast INTO their fact sides (supplier side joins first — it
+    // cuts lineitem to the two nations' suppliers before anything
+    // shuffles); lineitem⋈orders⋈customer chain on natural keys; the
+    // cross-nation condition is a residual on the already-joined names.
+    // Year extraction and revenue are exact (integer year, floor-cents).
+    "q_tpch_q7" -> ((s, d) => {
+      val nats = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nats.select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "supp_nation")
+      val cus = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nats.select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
+            .as("rev_c"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((sum(col("rev_c")).cast("double") / 100.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // C9/C13 composition (r13) — the TPC-H Q10 returned-item report:
+    // customers who returned goods in one quarter, top-20 by lost
+    // revenue. Quarter filter pushed to the orders scan, returnflag
+    // filter pushed to the lineitem scan, nation broadcast, top-20 via
+    // TakeOrderedAndProject. c_acctbal rides as a raw untouched double
+    // (no arithmetic → no rounding surface).
+    "q_tpch_q10" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1997-04-01")
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
+            .as("rev_c"))
+      Tables.customer(s, d)
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg((sum(col("rev_c")).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // C6/C9 composition (r13) — the TPC-H Q16 parts/supplier
+    // relationship, adapted to this schema (no partsupp table — the
+    // observed part⋈supplier relation is DISTINCT (l_partkey, l_suppkey)
+    // from lineitem; the complaints exclusion becomes the negative-
+    // balance denylist). Plan: the distinct is ONE exchange on the pair
+    // key; the 6-row denylist broadcasts into a left ANTI join; the
+    // filtered part dim broadcasts; COUNT(DISTINCT suppkey) re-groups on
+    // (brand, type, size) — both aggregates map-side combined.
+    "q_tpch_q16" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_sk"))
+      val pt = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#3" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 9, 17, 25, 33, 41, 49, 50))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      ps.join(broadcast(bad), col("l_suppkey") === col("bad_sk"), "left_anti")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // C7/B7 composition (r13) — the TPC-H Q15 top-supplier shape: revenue
+    // per supplier over one quarter, then the supplier(s) achieving the
+    // maximum. The max rides a scalar subquery over the ALREADY-aggregated
+    // (bounded: one row per supplier) revenue table — no self-join of the
+    // fact side, no window; ties all surface (the spec's semantics).
+    // Revenue is floor-cents BIGINT end-to-end; the max/equality compare
+    // never leaves exact integers.
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1997-01-01" &&
+          col("l_shipdate") < "1997-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+          "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)"))
+          .as("rev_c"))
+        .localCheckpoint(true) // two consumers: the max probe + the filter
+      val best = rev.agg(max(col("rev_c")).as("m")).select(col("m")).scalar()
+      rev.filter(col("rev_c") === best)
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_c").cast("double") / 100.0).as("total_revenue"))
+    }),
+
+    // C7/B7 composition (r13) — the TPC-H Q17 small-quantity-order shape:
+    // revenue from orders of a brand's parts whose quantity falls below
+    // 20% of that part's average. The per-part threshold is a grouped
+    // aggregate JOINED BACK on the part key (the grouped sibling of
+    // q_corr_subquery's per-customer max): the brand filter broadcasts
+    // into the lineitem scan FIRST, so both the average pass and the
+    // filter pass only ever see the brand's rows; the threshold table is
+    // one bounded row per part. avg = exact-decimal sum ÷ count (one
+    // double division), the 0.2× compare is the identical IEEE sequence
+    // both engines, and the final sum is DECIMAL-exact divided by 7.0
+    // once (the spec's weekly-revenue convention).
+    "q_tpch_q17" -> ((s, d) => {
+      val pt = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), dec("l_quantity", 12, 2).as("qty"),
+          dec("l_extendedprice", 12, 2).as("price"))
+        .localCheckpoint(true) // feeds both the avg pass and the filter pass
+      // bounded: ≤ one row per brand part — broadcasts, so the filter pass
+      // never shuffles the fact side
+      val avg = li.groupBy(col("l_partkey").as("ak"))
+        .agg((sum(col("qty")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      li.join(broadcast(avg), col("l_partkey") === col("ak"))
+        .filter(col("qty").cast("double") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("price")).cast("double") / 7.0).as("avg_yearly"))
+    }),
+
     // Anomaly flagging (r12) — per-type z-score outliers over the value
     // column, the telemetry-guardrail shape. Exactness discipline: values
     // quantize per row to integer CENTS (floor(v·100) — identical IEEE
@@ -837,6 +1016,100 @@ object RelationalQueries {
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 100""",
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_base_price,
+                CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                  (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS sum_disc_price,
+                CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                  (1.0 - CAST(l_discount AS DOUBLE)) *
+                  (1.0 + CAST(l_tax AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(*) AS avg_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(*) AS avg_price,
+                CAST(SUM(CAST(floor(CAST(l_discount AS DOUBLE) * 100)
+                  AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+                COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                  (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           AND n2.n_name IN ('NATION_1', 'NATION_2')
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                  (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             CAST(SUM(CAST(floor(
+                               CAST(l_extendedprice AS DOUBLE) *
+                               (1.0 - CAST(l_discount AS DOUBLE)) * 100)
+                               AS BIGINT)) AS BIGINT) AS rev_c
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-04-01'
+                      GROUP BY 1)
+         SELECT s_suppkey, s_name,
+                CAST(rev_c AS DOUBLE) / 100.0 AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_c = (SELECT MAX(rev_c) FROM rev)""",
+    "q_tpch_q17" ->
+      """WITH li AS (SELECT l_partkey,
+                            CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                            CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+                     FROM lineitem
+                     JOIN part ON l_partkey = p_partkey
+                     WHERE p_brand = 'Brand#1'),
+              a AS (SELECT l_partkey AS ak,
+                           CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty
+                    FROM li GROUP BY 1)
+         SELECT CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM li JOIN a ON l_partkey = ak
+         WHERE CAST(qty AS DOUBLE) < 0.2 * avg_qty""",
+    "q_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+              ok AS (SELECT l_partkey, l_suppkey FROM ps
+                     WHERE l_suppkey NOT IN
+                       (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+         SELECT p_brand, p_type, p_size,
+                COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM ok JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#3'
+           AND p_type NOT LIKE 'PROMO%'
+           AND p_size IN (1, 9, 17, 25, 33, 41, 49, 50)
+         GROUP BY 1, 2, 3""",
     "q_anomaly_z" ->
       """WITH ev AS (SELECT event_id, event_type, value,
                             CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS q

@@ -584,6 +584,31 @@ object SimilarityQueries {
           (col("pos") + 1).as("rnk"), col("t.score").as("score"))
     }),
 
+    // Contrastive hard-negative mining (r13) — per query, the top-5
+    // HIGHEST-scoring candidates BELOW the positive threshold (0.25, the
+    // same cut q_embed_neardup/q_semdedup treat as "same content"): the
+    // boundary region a contrastive trainer wants as negatives — similar
+    // enough to be hard, dissimilar enough to be safely non-positive.
+    // Plan: the q_cosine_topk scoring pass (broadcast queries, one
+    // corpus scan), a threshold filter, the bounded topk_by heap. The
+    // score crosses a one-element explode(array(...)) Generate before
+    // the filter so it becomes an ATTRIBUTE — a plain filter-on-alias
+    // would be pushed through the projection by SUBSTITUTING the dot
+    // expression, evaluating the 64-float dot twice per row (the
+    // alias-substitution trap, third confirmation r12; measured 2× on
+    // shingle_sig in r9).
+    "q_hard_negatives" -> ((s, d) => {
+      cosineScored(s, d)
+        .select(col("q_id"), col("neighbor_id"),
+          explode(array(col("score"))).as("score"))
+        .filter(col("score") < 0.25)
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, neighbor_id, 5)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"), col("t.score").as("score"))
+    }),
+
     // Per-vector L2 norm + dimension — the cheap full-corpus feature pass.
     "q_vector_norms" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -1466,6 +1491,26 @@ object SimilarityQueries {
                                   neighbor_id) AS rnk
                 FROM sc)
           SELECT q_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10""",
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                    WHERE vec_id < 5),
+          p AS (SELECT q.q_id, e.vec_id AS neighbor_id, e.embedding AS emb, q.qe
+                FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+          t AS (SELECT q_id, neighbor_id, UNNEST(emb) AS x, UNNEST(qe) AS y
+                FROM p),
+          sc AS (SELECT q_id, neighbor_id,
+                        SUM(CAST(x * y AS DOUBLE)) AS dot,
+                        SUM(CAST(x * x AS DOUBLE)) AS nx,
+                        SUM(CAST(y * y AS DOUBLE)) AS ny
+                 FROM t GROUP BY 1, 2),
+          r AS (SELECT q_id, neighbor_id,
+                       dot / (sqrt(nx) * sqrt(ny)) AS score,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC,
+                                  neighbor_id) AS rnk
+                FROM sc
+                WHERE dot / (sqrt(nx) * sqrt(ny)) < 0.25)
+          SELECT q_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5""",
     "q_vector_norms" ->
       """SELECT vec_id, label, sqrt(nx) AS l2_norm, dim FROM (
            SELECT vec_id, label, SUM(CAST(x * x AS DOUBLE)) AS nx,

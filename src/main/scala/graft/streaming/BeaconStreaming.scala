@@ -658,6 +658,46 @@ object BeaconStreaming {
         timestamp_micros(col("tsu")).as("step_ts"))
   }
 
+  /** Streaming gap sessionization (r13) — `q_sessionize` live: every
+    * arriving event is labeled with its user's CURRENT session number,
+    * where a session breaks when more than 30 min passes since the user's
+    * previous event. State per user is two longs (last event time, session
+    * counter) — the minimal stateful-enrichment shape (the batch form
+    * pays a window sort per partition; the stream pays nothing but the
+    * state lookup). Within a batch, rows fold in (ts, event_id) order;
+    * under the same per-user arrival-order contract as
+    * [[eventTransitionsStream]] the emitted labels equal the batch
+    * window's `q_sessionize` output on the replayed history
+    * (spec-pinned across checkpointed replay slices). Emits
+    * (user_id, event_id, session_no). */
+  def sessionizeStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id").cast("long").as("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          var (lastTsu, sess) = state.getOption.getOrElse((0L, 0L))
+          val out = Vector.newBuilder[(Long, Long, Long)]
+          for ((_, tsu, id) <- rows.toVector
+              .sortBy { case (_, tsu, id) => (tsu, id) }) {
+            if (sess == 0L || tsu - lastTsu > 1800000000L) sess += 1
+            lastTsu = tsu
+            out += ((user, id, sess))
+          }
+          state.update((lastTsu, sess))
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "session_no")
+  }
+
   /** LEFT OUTER stream-stream join (r12) — `q_click_abandonment` live:
     * clicks that saw NO same-user purchase within the following hour.
     * Outer stream-stream semantics are the interesting part: a matched

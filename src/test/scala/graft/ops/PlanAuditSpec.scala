@@ -31,7 +31,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q_fuzzy_match",
       // r12: bounded sources×buckets grid build + the 1-row N_c
       // cross-join — every BNLJ input here is corpus-independent
-      "q_dist_drift")
+      "q_dist_drift",
+      // r13: the same cosineScored broadcast-query non-equi pass as
+      // q_cosine_topk, with a threshold filter before the heap
+      "q_hard_negatives")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
@@ -103,7 +106,7 @@ class PlanAuditSpec extends SparkTestBase {
     // q_bm25/q_hybrid_rrf joined the contract in r8: lexical top-k and the
     // fused cut are the same bounded-heap / TakeOrdered shapes
     for (name <- Seq("q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_knn_classify",
-        "q_bm25", "q_bm25_multi", "q_hybrid_rrf")) {
+        "q_bm25", "q_bm25_multi", "q_hybrid_rrf", "q_hard_negatives")) {
       val plan = physical(name)
       assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
         s"$name regressed to a full-stream window top-k")

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantics pins for the r13 additions (cross-engine values are pinned by
+  * the DuckDB twins; these tests pin behavior on inputs the fixture does
+  * not exercise — boundary gaps, multi-click purchases, split determinism,
+  * threshold edges). */
+class R13OpsSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def microEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_sessionize: breaks strictly above the 30-min gap, numbered from 1") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    // user 1: gap of EXACTLY 30 min (no break — strictly greater), then
+    //         30 min + 1 s (break); user 2: single event
+    val dir = microEvents(Seq(
+      (1L, t(0), 1L, "click", 0.0),
+      (2L, t(1800), 1L, "click", 0.0),
+      (3L, t(1800 + 1801), 1L, "click", 0.0),
+      (4L, t(0), 2L, "signup", 0.0)))
+    val out = EventQueries.queries("q_sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("q_sessionize: labels every event; session numbers start at 1 and never jump") {
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    val out = EventQueries.queries("q_sessionize")(spark, sfDir)
+    assert(out.count() === ev.count())
+    // per user: min session = 1, max session = number of distinct sessions
+    val bad = out.groupBy("user_id")
+      .agg(min("session_no").as("lo"), max("session_no").as("hi"),
+        countDistinct("session_no").as("k"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("k"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("q_attribution_last: picks min gap then min click_id per purchase") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    // purchase 10 has clicks at -10 min (id 2) and -5 min (id 3): last
+    // touch is id 3 (smaller gap). purchase 20 has two clicks at the SAME
+    // instant (-60 s): tie breaks to the smaller click_id 5.
+    val dir = microEvents(Seq(
+      (2L, t(0), 1L, "click", 0.0),
+      (3L, t(300), 1L, "click", 0.0),
+      (10L, t(600), 1L, "purchase", 9.5),
+      (5L, t(0), 2L, "click", 0.0),
+      (6L, t(0), 2L, "click", 0.0),
+      (20L, t(60), 2L, "purchase", 3.25)))
+    val out = EventQueries.queries("q_attribution_last")(spark, dir)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(10L -> (3L, 300000000L), 20L -> (5L, 60000000L)))
+  }
+
+  test("q_attribution_last: exactly one row per attributed purchase") {
+    val attr = EventQueries.queries("q_click_attribution")(spark, sfDir)
+    val last = EventQueries.queries("q_attribution_last")(spark, sfDir)
+    assert(last.count() === attr.select("purchase_id").distinct().count())
+    // and each picked gap is that purchase's minimum
+    val mins = attr.groupBy("purchase_id").agg(min("gap_us").as("mg"))
+    val bad = last.join(mins, "purchase_id")
+      .filter(col("gap_us") =!= col("mg")).count()
+    assert(bad === 0L)
+  }
+
+  test("q_split_assign: partitions the corpus, deterministic, ~80/10/10") {
+    val out = CorpusQueries.queries("q_split_assign")(spark, sfDir).collect()
+    val nDocs = graft.tables.Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(out.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val train = bySplit.getOrElse("train", 0L).toDouble / nDocs
+    assert(train > 0.6 && train < 0.95, s"train share $train")
+    // determinism: a second run is row-identical
+    val again = CorpusQueries.queries("q_split_assign")(spark, sfDir).collect()
+    assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
+  test("q_hard_negatives: all below the positive cut, top-5 per query, ordered") {
+    val out = SimilarityQueries.queries("q_hard_negatives")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("score") < 0.25))
+    val perQ = out.groupBy(_.getAs[Long]("q_id"))
+    for ((q, rows) <- perQ) {
+      assert(rows.length <= 5, s"q=$q has ${rows.length} rows")
+      val byRnk = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("score"))
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b },
+        s"q=$q scores not descending in rank")
+    }
+  }
+
+  test("q_tpch_q1: aggregates reconcile (count, avg x count = sum)") {
+    val out = RelationalQueries.queries("q_tpch_q1")(spark, sfDir).collect()
+    val filtered = graft.tables.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= "2001-09-01").count()
+    assert(out.map(_.getAs[Long]("count_order")).sum === filtered)
+    for (r <- out) {
+      val n = r.getAs[Long]("count_order").toDouble
+      assert(math.abs(r.getAs[Double]("avg_qty") * n -
+        r.getAs[Double]("sum_qty")) < 1e-6 * n)
+      // charge >= disc price >= 0 (tax and discount are non-negative)
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+    }
+  }
+
+  test("q_tpch_q16: denylisted suppliers never counted; bounds hold") {
+    val out = RelationalQueries.queries("q_tpch_q16")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nGood = graft.tables.Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") >= 0).count()
+    assert(out.forall(_.getAs[Long]("supplier_cnt") <= nGood))
+    assert(out.forall(r => !r.getAs[String]("p_type").startsWith("PROMO")
+      && r.getAs[String]("p_brand") != "Brand#3"))
+  }
+
+  test("q_tpch_q7: symmetric nation pairs, exact year domain") {
+    // sf0.001 has no cross-trade between the two fixed nations (4 customers
+    // per nation); sf0.01 does — the oracle gate runs there anyway
+    val out = RelationalQueries.queries("q_tpch_q7")(spark,
+      "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    val pairs = out.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))))
+    assert(out.forall { r =>
+      val y = r.getAs[Long]("l_year"); y >= 1995L && y <= 2001L })
+  }
+}

@@ -964,6 +964,21 @@ class BeaconStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("sessionizeStream sliced replay equals batch q_sessionize row-for-row") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = replayEventSlices("stream-sess",
+        BeaconStreaming.sessionizeStream)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session_no"))).toMap
+    val batch = graft.ops.EventQueries.queries("q_sessionize")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session_no"))).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
+
   test("clickAttributionStream sliced replay equals batch q_click_attribution") {
     val sfDir = "/root/testdata/sf0.001"
     def key(r: org.apache.spark.sql.Row) =
