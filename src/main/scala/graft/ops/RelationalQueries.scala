@@ -399,20 +399,26 @@ object RelationalQueries {
 
     // C7 composition (r13) — the TPC-H Q1 pricing summary: THE canonical
     // scan-heavy aggregate (one pass, 4 groups, 8 aggregates). Exactness
-    // discipline: quantity/base-price sums ride DECIMAL(12,2) (exact,
-    // order-free); the multiplied measures (disc price, charge, the
-    // discount itself) quantize per row to floor-cents BIGINTs — the
-    // per-row double sequence is identical IEEE on both engines, the
-    // sums are pure integers — and every average is the SAME
-    // left-associated double division over those exact sums. Plan: filter
-    // pushed to the scan, partial+final hash agg, nothing else — the
-    // query whole-stage codegen exists for.
+    // discipline: EVERY measure quantizes per row to integer cents —
+    // quantity and base price via round(x·100) (the fixture's values are
+    // 2-decimal, so round recovers the exact cents a DECIMAL cast would;
+    // round is half-away-from-zero on both engines — the
+    // q_embed_quantize discipline), the multiplied measures (disc price,
+    // charge, the discount) via the established floor-cents quantizer —
+    // so all six sums are pure BIGINTs (order-free, codegen'd long
+    // adds; a DECIMAL(12,2) sum here runs on the BigDecimal slow path
+    // because the result precision exceeds 18) and every average is the
+    // SAME left-associated double division over those exact sums. Plan:
+    // filter pushed to the scan, partial+final hash agg, nothing else —
+    // the query whole-stage codegen exists for.
     "q_tpch_q1" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= "2001-09-01")
         .select(col("l_returnflag"), col("l_linestatus"),
-          dec("l_quantity", 12, 2).as("qty"),
-          dec("l_extendedprice", 12, 2).as("price"),
+          expr("CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT)")
+            .as("qty_c"),
+          expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price_c"),
           expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
             "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
             .as("disc_c"),
@@ -424,12 +430,12 @@ object RelationalQueries {
             .as("dpc"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum("qty").cast("double").as("sum_qty"),
-          sum("price").cast("double").as("sum_base_price"),
+          (sum("qty_c").cast("double") / 100.0).as("sum_qty"),
+          (sum("price_c").cast("double") / 100.0).as("sum_base_price"),
           (sum("disc_c").cast("double") / 100.0).as("sum_disc_price"),
           (sum("charge_c").cast("double") / 100.0).as("sum_charge"),
-          (sum("qty").cast("double") / count(lit(1))).as("avg_qty"),
-          (sum("price").cast("double") / count(lit(1))).as("avg_price"),
+          (sum("qty_c").cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+          (sum("price_c").cast("double") / 100.0 / count(lit(1))).as("avg_price"),
           (sum("dpc").cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -499,15 +505,18 @@ object RelationalQueries {
 
     // C6/C9 composition (r13) — the TPC-H Q16 parts/supplier
     // relationship, adapted to this schema (no partsupp table — the
-    // observed part⋈supplier relation is DISTINCT (l_partkey, l_suppkey)
-    // from lineitem; the complaints exclusion becomes the negative-
-    // balance denylist). Plan: the distinct is ONE exchange on the pair
-    // key; the 6-row denylist broadcasts into a left ANTI join; the
-    // filtered part dim broadcasts; COUNT(DISTINCT suppkey) re-groups on
-    // (brand, type, size) — both aggregates map-side combined.
+    // observed part⋈supplier relation comes from lineitem; the
+    // complaints exclusion becomes the negative-balance denylist).
+    // Plan: the filtered part dim broadcasts FIRST (cuts the fact stream
+    // to the surviving brands/types/sizes inside the scan stage), the
+    // 6-row denylist broadcasts into a left ANTI join, and COUNT
+    // (DISTINCT suppkey) per (brand, type, size) is the ONLY exchange —
+    // Spark's two-phase distinct-aggregate dedups (group, suppkey) pairs
+    // map-side, so a leading pairwise DISTINCT over the whole fact table
+    // (the naive reading of "the observed relation") would be a second
+    // full-width shuffle buying nothing; measured 1.60 → 0.75 s min at
+    // sf0.1 deleting it (interleaved AB min-of-7).
     "q_tpch_q16" -> ((s, d) => {
-      val ps = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
       val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
         .select(col("s_suppkey").as("bad_sk"))
       val pt = Tables.part(s, d)
@@ -515,8 +524,9 @@ object RelationalQueries {
           !col("p_type").startsWith("PROMO") &&
           col("p_size").isin(1, 9, 17, 25, 33, 41, 49, 50))
         .select("p_partkey", "p_brand", "p_type", "p_size")
-      ps.join(broadcast(bad), col("l_suppkey") === col("bad_sk"), "left_anti")
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("bad_sk"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -1018,10 +1028,10 @@ object RelationalQueries {
          LIMIT 100""",
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                  AS sum_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                  AS sum_base_price,
+                CAST(SUM(CAST(round(CAST(l_quantity AS DOUBLE) * 100)
+                  AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+                CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                  AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
                 CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
                   (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
                   AS DOUBLE) / 100.0 AS sum_disc_price,
@@ -1029,10 +1039,10 @@ object RelationalQueries {
                   (1.0 - CAST(l_discount AS DOUBLE)) *
                   (1.0 + CAST(l_tax AS DOUBLE)) * 100) AS BIGINT))
                   AS DOUBLE) / 100.0 AS sum_charge,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                  / COUNT(*) AS avg_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                  / COUNT(*) AS avg_price,
+                CAST(SUM(CAST(round(CAST(l_quantity AS DOUBLE) * 100)
+                  AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+                CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                  AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
                 CAST(SUM(CAST(floor(CAST(l_discount AS DOUBLE) * 100)
                   AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
                 COUNT(*) AS count_order

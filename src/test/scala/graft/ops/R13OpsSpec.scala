@@ -130,6 +130,50 @@ class R13OpsSpec extends SparkTestBase {
       && r.getAs[String]("p_brand") != "Brand#3"))
   }
 
+  test("q_tpch_q15: the reported revenue IS the per-supplier maximum") {
+    val out = RelationalQueries.queries("q_tpch_q15")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // driver recompute of the quarter's per-supplier cents revenue
+    val best = graft.tables.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1997-01-01" &&
+        col("l_shipdate") < "1997-04-01")
+      .groupBy("l_suppkey")
+      .agg(sum(expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+        "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")).as("rc"))
+      .agg(max("rc")).collect()(0).getLong(0)
+    assert(out.forall(r =>
+      math.abs(r.getAs[Double]("total_revenue") - best / 100.0) < 1e-9))
+  }
+
+  test("q_tpch_q17: one row; value matches the threshold-filtered recompute") {
+    val out = RelationalQueries.queries("q_tpch_q17")(spark, sfDir).collect()
+    assert(out.length === 1)
+    val got = out(0).getAs[Double]("avg_yearly")
+    // driver recompute: per-part avg qty over Brand#1 rows, then the sum of
+    // prices of rows strictly below 0.2x their part's average
+    val rows = graft.tables.Tables.lineitem(spark, sfDir)
+      .join(graft.tables.Tables.part(spark, sfDir)
+        .filter(col("p_brand") === "Brand#1").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avg = rows.groupBy(_._1).view.mapValues(v =>
+      v.map(x => BigDecimal(x._2).setScale(2).toDouble).sum / v.length).toMap
+    val expect = rows.filter { case (p, q, _) => q < 0.2 * avg(p) }
+      .map(x => BigDecimal(x._3).setScale(2)).sum.toDouble / 7.0
+    assert(math.abs(got - expect) < 1e-6 * math.max(1.0, math.abs(expect)),
+      s"got $got expect $expect")
+  }
+
+  test("q_tpch_q10: at most 20 rows, ordered by revenue desc then custkey") {
+    val out = RelationalQueries.queries("q_tpch_q10")(spark,
+      "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val keys = out.map(r => (-r.getAs[Double]("revenue"),
+      r.getAs[Long]("c_custkey"))).toSeq
+    assert(keys === keys.sorted, "not in (revenue DESC, custkey) order")
+  }
+
   test("q_tpch_q7: symmetric nation pairs, exact year domain") {
     // sf0.001 has no cross-trade between the two fixed nations (4 customers
     // per nation); sf0.01 does — the oracle gate runs there anyway
