@@ -95,6 +95,12 @@ object GraftFunctions {
         val at = ArrayType(FloatType, containsNull = true)
         FloatVectorSub(Cast(args.head, at), Cast(args(1), at))
       }),
+    (new FunctionIdentifier("ahash64"),
+      new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "ahash64 expects 1 argument")
+        AHash64(Cast(args.head, ArrayType(FloatType, containsNull = true)))
+      }),
     (new FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
       (args: Seq[Expression]) => {

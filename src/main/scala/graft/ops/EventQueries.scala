@@ -102,6 +102,41 @@ object EventQueries {
       .groupBy("cohort_week", "week_no")
       .agg(count(lit(1)).as("users"))
 
+  private[ops] def sessionizeOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"))
+      .withColumn("brk",
+        when(col("tsu") - lag("tsu", 1).over(w) > lit(1800000000L)
+          || lag("tsu", 1).over(w).isNull, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("brk")).over(run).as("session_no"))
+  }
+
+  private[ops] def heavyHittersOf(ev: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(ev.sparkSession)
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // bounded (one row per key); two consumers
+    val total = counts.agg(sum(col("cnt")).as("t")).select(col("t")).scalar()
+    counts
+      .groupBy()
+      .agg(expr("topk_by(CAST(cnt AS DOUBLE), user_id, 10)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").as("user_id"), (col("pos") + 1).as("rnk"),
+        col("t.score").cast("long").as("cnt"))
+      .withColumn("share", col("cnt").cast("double") / total)
+  }
+
+  private[ops] def attributionLastOf(ev: DataFrame): DataFrame =
+    attributionOf(ev)
+      .groupBy("user_id", "purchase_id", "amount")
+      .agg(min(struct(col("gap_us"), col("click_id"))).as("b"))
+      .select(col("user_id"), col("purchase_id"),
+        col("b.click_id").as("click_id"), col("b.gap_us").as("gap_us"),
+        col("amount"))
+
   private[ops] def attributionOf(ev: DataFrame): DataFrame = {
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("event_id").as("click_id"),
@@ -178,19 +213,7 @@ object EventQueries {
     // user_id + per-partition sort shared by both window functions —
     // the same single-window plan q_window_lag runs; nothing
     // corpus-sized leaves its partition.
-    "q_sessionize" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-      val run = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"))
-        .withColumn("brk",
-          when(col("tsu") - lag("tsu", 1).over(w) > lit(1800000000L)
-            || lag("tsu", 1).over(w).isNull, 1L).otherwise(0L))
-        .select(col("user_id"), col("event_id"),
-          sum(col("brk")).over(run).as("session_no"))
-    }),
+    "q_sessionize" -> ((s, d) => sessionizeOf(Tables.events(s, d))),
 
     // Heavy-hitter keys (r13) — the skew diagnostic run BEFORE every
     // large join/groupBy at scale: the top-10 keys by row count and each
@@ -200,20 +223,7 @@ object EventQueries {
     // the per-key counts (never a sort of the key distribution), and the
     // grand total rides a scalar subquery off the SAME aggregate —
     // integer counts end-to-end, one double division for the share.
-    "q_heavy_hitters" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val counts = Tables.events(s, d)
-        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // bounded (one row per key); two consumers
-      val total = counts.agg(sum(col("cnt")).as("t")).select(col("t")).scalar()
-      counts
-        .groupBy()
-        .agg(expr("topk_by(CAST(cnt AS DOUBLE), user_id, 10)").as("top"))
-        .select(posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("t.id").as("user_id"), (col("pos") + 1).as("rnk"),
-          col("t.score").cast("long").as("cnt"))
-        .withColumn("share", col("cnt").cast("double") / total)
-    }),
+    "q_heavy_hitters" -> ((s, d) => heavyHittersOf(Tables.events(s, d))),
 
     // Last-touch attribution (r13) — the sink-side pick the
     // q_click_attribution scaladoc promises: per purchase, the single
@@ -223,12 +233,7 @@ object EventQueries {
     // attribution join (purchase_id keys — exchange width = purchases
     // with ≥1 click, already bounded by the hour band).
     "q_attribution_last" -> ((s, d) =>
-      attributionOf(Tables.events(s, d))
-        .groupBy("user_id", "purchase_id", "amount")
-        .agg(min(struct(col("gap_us"), col("click_id"))).as("b"))
-        .select(col("user_id"), col("purchase_id"),
-          col("b.click_id").as("click_id"), col("b.gap_us").as("gap_us"),
-          col("amount")))
+      attributionLastOf(Tables.events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(

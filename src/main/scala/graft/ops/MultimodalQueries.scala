@@ -21,28 +21,20 @@ object MultimodalQueries {
     * DataFrame-input form (private[ops]): EventGrowth times the SAME
     * builder over replicated media, so the growth harness cannot drift
     * from the registered shape. */
-  private[ops] def phashCodesOf(media: DataFrame): DataFrame =
+  private[ops] def phashCodesOf(media: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(media.sparkSession)
+    // r13: the pack is ONE native codegen'd expression
+    // ([[graft.functions.AHash64]] — bit-identical to the r12 composed
+    // three-HOF chain, whose interpreted folds cost ~0.5 s/pass at
+    // sf0.1). The single-element Generate barrier STAYS: the struct's
+    // two field references would otherwise collapse into the projection
+    // and evaluate the hash twice per row (the standing
+    // alias-substitution trap, r9/r10/r12).
     Multimodal.extractFeatures(media, dim = 64)
-      // the adcFanoutFirst discipline: byte array + its sum cross a
-      // single-element Generate so they become ATTRIBUTES — projections
-      // cannot collapse across a Generate, so the pack lambdas below
-      // reference bound columns instead of re-inlining transform/sum
-      // INSIDE the 32-iteration fold (the alias-substitution trap: the
-      // naive chain re-evaluated the byte derivation per fold step, 26 s
-      // instead of ~1 s on the banded-pairs consumer)
-      .select(col("media_id"), posexplode(array(struct(
-        expr("transform(features, x -> " +
-          "CAST(round(CAST(x AS DOUBLE) * 255) AS BIGINT))").as("b"),
-        expr("aggregate(transform(features, x -> " +
-          "CAST(round(CAST(x AS DOUBLE) * 255) AS BIGINT)), 0L, " +
-          "(a, x) -> a + x)").as("sumb")))).as(Seq("_p", "t")))
-      .select(col("media_id"), col("t.b").as("b"), col("t.sumb").as("sumb"))
       .select(col("media_id"),
-        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
-          "acc + IF(b[i] * 64 > sumb, shiftleft(1L, i), 0L))").as("lo"),
-        expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
-          "acc + IF(b[i] * 64 > sumb, shiftleft(1L, i - 32), 0L))")
-          .as("hi"))
+        posexplode(array(expr("ahash64(features)"))).as(Seq("_p", "t")))
+      .select(col("media_id"), col("t.lo").as("lo"), col("t.hi").as("hi"))
+  }
 
   /** The matching DuckDB CTE chain (ends in `codes(media_id, lo, hi)`) —
     * interpolated into both oracles for the same no-drift reason. */

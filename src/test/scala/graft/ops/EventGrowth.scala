@@ -74,6 +74,9 @@ object EventGrowth {
     EventQueries.transitionsOf(evTimes(1)).queryExecution.toRdd.count()
     EventQueries.retentionOf(evTimes(1)).queryExecution.toRdd.count()
     EventQueries.attributionOf(evTimes(1)).queryExecution.toRdd.count()
+    EventQueries.sessionizeOf(evTimes(1)).queryExecution.toRdd.count()
+    EventQueries.attributionLastOf(evTimes(1)).queryExecution.toRdd.count()
+    EventQueries.heavyHittersOf(evTimes(1)).queryExecution.toRdd.count()
     MultimodalQueries.phashNeardupOf(mediaTimes(1))
       .queryExecution.toRdd.count()
     spark.sparkContext.getPersistentRDDs.values
@@ -81,6 +84,7 @@ object EventGrowth {
 
     println(f"${"scale"}%-6s ${"events"}%9s ${"funnel_s"}%9s " +
       f"${"trans_s"}%8s ${"reten_s"}%8s ${"attrib_s"}%9s " +
+      f"${"sess_s"}%7s ${"last_s"}%7s ${"hh_s"}%7s " +
       f"${"media"}%8s ${"phash_s"}%8s")
     for (n <- Seq(1, 4, 16)) {
       val e = evTimes(n)
@@ -89,13 +93,20 @@ object EventGrowth {
       val tT = t { EventQueries.transitionsOf(e).queryExecution.toRdd.count() }
       val tR = t { EventQueries.retentionOf(e).queryExecution.toRdd.count() }
       val tA = t { EventQueries.attributionOf(e).queryExecution.toRdd.count() }
+      val tS = t { EventQueries.sessionizeOf(e).queryExecution.toRdd.count() }
+      val tL = t {
+        EventQueries.attributionLastOf(e).queryExecution.toRdd.count()
+      }
+      val tH = t {
+        EventQueries.heavyHittersOf(e).queryExecution.toRdd.count()
+      }
       val m = mediaTimes(n)
       val nM = m.count()
       val tP = t {
         MultimodalQueries.phashNeardupOf(m).queryExecution.toRdd.count()
       }
       println(f"${n}%-6d ${nEv}%9d ${tF}%9.3f ${tT}%8.3f ${tR}%8.3f " +
-        f"${tA}%9.3f ${nM}%8d ${tP}%8.3f")
+        f"${tA}%9.3f ${tS}%7.3f ${tL}%7.3f ${tH}%7.3f ${nM}%8d ${tP}%8.3f")
     }
     spark.stop()
   }
