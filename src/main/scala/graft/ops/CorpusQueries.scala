@@ -491,6 +491,28 @@ object CorpusQueries {
           levenshtein(col("tok"), col("term")).cast("long").as("dist"))
     }),
 
+    // Deterministic per-source eval sample (r13) — "give me k docs per
+    // source" the reproducible way: rank every doc inside its source by
+    // the content-independent md5(doc_id) key (the q_sample_stratified
+    // discipline — same rows on every engine/run/cluster size) and keep
+    // the first 5. The rank key stays an exact BIGINT end-to-end (a
+    // double-scored heap would round 63-bit keys and could flip orders
+    // vs the oracle), so the per-group cut is a window over ONE exchange
+    // on source + a per-partition sort — the same accepted shape as
+    // q_budget_sample's take windows; k rows per source leave it.
+    "q_group_sample" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("skey", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          expr("md5_low63(CAST(doc_id AS STRING))").as("skey"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("rnk"), col("doc_id"), col("lang"),
+          col("n_chars"))
+    }),
+
     // Deterministic stratified sampling — reproducible per-source mixing
     // weights (keep 25% of src0, 50% of src1, everything else whole). The
     // sampling key is a content-independent md5 bucket of the doc_id, so
@@ -1271,6 +1293,17 @@ object CorpusQueries {
                 CAST(levenshtein(tok, term) AS BIGINT) AS dist
          FROM toks JOIN dl ON abs(length(tok) - length(term)) <= 1
                            AND levenshtein(tok, term) <= 1""",
+    "q_group_sample" ->
+      """WITH k AS (SELECT doc_id, source, lang, n_chars,
+                           CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                                % 9223372036854775807 AS BIGINT) AS skey
+                    FROM documents),
+              r AS (SELECT source, doc_id, lang, n_chars,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY skey, doc_id) AS rnk
+                    FROM k)
+         SELECT source, rnk, doc_id, lang, n_chars
+         FROM r WHERE rnk <= 5""",
     "q_sample_stratified" ->
       """SELECT doc_id, source, lang,
                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR))

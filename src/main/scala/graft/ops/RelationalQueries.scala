@@ -586,6 +586,71 @@ object RelationalQueries {
         .agg((sum(col("price")).cast("double") / 7.0).as("avg_yearly"))
     }),
 
+    // C7 composition (r13) — TPC-H Q6, the forecasting-revenue-change
+    // scan: ONE filtered aggregate, every predicate pushed into the
+    // parquet scan (date range + discount band + quantity cap), revenue =
+    // floor-cents of price·discount summed as BIGINT. The minimal
+    // "filter hard, aggregate once" shape — at 100 TB this query IS its
+    // scan, which is the point.
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1997-01-01" &&
+          col("l_shipdate") < "1998-01-01" &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg((sum(expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+          "CAST(l_discount AS DOUBLE) * 100) AS BIGINT)"))
+          .cast("double") / 100.0).as("revenue"))),
+
+    // C7/C9 composition (r13) — TPC-H Q14, promo revenue share: one
+    // month of lineitem against the broadcast part dim, TWO conditional
+    // sums in ONE aggregate (promo-only and total floor-cents revenue),
+    // the ratio assembled from exact integers with one double division
+    // chain (100·promo/total, left-associated identically both engines).
+    "q_tpch_q14" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1997-09-01" &&
+          col("l_shipdate") < "1997-10-01")
+        .select(col("l_partkey"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
+            .as("rev_c"))
+      li.join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_c"))
+            .otherwise(0L)).as("promo_c"),
+          sum(col("rev_c")).as("total_c"))
+        .select((lit(100.0) * col("promo_c").cast("double") /
+          col("total_c").cast("double")).as("promo_revenue_pct"))
+    }),
+
+    // C2/C7 composition (r13) — TPC-H Q19, discounted revenue under an
+    // OR of conjunctive brand/size/quantity bands: the predicate-heavy
+    // shape. The part-side conditions (brand, size range) live in the
+    // broadcast build; the OR of (brand, quantity-band) pairs is the
+    // join residual — so the fact scan still prunes on the
+    // quantity envelope and only surviving rows evaluate the OR.
+    "q_tpch_q19" -> ((s, d) => {
+      val pt = Tables.part(s, d)
+        .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 5))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(1, 10))
+          || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)))
+        .select("p_partkey", "p_brand")
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
+            .as("rev_c"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30)))
+        .agg((sum(col("rev_c")).cast("double") / 100.0).as("revenue"))
+    }),
+
     // Anomaly flagging (r12) — per-type z-score outliers over the value
     // column, the telemetry-guardrail shape. Exactness discipline: values
     // quantize per row to integer CENTS (floor(v·100) — identical IEEE
@@ -1081,6 +1146,38 @@ object RelationalQueries {
          GROUP BY 1, 2, 3, 4
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""",
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                  CAST(l_discount AS DOUBLE) * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                    (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                    (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) AS promo_revenue_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+           AND l_shipdate < TIMESTAMP '1997-10-01'""",
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                  (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_quantity >= 1 AND l_quantity <= 30
+           AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5)
+             OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10)
+             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15))
+           AND ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30))""",
     "q_tpch_q15" ->
       """WITH rev AS (SELECT l_suppkey,
                              CAST(SUM(CAST(floor(

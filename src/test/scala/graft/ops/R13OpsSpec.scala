@@ -174,6 +174,61 @@ class R13OpsSpec extends SparkTestBase {
     assert(keys === keys.sorted, "not in (revenue DESC, custkey) order")
   }
 
+  test("q_tpch_q6: revenue equals the driver recompute of the filtered scan") {
+    val out = RelationalQueries.queries("q_tpch_q6")(spark, sfDir).collect()
+    assert(out.length === 1)
+    val rows = graft.tables.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1997-01-01" &&
+        col("l_shipdate") < "1998-01-01" &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select("l_extendedprice", "l_discount").collect()
+    val cents = rows.map(r =>
+      math.floor(r.getDouble(0) * r.getDouble(1) * 100).toLong).sum
+    assert(out(0).getAs[Double]("revenue") === cents / 100.0)
+  }
+
+  test("q_tpch_q14: promo share in [0, 100]") {
+    val out = RelationalQueries.queries("q_tpch_q14")(spark, sfDir).collect()
+    assert(out.length === 1)
+    val pct = out(0).getAs[Double]("promo_revenue_pct")
+    assert(pct >= 0.0 && pct <= 100.0, s"pct $pct")
+  }
+
+  test("q_tpch_q19: OR-of-bands revenue is a subset of the quantity envelope") {
+    val out = RelationalQueries.queries("q_tpch_q19")(spark, sfDir).collect()
+    assert(out.length === 1)
+    val rev = out(0).getAs[Double]("revenue")
+    assert(rev >= 0.0)
+    // envelope: dropping the per-brand band (keeping only qty 1..30 and
+    // the part-side filter) can only ADD revenue
+    val envelope = graft.tables.Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .join(graft.tables.Tables.part(spark, sfDir)
+        .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 5))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(1, 10))
+          || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)))
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .agg(sum(expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+        "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")))
+      .collect()(0).getLong(0) / 100.0
+    assert(rev <= envelope + 1e-9, s"$rev > envelope $envelope")
+  }
+
+  test("q_group_sample: exactly 5 per source, deterministic, ranks 1..5") {
+    val out = CorpusQueries.queries("q_group_sample")(spark, sfDir).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    val nSrc = graft.tables.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(bySrc.size === nSrc)
+    for ((src, rows) <- bySrc) {
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq === Seq(1, 2, 3, 4, 5),
+        s"$src ranks")
+    }
+    val again = CorpusQueries.queries("q_group_sample")(spark, sfDir).collect()
+    assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("q_tpch_q7: symmetric nation pairs, exact year domain") {
     // sf0.001 has no cross-trade between the two fixed nations (4 customers
     // per nation); sf0.01 does — the oracle gate runs there anyway
