@@ -698,6 +698,33 @@ object BeaconStreaming {
       .toDF("user_id", "event_id", "session_no")
   }
 
+  /** Streaming key-count monitor (r13) — `q_heavy_hitters` live: every
+    * micro-batch emits each ACTIVE user's updated running count (one long
+    * of state per user). Append-sink discipline: the emitted rows are
+    * count CHECKPOINTS — the table's current value for a user is its MAX
+    * (counts are monotone per user, spec-pinned), and the top-10 cut is a
+    * sink-side query over those maxima, exactly how a live skew monitor
+    * reads (the batch q_heavy_hitters is the at-rest form). Emits
+    * (user_id, cnt). */
+  def heavyHittersStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long").as("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Long],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          Iterator.single((user, c))
+      }
+      .toDF("user_id", "cnt")
+  }
+
   /** LEFT OUTER stream-stream join (r12) — `q_click_abandonment` live:
     * clicks that saw NO same-user purchase within the following hour.
     * Outer stream-stream semantics are the interesting part: a matched

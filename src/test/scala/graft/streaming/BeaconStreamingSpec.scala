@@ -979,6 +979,31 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("heavyHittersStream maxima equal batch counts; checkpoints monotone") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = replayEventSlices("stream-hh", BeaconStreaming.heavyHittersStream)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // per user the emitted checkpoints are strictly increasing
+    for ((u, cs) <- rows.groupBy(_._1)) {
+      val sorted = cs.map(_._2).sorted
+      assert(sorted.distinct.length === sorted.length,
+        s"user $u emitted a duplicate checkpoint")
+    }
+    val streamed = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    val batch = graft.tables.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    // the sink-side top-10 cut over the maxima equals batch q_heavy_hitters
+    val topStream = streamed.toSeq.sortBy { case (u, c) => (-c, u) }.take(10)
+    val topBatch = graft.ops.EventQueries
+      .queries("q_heavy_hitters")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("rnk"))
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).toSeq
+    assert(topStream === topBatch)
+  }
+
   test("clickAttributionStream sliced replay equals batch q_click_attribution") {
     val sfDir = "/root/testdata/sf0.001"
     def key(r: org.apache.spark.sql.Row) =
