@@ -651,6 +651,104 @@ object RelationalQueries {
         .agg((sum(col("rev_c")).cast("double") / 100.0).as("revenue"))
     }),
 
+    // C7/C9 composition (late r13) — TPC-H Q8, national market share: of
+    // one part type's revenue sold into one region's customers, the
+    // fraction supplied by one nation, by year. The share is a ratio of
+    // two conditional floor-cents sums in ONE aggregate per year (the
+    // q_tpch_q14 discipline); the part filter broadcasts first (smallest
+    // selectivity), the region-filtered customer-nation dim broadcasts
+    // into the customer side, the supplier-nation name rides a broadcast
+    // join and feeds the conditional sum.
+    "q_tpch_q8" -> ((s, d) => {
+      val pt = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val regionNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")), // fixture region names? checked below
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("ck"))
+      val cus = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(regionNations), col("c_nationkey") === col("ck"))
+        .select("c_custkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "supp_nation")
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
+            .as("rev_c"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", col("rev_c"))
+            .otherwise(0L)).as("nation_c"),
+          sum(col("rev_c")).as("total_c"))
+        .select(col("o_year"),
+          (col("nation_c").cast("double") / col("total_c").cast("double"))
+            .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // C7/C18 composition (late r13) — the TPC-H Q12 shape ADAPTED to this
+    // schema (no commitdate/receiptdate/shipmode): late-shipment counts
+    // by order priority — per priority, how many lineitems shipped more
+    // than 60 days after their order date vs within it. The classic
+    // two-conditional-counts-per-group shape; datediff is exact integer
+    // date arithmetic, the date subtraction happens AFTER the join on the
+    // order key (one fact-fact shuffle, both scans pruned to 3 columns).
+    "q_tpch_q12" -> ((s, d) => {
+      Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          expr("datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))")
+            .as("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("lag_days") > 60, 1L).otherwise(0L)).as("late_count"),
+          sum(when(col("lag_days") <= 60, 1L).otherwise(0L)).as("ontime_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // B7/C9 composition (late r13) — the TPC-H Q22 shape ADAPTED (no
+    // phone column — the country grouping is the customer's nation; the
+    // no-orders test is "no orders since 1999-01-01", i.e. DORMANT
+    // wealthy customers, because the fixture gives every customer some
+    // historical order — an unconditional anti-join would be vacuously
+    // empty at the gate scale and exercise nothing): customers above the
+    // positive-balance average with no recent order, counted per nation
+    // with their total balance. The average rides ONE scalar subquery
+    // (computed once, broadcast into the filter), the dormancy test is a
+    // left ANTI join against the date-pruned order scan, and the
+    // per-nation rollup sums exact balance CENTS with one division.
+    "q_tpch_q22" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)")
+            .as("bal_c"))
+      val avgBal = cust.filter(col("bal_c") > 0)
+        .agg((sum(col("bal_c")).cast("double") / count(lit(1))).as("a"))
+        .select(col("a")).scalar()
+      cust.filter(col("bal_c").cast("double") > avgBal)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= "1999-01-01")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_c")).cast("double") / 100.0).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // Anomaly flagging (r12) — per-type z-score outliers over the value
     // column, the telemetry-guardrail shape. Exactness discipline: values
     // quantize per row to integer CENTS (floor(v·100) — identical IEEE
@@ -1178,6 +1276,50 @@ object RelationalQueries {
            AND ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
              OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
              OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30))""",
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                  THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                    (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                    (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                  AS DOUBLE) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+         GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q12" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) > 60 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS late_count,
+                CAST(SUM(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ontime_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+                           CAST(floor(CAST(c_acctbal AS DOUBLE) * 100)
+                             AS BIGINT) AS bal_c
+                    FROM customer),
+              a AS (SELECT CAST(SUM(bal_c) AS DOUBLE) / COUNT(*) AS ab
+                    FROM c WHERE bal_c > 0)
+         SELECT c_nationkey, COUNT(*) AS numcust,
+                CAST(CAST(SUM(bal_c) AS BIGINT) AS DOUBLE) / 100.0
+                  AS totacctbal
+         FROM c
+         WHERE CAST(bal_c AS DOUBLE) > (SELECT ab FROM a)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY 1 ORDER BY 1""",
     "q_tpch_q15" ->
       """WITH rev AS (SELECT l_suppkey,
                              CAST(SUM(CAST(floor(

@@ -229,6 +229,40 @@ class R13OpsSpec extends SparkTestBase {
     assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("q_tpch_q8: market share is a proper fraction per year") {
+    val out = RelationalQueries.queries("q_tpch_q8")(spark,
+      "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val s = r.getAs[Double]("mkt_share"); s >= 0.0 && s <= 1.0 })
+  }
+
+  test("q_tpch_q12: late + ontime counts partition the joined lineitems") {
+    val out = RelationalQueries.queries("q_tpch_q12")(spark, sfDir).collect()
+    val total = out.map(r => r.getAs[Long]("late_count") +
+      r.getAs[Long]("ontime_count")).sum
+    // every lineitem has an order row in the fixture, so the join is
+    // lossless and the two buckets partition it
+    assert(total === graft.tables.Tables.lineitem(spark, sfDir).count())
+    assert(out.forall(_.getAs[Long]("ontime_count") >= 0L))
+  }
+
+  test("q_tpch_q22: every reported group holds above-average dormant balances") {
+    val out = RelationalQueries.queries("q_tpch_q22")(spark,
+      "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    val cust = graft.tables.Tables.customer(spark, "/root/testdata/sf0.01")
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)")
+          .as("b")).collect()
+    val pos = cust.map(_.getAs[Long]("b")).filter(_ > 0)
+    val avg = pos.sum.toDouble / pos.length
+    // group minimum balance must exceed the positive average:
+    // totacctbal > numcust·avg/100 is implied; check the group average
+    assert(out.forall(r => r.getAs[Double]("totacctbal") * 100.0 >
+      r.getAs[Long]("numcust") * avg - 1e-6))
+  }
+
   test("q_tpch_q7: symmetric nation pairs, exact year domain") {
     // sf0.001 has no cross-trade between the two fixed nations (4 customers
     // per nation); sf0.01 does — the oracle gate runs there anyway
