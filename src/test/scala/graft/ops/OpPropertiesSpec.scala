@@ -242,6 +242,36 @@ class OpPropertiesSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.unimax.epochs")
   }
 
+  test("unimaxAllocLocal drift gate: row-equal to the declarative allocation") {
+    import spark.implicits._
+    // r14: q_budget_sample computes the allocation driver-side
+    // (bounded model table); this gate pins the Scala fold to the
+    // DataFrame arithmetic q_mix_unimax registers, on sf0.001 AND on a
+    // crafted corpus with cap ties (same cap, distinct sources — the
+    // (cap, source) tie-break must agree) for several E values
+    def check(df: org.apache.spark.sql.DataFrame, E: Long): Unit = {
+      spark.conf.set("spark.graft.unimax.epochs", E.toString)
+      try {
+        val declared = CorpusQueries.unimaxAlloc(df)
+          .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+        val totals = df.filter($"text".isNotNull)
+          .selectExpr("source",
+            "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n")
+          .collect().groupBy(_.getString(0)).view
+          .mapValues(_.map(_.getLong(1)).sum).toSeq
+        assert(CorpusQueries.unimaxAllocLocal(totals, E) === declared)
+      } finally spark.conf.unset("spark.graft.unimax.epochs")
+    }
+    val fixture = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ties = Seq(
+      ("a", "x y z"), ("b", "p q r"),          // tied caps, distinct sources
+      ("c", "one two three four five six"),
+      ("d", "t"), ("d", "u v w x y z a b c")).zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    for (e <- Seq(1L, 2L, 4L)) { check(fixture, e); check(ties, e) }
+  }
+
   test("q_budget_sample: greedy take respects the UniMax allocation per source") {
     val out = CorpusQueries.queries("q_budget_sample")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
