@@ -664,7 +664,7 @@ object RelationalQueries {
         .select("p_partkey")
       val regionNations = Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)
-          .filter(col("r_name") === "ASIA")), // fixture region names? checked below
+          .filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").as("ck"))
       val cus = Tables.customer(s, d).select("c_custkey", "c_nationkey")
@@ -747,6 +747,89 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numcust"),
           (sum(col("bal_c")).cast("double") / 100.0).as("totacctbal"))
         .orderBy("c_nationkey")
+    }),
+
+    // C9 composition (r14) — TPC-H Q4, priority checking: orders placed
+    // in one quarter that had at least one LATE lineitem, counted by
+    // priority. The EXISTS is a LEFT SEMI join: the date window prunes
+    // the orders scan first (the small side after pruning — one quarter
+    // ≈ 1/26th of the fixture span), then the semi join on the order key
+    // carries the correlated lateness predicate (l_shipdate more than 60
+    // days after THAT order's o_orderdate — the q_tpch_q12 adaptation:
+    // this schema has no commitdate/receiptdate) as a non-equi residual
+    // on the hash match. Semi-join semantics dedup multi-late orders for
+    // free — no DISTINCT, no row explosion; one fact-fact shuffle on the
+    // order key is inherent to the correlation.
+    "q_tpch_q4" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-07-01" &&
+          col("o_orderdate") < "1996-10-01")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(Tables.lineitem(s, d).select(
+            col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            expr("datediff(CAST(l_shipdate AS DATE), " +
+              "CAST(o_orderdate AS DATE)) > 60"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // C9 composition (r14) — TPC-H Q21, suppliers who kept orders
+    // waiting: for one nation's suppliers, count finished ('F') orders
+    // where THIS supplier shipped late but was not alone in the order
+    // (another supplier participated — EXISTS, a LEFT SEMI self-join)
+    // and no OTHER supplier shipped late (NOT EXISTS, a LEFT ANTI
+    // self-join) — the hardest classic anti-join composition, kept as
+    // genuine semi/anti joins on the order key with the supplier
+    // inequality and lateness (q_tpch_q12's +60-day adaptation — the
+    // left side's o_orderdate anchors BOTH sides' lateness, so the
+    // orders table joins once) as non-equi residuals. Plan shape: the
+    // nation dim broadcasts into supplier, supplier broadcasts into the
+    // late-lineitem stream; at cluster scale the three lineitem legs
+    // shuffle on the SAME order key so every correlation resolves in one
+    // exchange partitioning (at fixture scale Spark broadcasts the self-
+    // join legs outright — strictly better); the final per-supplier
+    // count is bounded by the supplier dim and TakeOrdered caps the
+    // output at 100. An
+    // aggregate rewrite (per-order supplier/late-supplier counts) would
+    // fuse the two self-joins into one groupBy — kept as joins here
+    // because the semi/anti SHAPE is the operator under test.
+    "q_tpch_q21" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_1")
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l1 = li
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("datediff(CAST(l_shipdate AS DATE), " +
+          "CAST(o_orderdate AS DATE)) > 60"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+      val l2 = li.select(col("l_orderkey").as("lo2"),
+        col("l_suppkey").as("ls2"))
+      val l3 = li.select(col("l_orderkey").as("lo3"),
+        col("l_suppkey").as("ls3"), col("l_shipdate").as("lsd3"))
+      l1
+        .join(l2, col("l_orderkey") === col("lo2") &&
+          col("l_suppkey") =!= col("ls2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("lo3") &&
+          col("l_suppkey") =!= col("ls3") &&
+          expr("datediff(CAST(lsd3 AS DATE), " +
+            "CAST(o_orderdate AS DATE)) > 60"),
+          "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     }),
 
     // Anomaly flagging (r12) — per-type z-score outliers over the value
@@ -1305,6 +1388,34 @@ object RelationalQueries {
                   AS BIGINT) AS ontime_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND datediff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 60)
+         GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON l1.l_orderkey = o_orderkey
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_1' AND o_orderstatus = 'F'
+           AND datediff('day', CAST(o_orderdate AS DATE),
+                 CAST(l1.l_shipdate AS DATE)) > 60
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND datediff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l3.l_shipdate AS DATE)) > 60)
+         GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 100""",
     "q_tpch_q22" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
                            CAST(floor(CAST(c_acctbal AS DOUBLE) * 100)
