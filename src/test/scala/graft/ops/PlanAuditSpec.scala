@@ -116,6 +116,37 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("the r14 TPC-H shapes plan genuine semi/anti joins") {
+    // q_tpch_q4's EXISTS must stay a LEFT SEMI (a rewrite through
+    // inner-join+distinct would double-count multi-late orders only by
+    // luck of the dedup); q_tpch_q21 needs BOTH the semi (another
+    // supplier participated) and the anti (no other supplier late)
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def joinTypes(name: String): Seq[String] =
+      physical(name).collect { case j: BaseJoinExec => j.joinType.toString }
+    assert(joinTypes("q_tpch_q4").contains("LeftSemi"),
+      joinTypes("q_tpch_q4").mkString(","))
+    val q21 = joinTypes("q_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      q21.mkString(","))
+  }
+
+  test("q_budget_sample plans exactly one window and one lookup join") {
+    // the r14 diet's contract: ONE corpus-scale WindowExec (the
+    // per-(source, shard) exclusive prefix) and ONE join (the broadcast
+    // (source, shard, shard_before, alloc) lookup). A second window or
+    // join means the offsets/allocation statistics have crept back into
+    // the distributed plan (pre-r14 they owned four corpus subtrees).
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = physical("q_budget_sample")
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size == 1 && wins.head.partitionSpec.size == 2,
+      s"expected one (source, shard) window, got ${wins.size}")
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.size == 1, s"expected one lookup join, got ${joins.size}")
+  }
+
   test("filtered parquet scans push their predicates down") {
     // every query that filters the lineitem scan must show PushedFilters
     val scans = physical("q_scan_filter").collect {
