@@ -111,6 +111,7 @@ def main():
         if s is None:
             continue
         rows.append({"query": q, "spark_min": s["min"], "spark_med": s["med"],
+                     "spark_max": s["max"], "twin_max": d["max"],
                      "twin_min": d["min"], "twin_med": d["med"],
                      "ratio_min": s["min"] / d["min"] if d["min"] else None,
                      "ratio_med": s["med"] / d["med"] if d["med"] else None})
