@@ -759,9 +759,22 @@ object CorpusQueries {
     // drops 4× for a 1000-executor corpus. Remaining cost is two floor
     // jobs (checkpoint + collect) + the inherent per-doc window sort;
     // the twin's 0.139 s equals the bare-scan floor (0.138 s count).
+    // Checkpoint caveat (ADVICE r14): localCheckpoint stores blocks on
+    // EXECUTORS only — lost on executor failure/decommission and
+    // unsupported with dynamic allocation — and, being eager, it runs
+    // two Spark jobs at DataFrame-CONSTRUCTION time (plan-only uses pay
+    // them too). It is the right local-bench fast path; a 1000-executor
+    // deployment with dynamic allocation should set
+    // spark.graft.budget.reliableCheckpoint=true to use reliable
+    // checkpoint() into the configured checkpoint dir (HDFS/object
+    // store) instead — same one-tokenize contract, failure-tolerant
+    // blocks.
     val s2 = s
     import s2.implicits._
-    val docsCk = docs.localCheckpoint(true)
+    val reliable = s.conf
+      .get("spark.graft.budget.reliableCheckpoint", "false").toBoolean
+    val docsCk =
+      if (reliable) docs.checkpoint(true) else docs.localCheckpoint(true)
     val stRows = docsCk.groupBy("source", "shard")
       .agg(sum("n_tokens").as("shard_tokens"))
       .collect()
@@ -800,19 +813,47 @@ object CorpusQueries {
       .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
         .as("n_tokens")))
 
+  /** UTF-8 binary comparison on source names — Spark's `Window.orderBy`
+    * compares strings as `UTF8String` (unsigned UTF-8 bytes) while JVM
+    * `String` ordering compares UTF-16 code units, and the two DIVERGE
+    * for supplementary characters (code points above U+FFFF encode as
+    * surrogates in UTF-16 and sort BEFORE U+E000..U+FFFF there, but
+    * AFTER them in UTF-8), so a driver fold sorting with JVM order does
+    * NOT mirror the declarative window rank (ADVICE r14). For the UniMax
+    * allocation specifically the OUTPUT is tie-invariant (adjacent
+    * equal caps are provably both-or-neither capped — the boundary
+    * condition telescopes identically), but the fold's contract is exact
+    * order mirroring, not output luck. Mirrors `UTF8String.compareTo`
+    * without touching Spark internals. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var c = 0
+    while (i < n && c == 0) {
+      c = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (c != 0) c else x.length - y.length
+  }
+
   /** The UniMax water-filling arithmetic executed DRIVER-SIDE over
     * already-aggregated per-source totals — the bounded-model-table form
     * of [[unimaxAllocFromTotals]] (input is #sources rows; the whole
     * computation is a few integer folds). Exact mirror of the DataFrame
-    * arithmetic — same (cap, source) order, same int64 compares, same
-    * truncating division — and pinned row-for-row equal to it by
-    * CorpusQueriesSpec's drift gate, so the two definitions cannot
-    * diverge silently. Returns (source, alloc). */
+    * arithmetic — same (cap, source) order with the SAME UTF-8 byte
+    * tie-break ([[utf8Compare]]; JVM String order would diverge on
+    * supplementary characters), same int64 compares, same truncating
+    * division — and pinned row-for-row equal to it by
+    * OpPropertiesSpec's drift gate (incl. a non-ASCII cap tie), so the
+    * two definitions cannot diverge silently. Returns (source, alloc). */
   private[graft] def unimaxAllocLocal(
       totals: Seq[(String, Long)], E: Long): Map[String, Long] = {
     require(E >= 1L, s"epochs must be >= 1, got $E")
     val per = totals.map { case (src, n) => (src, n, n * E) }
-      .sortBy { case (src, _, cap) => (cap, src) }
+      .sortWith { case ((sa, _, ca), (sb, _, cb)) =>
+        ca < cb || (ca == cb && utf8Compare(sa, sb) < 0) }
     val S = per.size.toLong
     val B = totals.map(_._2).sum / 2
     // exclusive prefix of cap in (cap, source) order

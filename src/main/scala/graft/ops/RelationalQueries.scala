@@ -50,6 +50,55 @@ object RelationalQueries {
           (col("n") - 1)).as("var_q"))
       .filter(col("n") > 1 && col("var_q") > 0)
 
+  /** Deterministic derived `partsupp` (SURVEY §8 / r15): the driver
+    * testdata ships no partsupp table, so the four partsupp-anchored
+    * TPC-H shapes (Q2/Q9/Q11/Q20) generate one — each part × 4 suppliers
+    * via the public dbgen distribution formula
+    * (`suppkey = (partkey + i·(S/4 + (partkey−1)/S)) mod S + 1`, S =
+    * supplier count), with supply cost and available quantity as pure
+    * integer functions of the key pair, so BOTH engines build the
+    * IDENTICAL table as a CTE — integer div/mod only, no doubles, no
+    * randomness. Cost stays in BIGINT cents (`ps_supplycost_c`) per the
+    * floor-cents discipline; the (partkey, suppkey) pairs are distinct at
+    * sf0.01/sf0.1 (the formula's 4 offsets are distinct mod S there).
+    * Plan: part scan × 4-element sequence explode × one broadcast
+    * count(*) scalar — narrow, shuffle-free, O(|part|) at any SF; at
+    * 100 TB the derivation is a flat map over the part scan with the
+    * supplier count as a broadcast scalar, and it is CHEAPER to re-derive
+    * per consumer than to persist. */
+  private[graft] def derivedPartsupp(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey").as("ps_partkey"))
+      .crossJoin(broadcast(
+        Tables.supplier(s, d).agg(count(lit(1)).as("s_cnt"))))
+      .select(col("ps_partkey"), col("s_cnt"),
+        explode(expr("sequence(0L, 3L)")).as("i"))
+      .select(col("ps_partkey"),
+        expr("(ps_partkey + i * ((s_cnt div 4) + " +
+          "((ps_partkey - 1) div s_cnt))) % s_cnt + 1").as("ps_suppkey"))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        expr("(ps_partkey * 31 + ps_suppkey * 17) % 100000 + 100")
+          .as("ps_supplycost_c"),
+        expr("(ps_partkey * 13 + ps_suppkey * 7) % 9999 + 1")
+          .as("ps_availqty"))
+
+  /** The DuckDB-side twin of [[derivedPartsupp]] — prefixed into the four
+    * partsupp oracle SQLs. `//` is DuckDB integer division (Spark `div`);
+    * every column is BIGINT on both engines. */
+  private val partsuppCte: String =
+    """supcnt AS (SELECT COUNT(*) AS s_cnt FROM supplier),
+       ps0 AS (SELECT p_partkey AS ps_partkey, CAST(i AS BIGINT) AS i, s_cnt
+               FROM part, (SELECT unnest([0,1,2,3]) AS i), supcnt),
+       ps1 AS (SELECT ps_partkey,
+                      (ps_partkey + i * ((s_cnt // 4) +
+                        ((ps_partkey - 1) // s_cnt))) % s_cnt + 1 AS ps_suppkey
+               FROM ps0),
+       partsupp AS (SELECT ps_partkey, ps_suppkey,
+                           (ps_partkey * 31 + ps_suppkey * 17) % 100000 + 100
+                             AS ps_supplycost_c,
+                           (ps_partkey * 13 + ps_suppkey * 7) % 9999 + 1
+                             AS ps_availqty
+                    FROM ps1)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1/C2/B2 — projection + range filter; both reach the parquet scan
     // (PushedFilters + pruned ReadSchema).
@@ -832,6 +881,167 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // C9/B7 composition (r15) — TPC-H Q2, minimum-cost supplier: for
+    // filtered parts, the supplier in one region offering the LOWEST
+    // supply cost. The correlated min-cost subquery plans as ONE
+    // aggregate + rejoin (min cost per part over the region's suppliers,
+    // then an equi-join back on (partkey, cost)) — never a per-row
+    // subquery. Over the derived partsupp (see [[derivedPartsupp]]); the
+    // region-filtered supplier dim broadcasts into partsupp, the
+    // part-filter side broadcasts into the probe, and the min-cost
+    // aggregate shares the partkey partitioning with its rejoin — at
+    // 100 TB one exchange on partkey covers both. Cost ties keep every
+    // minimal supplier (classic Q2 semantics); output order is fully
+    // keyed so the LIMIT cut is deterministic. Output columns adapt to
+    // this schema (p_brand for p_mfgr; no address/phone/comment columns
+    // exist).
+    "q_tpch_q2" -> ((s, d) => {
+      val eur = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val psEur = derivedPartsupp(s, d)
+        .join(broadcast(eur), col("ps_suppkey") === col("s_suppkey"))
+      val mc = psEur
+        .groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min(col("ps_supplycost_c")).as("min_cost_c"))
+      psEur
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_size") === 15 && col("p_type") === "PROMO")
+          .select("p_partkey", "p_brand")),
+          col("ps_partkey") === col("p_partkey"))
+        .join(mc, col("ps_partkey") === col("mc_partkey") &&
+          col("ps_supplycost_c") === col("min_cost_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          (col("ps_supplycost_c").cast("double") / 100.0)
+            .as("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // C9/C7 composition (r15) — TPC-H Q9, product-type profit by nation
+    // and year: revenue minus supply cost for one part family across the
+    // full fact chain (lineitem ⋈ partsupp ⋈ part ⋈ supplier ⋈ orders ⋈
+    // nation). The part-name filter broadcasts FIRST into both lineitem
+    // and the derived partsupp, so the two-key (partkey, suppkey) join
+    // only ever sees the filtered family; supplier/nation dims broadcast;
+    // only the orderkey join shuffles fact-to-fact. Profit is exact
+    // BIGINT cents per row: the floor-cents revenue minus
+    // cost_cents·quantity (quantities are integral — the BIGINT cast is
+    // value-identical on both engines) — the sum is order-free, one
+    // division at the end. The two-key partsupp match keeps classic Q9
+    // semantics (THE shipping supplier's cost): with the derived
+    // 4-supplier coverage it deterministically selects the
+    // formula-covered lineitems, identically in both engines.
+    "q_tpch_q9" -> ((s, d) => {
+      val bolts = Tables.part(s, d)
+        .filter(col("p_name").like("%bolt%"))
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) * " +
+            "(1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)")
+            .as("rev_c"),
+          col("l_quantity").cast("long").as("qty"))
+      val ps = derivedPartsupp(s, d)
+        .join(broadcast(bolts.select(col("p_partkey").as("bp"))),
+          col("ps_partkey") === col("bp"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_c")
+      li.join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(col("rev_c") - col("ps_supplycost_c") * col("qty"))
+          .cast("double") / 100.0).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // C7/B7 composition (r15) — TPC-H Q11, important stock
+    // identification: per-part stock value (cost·availqty) over ONE
+    // nation's suppliers, kept only where the part's share exceeds a
+    // threshold fraction of the nation total. The classic fraction
+    // scales with SF (0.0001/SF); here it derives in-plan as 10/|part| —
+    // same spirit, scale-free, and the comparison stays PURE BIGINT
+    // (sum·|part| > total·10 — no double threshold, no rounding drift).
+    // Both scalars ride as Spark 4 scalar subqueries; the nation's
+    // partsupp slice is re-derived for the total (a narrow O(|part|)
+    // generated dim — recomputing beats caching corpus-side state, and
+    // at 100 TB the two aggregates share one partkey exchange shape).
+    "q_tpch_q11" -> ((s, d) => {
+      val natSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_3")
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val natps = derivedPartsupp(s, d)
+        .join(broadcast(natSup), col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost_c") * col("ps_availqty")).as("v_c"))
+      val totalC = natps.agg(sum(col("v_c")).as("t")).scalar()
+      val pCnt = Tables.part(s, d).agg(count(lit(1)).as("c")).scalar()
+      natps.groupBy("ps_partkey")
+        .agg(sum(col("v_c")).as("sv_c"))
+        .filter(col("sv_c") * pCnt > totalC * lit(10L))
+        .select(col("ps_partkey"),
+          (col("sv_c").cast("double") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
+    // C9 composition (r15) — TPC-H Q20, potential part promotion: the
+    // nested semi-join chain — suppliers (in a nation set) who stock a
+    // part family in EXCESS of half the quantity they shipped in one
+    // year. Inside-out: the year-filtered lineitem aggregates per
+    // (partkey, suppkey) — the part-family broadcast prunes it BEFORE
+    // the aggregate — then the derived partsupp joins on both keys and
+    // the excess-stock predicate (2·availqty > shipped, pure BIGINT —
+    // integral quantities) filters; the surviving supplier keys feed a
+    // LEFT SEMI join against the nation-filtered supplier dim, so
+    // multi-part excess suppliers dedup for free. Classic NULL
+    // semantics kept: suppliers with no shipments in the window do not
+    // qualify (inner join to the aggregate).
+    "q_tpch_q20" -> ((s, d) => {
+      val bolts = Tables.part(s, d)
+        .filter(col("p_name").like("%bolt%"))
+        .select("p_partkey")
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1997-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+        .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      val excess = derivedPartsupp(s, d)
+        .join(broadcast(bolts.select(col("p_partkey").as("bp"))),
+          col("ps_partkey") === col("bp"))
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("sq"))
+        .select("ps_suppkey")
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_2", "NATION_7", "NATION_12"))
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    }),
+
     // Anomaly flagging (r12) — per-type z-score outliers over the value
     // column, the telemetry-guardrail shape. Exactness discipline: values
     // quantize per row to integer CENTS (floor(v·100) — identical IEEE
@@ -1416,6 +1626,74 @@ object RelationalQueries {
                              AND datediff('day', CAST(o_orderdate AS DATE),
                                    CAST(l3.l_shipdate AS DATE)) > 60)
          GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 100""",
+    "q_tpch_q2" ->
+      s"""WITH $partsuppCte,
+          eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                                JOIN region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'EUROPE'),
+          pse AS (SELECT * FROM partsupp JOIN eur ON ps_suppkey = s_suppkey),
+          mc AS (SELECT ps_partkey AS mc_partkey,
+                        MIN(ps_supplycost_c) AS min_cost_c
+                 FROM pse GROUP BY ps_partkey)
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                 CAST(ps_supplycost_c AS DOUBLE) / 100.0 AS ps_supplycost
+          FROM pse
+          JOIN part ON ps_partkey = p_partkey
+          JOIN mc ON ps_partkey = mc_partkey AND ps_supplycost_c = min_cost_c
+          WHERE p_size = 15 AND p_type = 'PROMO'
+          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          LIMIT 100""",
+    "q_tpch_q9" ->
+      s"""WITH $partsuppCte
+          SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) *
+                     (1.0 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)
+                   - ps_supplycost_c * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_profit
+          FROM lineitem
+          JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%bolt%'
+          GROUP BY 1, 2
+          ORDER BY nation, o_year DESC""",
+    "q_tpch_q11" ->
+      s"""WITH $partsuppCte,
+          natps AS (SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v_c
+                    FROM partsupp
+                    JOIN supplier ON ps_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_3')
+          SELECT ps_partkey, CAST(SUM(v_c) AS DOUBLE) / 100.0 AS value
+          FROM natps
+          GROUP BY ps_partkey
+          HAVING SUM(v_c) * (SELECT COUNT(*) FROM part)
+               > (SELECT SUM(v_c) FROM natps) * 10
+          ORDER BY value DESC, ps_partkey""",
+    "q_tpch_q20" ->
+      s"""WITH $partsuppCte,
+          shipped AS (SELECT l_partkey, l_suppkey,
+                             SUM(CAST(l_quantity AS BIGINT)) AS sq
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate < TIMESTAMP '1998-01-01'
+                      GROUP BY 1, 2),
+          excess AS (SELECT ps_suppkey
+                     FROM partsupp
+                     JOIN part ON ps_partkey = p_partkey
+                              AND p_name LIKE '%bolt%'
+                     JOIN shipped ON ps_partkey = l_partkey
+                                 AND ps_suppkey = l_suppkey
+                     WHERE 2 * ps_availqty > sq)
+          SELECT s_suppkey, s_name, s_acctbal
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name IN ('NATION_2', 'NATION_7', 'NATION_12')
+            AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+          ORDER BY s_name""",
     "q_tpch_q22" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
                            CAST(floor(CAST(c_acctbal AS DOUBLE) * 100)

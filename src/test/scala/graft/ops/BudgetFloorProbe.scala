@@ -118,7 +118,11 @@ object BudgetFloorProbe {
         .collect()
       val totals = stRows.groupBy(_.getString(0)).view
         .mapValues(_.map(_.getLong(2)).sum).toSeq
-      val alloc = CorpusQueries.unimaxAllocLocal(totals, 4L)
+      // read E from the session conf exactly like the registered
+      // budgetSample — a hardcoded 4 would silently measure a different
+      // allocation whenever the conf overrides epochs (ADVICE r14)
+      val epochs = spark.conf.get("spark.graft.unimax.epochs", "4").toLong
+      val alloc = CorpusQueries.unimaxAllocLocal(totals, epochs)
       val lookup = stRows.groupBy(_.getString(0)).toSeq.flatMap {
         case (src, rows) =>
           val sorted = rows.sortBy(_.getLong(1))

@@ -269,7 +269,19 @@ class OpPropertiesSpec extends SparkTestBase {
       ("d", "t"), ("d", "u v w x y z a b c")).zipWithIndex
       .map { case ((s, t), i) => (i.toLong, s, t) }
       .toDF("doc_id", "source", "text")
-    for (e <- Seq(1L, 2L, 4L)) { check(fixture, e); check(ties, e) }
+    // ADVICE r14: supplementary-plane tie — U+10000 ("𐀀")
+    // sorts BEFORE U+FFFD in UTF-16 code units but AFTER it in UTF-8
+    // bytes (0xf0… > 0xef…); with tied caps at the k-boundary the two
+    // orders hand the cap to different sources, so the local fold must
+    // compare UTF-8 bytes exactly as Spark's Window.orderBy does
+    val nonAsciiTies = Seq(
+      ("s\uFFFD", "a b c"), ("s\uD800\uDC00", "x y z"), // tied caps
+      ("plain", "one two three four five six seven eight nine"))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    for (e <- Seq(1L, 2L, 4L)) {
+      check(fixture, e); check(ties, e); check(nonAsciiTies, e)
+    }
   }
 
   test("q_budget_sample: greedy take respects the UniMax allocation per source") {

@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q_dist_drift",
       // r13: the same cosineScored broadcast-query non-equi pass as
       // q_cosine_topk, with a threshold filter before the heap
-      "q_hard_negatives")
+      "q_hard_negatives",
+      // r15: derivedPartsupp's supplier-count rides as a 1-row broadcast
+      // cross-join into the part scan — corpus-independent by construction
+      "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode
@@ -129,6 +132,25 @@ class PlanAuditSpec extends SparkTestBase {
     val q21 = joinTypes("q_tpch_q21")
     assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
       q21.mkString(","))
+  }
+
+  test("the r15 partsupp TPC-H shapes plan aggregate-rejoin and semi joins") {
+    // q_tpch_q2's correlated min-cost subquery must plan as ONE aggregate
+    // + equi-rejoin — never a per-row subquery and never a rank window
+    // over the partsupp stream; q_tpch_q20's supplier membership must
+    // stay a LEFT SEMI (inner+distinct would explode multi-part excess
+    // suppliers before deduping them back).
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val q2 = physical("q_tpch_q2")
+    assert(!q2.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "q_tpch_q2 regressed to a window min")
+    assert(q2.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      "q_tpch_q2: expected the min-cost HashAggregate")
+    val q20 = physical("q_tpch_q20")
+      .collect { case j: BaseJoinExec => j.joinType.toString }
+    assert(q20.contains("LeftSemi"), q20.mkString(","))
   }
 
   test("q_budget_sample plans exactly one window and one lookup join") {
