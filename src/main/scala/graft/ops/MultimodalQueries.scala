@@ -132,13 +132,28 @@ object MultimodalQueries {
       col("lo").as("la"), col("hi").as("ha"))
     val b = bands.select(col("bi"), col("bv"), col("media_id").as("b"),
       col("lo").as("lb"), col("hi").as("hb"))
+    // r15 diet (PhashFloorProbe): cross-band duplicate candidates are
+    // rejected by the FIRST-AGREEING-BAND predicate — a pair emits only
+    // from its lowest agreeing band, decided per candidate row from the
+    // carried codes (three cheap mask compares) — instead of a trailing
+    // distinct(). The pair SET is identical (probe-verified element-equal
+    // at sf0.1); what changes is the plan: the distinct exchanged+agg'd
+    // the PAIR stream, at 100 TB the largest relation in the query, while
+    // the predicate is codegen'd per-row work before anything shuffles.
+    // 0.49 → 0.41 s min at sf0.1 (the local save is modest because
+    // fixture pair streams are tiny — the exchange deletion is the scale
+    // argument).
     a.join(b, Seq("bi", "bv"))
       .filter(col("a") < col("b"))
+      .filter(expr(
+        "(bi <= 0 OR (la & 65535L) != (lb & 65535L)) AND " +
+        "(bi <= 1 OR (shiftright(la, 16) & 65535L) != " +
+          "(shiftright(lb, 16) & 65535L)) AND " +
+        "(bi <= 2 OR (ha & 65535L) != (hb & 65535L))"))
       .select(col("a"), col("b"),
         expr("bit_count(la ^ lb) + bit_count(ha ^ hb)")
           .cast("long").as("hd"))
       .filter(col("hd") <= 6)
-      .distinct()
   }
 
   val oracle: Map[String, String] = Map(
