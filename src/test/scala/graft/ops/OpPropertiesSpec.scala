@@ -284,6 +284,25 @@ class OpPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("q_budget_sample: reliable-checkpoint gate returns identical rows") {
+    // ADVICE r14: localCheckpoint blocks live on executors only — the
+    // conf-gated reliable path must produce the SAME take (the gate only
+    // swaps the materialization mechanism, never the plan semantics)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val baseline = CorpusQueries.queries("q_budget_sample")(
+      spark, "/root/testdata/sf0.001").collect().map(_.toString).sorted
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.budget.reliableCheckpoint", "true")
+    try {
+      val reliable = CorpusQueries.queries("q_budget_sample")(
+        spark, "/root/testdata/sf0.001").collect().map(_.toString).sorted
+      assert(reliable === baseline)
+    } finally {
+      spark.conf.unset("spark.graft.budget.reliableCheckpoint")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("q_budget_sample: greedy take respects the UniMax allocation per source") {
     val out = CorpusQueries.queries("q_budget_sample")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))

@@ -153,6 +153,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(q20.contains("LeftSemi"), q20.mkString(","))
   }
 
+  test("q_phash_neardup plans no aggregate above the band join") {
+    // the r15 diet's contract: cross-band duplicates are rejected by the
+    // first-agreeing-band predicate (per-row, pre-shuffle), so the plan
+    // must contain NO aggregate at all — a reintroduced distinct() would
+    // reappear as a HashAggregate pair exchanging the pair stream, the
+    // query's largest relation at scale
+    val plan = physical("q_phash_neardup")
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      "q_phash_neardup regressed to a distinct over the pair stream")
+  }
+
   test("q_budget_sample plans exactly one window and one lookup join") {
     // the r14 diet's contract: ONE corpus-scale WindowExec (the
     // per-(source, shard) exclusive prefix) and ONE join (the broadcast
