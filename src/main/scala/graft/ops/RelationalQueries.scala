@@ -978,10 +978,13 @@ object RelationalQueries {
     // scales with SF (0.0001/SF); here it derives in-plan as 10/|part| —
     // same spirit, scale-free, and the comparison stays PURE BIGINT
     // (sum·|part| > total·10 — no double threshold, no rounding drift).
-    // Both scalars ride as Spark 4 scalar subqueries; the nation's
-    // partsupp slice is re-derived for the total (a narrow O(|part|)
-    // generated dim — recomputing beats caching corpus-side state, and
-    // at 100 TB the two aggregates share one partkey exchange shape).
+    // Plan: the per-part aggregate runs ONCE and is materialized
+    // (localCheckpoint — O(|part|) narrow rows); the nation TOTAL then
+    // derives FROM the grouped result as a scalar subquery over the
+    // materialized rows instead of re-deriving partsupp for a second
+    // corpus-shaped aggregate — the total is the sum of the per-part
+    // sums by definition, so one partkey exchange feeds both the
+    // threshold scalar and the filter.
     "q_tpch_q11" -> ((s, d) => {
       val natSup = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)
@@ -989,14 +992,14 @@ object RelationalQueries {
           .select("n_nationkey")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
-      val natps = derivedPartsupp(s, d)
+      val grouped = derivedPartsupp(s, d)
         .join(broadcast(natSup), col("ps_suppkey") === col("s_suppkey"))
-        .select(col("ps_partkey"),
-          (col("ps_supplycost_c") * col("ps_availqty")).as("v_c"))
-      val totalC = natps.agg(sum(col("v_c")).as("t")).scalar()
+        .groupBy("ps_partkey")
+        .agg(sum(col("ps_supplycost_c") * col("ps_availqty")).as("sv_c"))
+        .localCheckpoint(true)
+      val totalC = grouped.agg(sum(col("sv_c")).as("t")).scalar()
       val pCnt = Tables.part(s, d).agg(count(lit(1)).as("c")).scalar()
-      natps.groupBy("ps_partkey")
-        .agg(sum(col("v_c")).as("sv_c"))
+      grouped
         .filter(col("sv_c") * pCnt > totalC * lit(10L))
         .select(col("ps_partkey"),
           (col("sv_c").cast("double") / 100.0).as("value"))
