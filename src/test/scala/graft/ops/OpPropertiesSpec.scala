@@ -284,6 +284,29 @@ class OpPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("derivedPartsupp: exactly part x 4, keys in range, twin-identical values") {
+    // the r15 TPC-H anchor: the derivation must be exactly 4 rows per
+    // part with suppkeys inside [1, S] and cost/qty inside the formula's
+    // ranges, and the Scala arithmetic must equal a row-by-row local
+    // recomputation of the published formula (the DuckDB CTE is the same
+    // text modulo the integer-division operator, so this pins both)
+    val d = "/root/testdata/sf0.001"
+    val nPart = graft.tables.Tables.part(spark, d).count()
+    val sCnt = graft.tables.Tables.supplier(spark, d).count()
+    val rows = RelationalQueries.derivedPartsupp(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 4L * nPart)
+    assert(rows.forall { case (_, sk, c, q) =>
+      sk >= 1 && sk <= sCnt && c >= 100 && c <= 100099 && q >= 1 && q <= 9999 })
+    val expected = for {
+      p <- rows.map(_._1).distinct
+      i <- 0L to 3L
+      sk = (p + i * (sCnt / 4 + (p - 1) / sCnt)) % sCnt + 1
+    } yield (p, sk, (p * 31 + sk * 17) % 100000 + 100,
+      (p * 13 + sk * 7) % 9999 + 1)
+    assert(rows.sorted === expected.sorted)
+  }
+
   test("q_budget_sample: reliable-checkpoint gate returns identical rows") {
     // ADVICE r14: localCheckpoint blocks live on executors only — the
     // conf-gated reliable path must produce the SAME take (the gate only
