@@ -332,6 +332,31 @@ object RelationalQueries {
           sum(dec("value", 12, 2)).over(w).cast("double").as("sum_hour"))
     }),
 
+    // C12 extension (r15) — the classic ANALYTIC window set in one pass:
+    // ntile quartiles, percent_rank, cume_dist, first/last value per
+    // user. Exactness: the order key (event_id) is unique per user so
+    // every rank is deterministic; percent_rank = (rank−1)/(n−1) and
+    // cume_dist = peers/n are single divisions of identical integers on
+    // both engines (exact small rationals — no accumulation); first/last
+    // use the explicit full-partition ROWS frame (the default frame ends
+    // at CURRENT ROW, which silently turns last_value into "self" on
+    // both engines — the classic trap, avoided identically). Plan: one
+    // user_id exchange + one sort feeds ALL five functions (a single
+    // Window node) — the multi-function-one-frame consolidation is the
+    // scale win over five separate passes.
+    "q_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("event_id")).over(full).as("first_eid"),
+          last(col("event_id")).over(full).as("last_eid"))
+    }),
+
     // C9/C13 composition (r12) — the TPC-H Q3 shape: segment-filtered
     // customers broadcast into date-filtered orders, shuffle-join with
     // lineitem on the order key, revenue aggregate, top-10. The classic
@@ -1776,6 +1801,18 @@ object RelationalQueries {
          FROM (SELECT *, epoch_us(ts) AS tsu FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY tsu
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q_window_analytics" ->
+      """SELECT user_id, event_id,
+                NTILE(4) OVER w AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd,
+                first_value(event_id) OVER wf AS first_eid,
+                last_value(event_id) OVER wf AS last_eid
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+                wf AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
