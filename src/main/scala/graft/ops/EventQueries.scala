@@ -49,6 +49,30 @@ object EventQueries {
   // them with Tables.events; EventGrowth times the SAME builders over
   // replicated inputs, so the growth harness cannot drift from the
   // registered shapes.
+  private[ops] def scd2Of(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id"), col("event_type")))).as("evs"))
+      // Run starts: position 0, or the state changed vs the previous
+      // observation (0-based bracket indexing into the sorted array).
+      .withColumn("starts", expr(
+        """filter(sequence(0, size(evs) - 1),
+             p -> p = 0 OR evs[p].event_type != evs[p - 1].event_type)"""))
+      // Each run start becomes one history row; valid_to is the NEXT
+      // run's start (half-open), NULL for the still-current state.
+      .select(col("user_id"), explode(expr(
+        """transform(sequence(0, size(starts) - 1),
+             j -> named_struct(
+               'event_type',    evs[starts[j]].event_type,
+               'valid_from_us', evs[starts[j]].tsu,
+               'valid_to_us',   IF(j = size(starts) - 1,
+                                   CAST(NULL AS BIGINT),
+                                   evs[starts[j + 1]].tsu)))""")).as("h"))
+      .select(col("user_id"), col("h.event_type"),
+        col("h.valid_from_us"), col("h.valid_to_us"))
+
   private def sortedEvents(ev: DataFrame): DataFrame =
     ev.groupBy("user_id")
       .agg(sort_array(collect_list(
@@ -233,7 +257,24 @@ object EventQueries {
     // attribution join (purchase_id keys — exchange width = purchases
     // with ≥1 click, already bounded by the hour band).
     "q_attribution_last" -> ((s, d) =>
-      attributionLastOf(Tables.events(s, d)))
+      attributionLastOf(Tables.events(s, d))),
+
+    // SCD2 history reconstruction (r15) — the reference keeps only a
+    // continuously-overwritten "latest" snapshot per entity (SURVEY §2-A
+    // A10/D6); this is the inverse analytic: rebuild the TYPE-2 history
+    // (entity, state, valid_from, valid_to) from the append-only
+    // observation log, one row per maximal run of consecutive equal
+    // states in (ts, event_id) order, half-open validity [from, next
+    // run's from), NULL-to for the current state. Same one-exchange fold
+    // shape as the rest of this file: collect each user's observations
+    // sorted (struct order (tsu, event_id, type) is a deterministic
+    // total order — equal-timestamp runs cannot flap), find run starts
+    // row-locally (position 0 or state ≠ previous state), and pair each
+    // run start with its successor for valid_to — no fact-side window,
+    // no self-join, per-user arrays bounded by user activity exactly as
+    // q_funnel/q_event_transitions budget. Times leave as epoch
+    // MICROSECONDS (the q_window_range discipline).
+    "q_scd2_history" -> ((s, d) => scd2Of(Tables.events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -347,6 +388,23 @@ object EventQueries {
                     FROM c JOIN p ON cu = pu AND click_us < purchase_us
                                   AND click_us >= purchase_us - 3600000000)
          SELECT user_id, purchase_id, click_id, gap_us, amount
-         FROM j WHERE rn = 1"""
+         FROM j WHERE rn = 1""",
+
+    // Same total order as the Spark fold's sorted struct (tsu, event_id,
+    // event_type); run start = first row or state change vs LAG; valid_to
+    // = LEAD over the run starts (array order ≡ this window order).
+    "q_scd2_history" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type,
+                           LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id, event_type)
+                             AS prev
+                    FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+              s AS (SELECT user_id, tsu, event_id, event_type FROM e
+                    WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, tsu AS valid_from_us,
+                LEAD(tsu) OVER (PARTITION BY user_id
+                  ORDER BY tsu, event_id, event_type) AS valid_to_us
+         FROM s"""
   )
 }

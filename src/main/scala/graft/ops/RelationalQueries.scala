@@ -144,6 +144,31 @@ object RelationalQueries {
         countDistinct(col("l_suppkey")).as("d_supp"),
         count(lit(1)).as("cnt"))),
 
+    // C6 at scale — exact COUNT(DISTINCT) through value-hash shards.
+    // The shard-sum identity: pmod(xxhash64(v), S) sends every occurrence
+    // of a value to exactly ONE shard, so per-(group, shard) distinct
+    // counts sum to the global distinct count — exactly, no sketch. Why
+    // it matters at 100 TB: each shard's distinct SET is 1/S of the
+    // group's, so (a) per-task dedup state is bounded by S regardless of
+    // how hot one group key gets, and (b) shards are independently
+    // maintainable — an incremental pipeline re-resolves only the shards
+    // a delta touches and re-sums a #groups×S-row table, never re-scans
+    // the corpus. (Spark's own count(distinct) rewrite partitions its
+    // dedup pass on (group, value) — also skew-proof — but it re-derives
+    // the global count from scratch every run; the sharded form is the
+    // materializable one.) Plan: groupBy(type, shard) resolves the
+    // distinct inside bounded shards (one exchange on the compound key),
+    // then a 5×64-row sum. The twin is the plain COUNT(DISTINCT) — the
+    // identity IS the correctness claim.
+    "q_count_distinct_salted" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"))
+        .groupBy(col("event_type"),
+          pmod(xxhash64(col("user_id")), lit(64)).as("shard"))
+        .agg(countDistinct(col("user_id")).as("pu"))
+        .groupBy("event_type")
+        .agg(sum(col("pu")).as("users"))),
+
     // B7/B8/B9 — scalar subquery as filter threshold (subquery executes once,
     // result broadcast into the scan filter).
     "q_scalar_subquery" -> ((s, d) => {
@@ -1089,6 +1114,51 @@ object RelationalQueries {
         .filter(abs(col("z")) > 3.0)
     }),
 
+    // Robust outlier gate — MAD (median absolute deviation), the
+    // heavy-tail-safe complement to q_anomaly_z: mean/σ are themselves
+    // dragged by the outliers they are supposed to flag (one whale event
+    // inflates σ until nothing is 3σ out); median/MAD have a 50%
+    // breakdown point. Exact medians are normally hostile to distributed
+    // execution (selection needs a sort or multi-round quantile search),
+    // but the cent quantization bounds the VALUE DOMAIN, so the exact
+    // lower median comes from a histogram: ONE map-side-combined
+    // groupBy(type, cents) — output ≤ #types × distinct-cents rows no
+    // matter the corpus — then a cumulative window over that tiny table
+    // picks the smallest q with cum ≥ (n+1) div 2. The MAD histogram
+    // never touches the facts again: |q − med| regroups the SAME value
+    // histogram (deviation counts are sums of value counts). Second and
+    // final fact pass: broadcast the ≤ #types (med, mad) rows back and
+    // keep |q − med| > 3·MAD — every compare pure BIGINT, zero float
+    // drift against the twin. MAD = 0 groups (over half the mass on one
+    // cent) drop out — the textbook degenerate case where the gate would
+    // flag every non-median row. Two fact scans, two bounded histograms,
+    // no fact-side sort/window at any scale.
+    "q_anomaly_mad" -> ((s, d) => {
+      val ev = anomalyQuantized(Tables.events(s, d))
+      val hist = ev.groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
+        val byType = Window.partitionBy("event_type")
+        h.withColumn("cum", sum(col("c")).over(byType.orderBy(col(v))))
+          .withColumn("n", sum(col("c")).over(byType))
+          .filter(col("cum") >= expr("(n + 1) DIV 2"))
+          .groupBy("event_type").agg(min(col(v)).as(out))
+      }
+      val med = lowerMedian(hist, "q", "med_q")
+      val devHist = hist.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"),
+          abs(col("q") - col("med_q")).as("aq"))
+        .agg(sum(col("c")).as("c"))
+      val mad = lowerMedian(devHist, "aq", "mad_q")
+      ev.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .filter(col("mad_q") > 0 &&
+          abs(col("q") - col("med_q")) > lit(3) * col("mad_q"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          abs(col("q") - col("med_q")).as("dev_cents"),
+          col("mad_q").as("mad_cents"))
+    }),
+
     // C16 — rollup.
     "q_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1372,6 +1442,12 @@ object RelationalQueries {
       """SELECT COUNT(DISTINCT l_partkey) AS d_part,
                 COUNT(DISTINCT l_suppkey) AS d_supp, COUNT(*) AS cnt
          FROM lineitem""",
+    // The twin is the PLAIN distinct on purpose: the shard-sum identity
+    // (same value → same shard → per-shard distincts sum exactly) is the
+    // correctness claim, so the oracle must be the unsharded form.
+    "q_count_distinct_salted" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS users
+         FROM events GROUP BY event_type""",
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)""",
@@ -1794,6 +1870,33 @@ object RelationalQueries {
                 (CAST(q AS DOUBLE) - mean_q) / sqrt(var_q) AS z
          FROM ev JOIN sv ON ev.event_type = sv.et
          WHERE var_q > 0 AND abs((CAST(q AS DOUBLE) - mean_q) / sqrt(var_q)) > 3.0""",
+    // Same histogram-median construction as the Spark side: lower median
+    // = smallest value whose cumulative count reaches (n+1) integer-div 2
+    // (DuckDB `//` ≡ Spark `DIV` on BIGINT) — every compare integer.
+    "q_anomaly_mad" ->
+      """WITH ev AS (SELECT event_id, event_type, value,
+                            CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS q
+                     FROM events WHERE value IS NOT NULL),
+              h AS (SELECT event_type, q, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+              m AS (SELECT event_type, MIN(q) AS med_q FROM (
+                      SELECT event_type, q,
+                             SUM(c) OVER (PARTITION BY event_type ORDER BY q) AS cum,
+                             SUM(c) OVER (PARTITION BY event_type) AS n
+                      FROM h) t
+                    WHERE cum >= (n + 1) // 2 GROUP BY 1),
+              dh AS (SELECT h.event_type, abs(q - med_q) AS aq, SUM(c) AS c
+                     FROM h JOIN m ON h.event_type = m.event_type GROUP BY 1, 2),
+              md AS (SELECT event_type, MIN(aq) AS mad_q FROM (
+                      SELECT event_type, aq,
+                             SUM(c) OVER (PARTITION BY event_type ORDER BY aq) AS cum,
+                             SUM(c) OVER (PARTITION BY event_type) AS n
+                      FROM dh) t
+                    WHERE cum >= (n + 1) // 2 GROUP BY 1)
+         SELECT event_id, ev.event_type, value,
+                abs(q - med_q) AS dev_cents, mad_q AS mad_cents
+         FROM ev JOIN m ON ev.event_type = m.event_type
+                 JOIN md ON ev.event_type = md.event_type
+         WHERE mad_q > 0 AND abs(q - med_q) > 3 * mad_q""",
     "q_window_range" ->
       """SELECT event_id, user_id,
                 COUNT(*) OVER w AS n_hour,

@@ -181,6 +181,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(joins.size == 1, s"expected one lookup join, got ${joins.size}")
   }
 
+  test("the late-r15 shapes keep their scale contracts") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q_scd2_history is the fold form: ONE user_id exchange, no
+    // fact-side window/sort — a regression to the lag/lead window pair
+    // would re-sort the whole log per partition
+    val scd = physical("q_scd2_history")
+    assert(!scd.exists(_.isInstanceOf[WindowExec]),
+      "q_scd2_history regressed to a window form")
+    assert(scd.count(_.isInstanceOf[ShuffleExchangeExec]) === 1,
+      "q_scd2_history must shuffle exactly once (the user_id fold)")
+    // q_anomaly_mad: med/MAD come back as BROADCASTS (never a sort-merge
+    // of the facts), and every window sits above the bounded cents
+    // histogram — a WindowExec whose subtree reaches a scan without
+    // passing a HashAggregate would be a fact-stream sort
+    val mad = physical("q_anomaly_mad")
+    assert(mad.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "q_anomaly_mad: expected broadcast med/mad lookups")
+    assert(!mad.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q_anomaly_mad must not sort-merge the fact stream")
+    for (w <- mad.filter(_.isInstanceOf[WindowExec]))
+      assert(nodes(w).exists(_.isInstanceOf[HashAggregateExec]),
+        "q_anomaly_mad: window over an un-aggregated (fact) stream")
+  }
+
   test("filtered parquet scans push their predicates down") {
     // every query that filters the lineitem scan must show PushedFilters
     val scans = physical("q_scan_filter").collect {
