@@ -50,6 +50,35 @@ object RelationalQueries {
           (col("n") - 1)).as("var_q"))
       .filter(col("n") > 1 && col("var_q") > 0)
 
+  /** Per-type exact lower-median / MAD over the quantized cents — the
+    * frozen-stat tier shared by `q_anomaly_mad` and
+    * [[graft.streaming.BeaconStreaming.madOutlierStream]] (ONE definition
+    * so the batch gate and the streaming scorer cannot drift). Exact
+    * selection WITHOUT touching fact order: the cent quantization bounds
+    * the value domain, so the lower median (smallest value whose
+    * cumulative count reaches (n+1) DIV 2) reads off a map-side-combined
+    * (type, cents) histogram, and the deviation histogram REGROUPS that
+    * same bounded table — the facts are scanned once here, never sorted.
+    * MAD = 0 groups (over half the mass on one cent) drop: the gate
+    * `|q − med| > 3·MAD` would otherwise flag every non-median row. */
+  private[graft] def madStats(ev: DataFrame): DataFrame = {
+    val hist = ev.groupBy(col("event_type"), col("q"))
+      .agg(count(lit(1)).as("c"))
+    def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
+      val byType = Window.partitionBy("event_type")
+      h.withColumn("cum", sum(col("c")).over(byType.orderBy(col(v))))
+        .withColumn("n", sum(col("c")).over(byType))
+        .filter(col("cum") >= expr("(n + 1) DIV 2"))
+        .groupBy("event_type").agg(min(col(v)).as(out))
+    }
+    val med = lowerMedian(hist, "q", "med_q")
+    val devHist = hist.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), abs(col("q") - col("med_q")).as("aq"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(devHist, "aq", "mad_q")
+    med.join(mad, "event_type").filter(col("mad_q") > 0)
+  }
+
   /** Deterministic derived `partsupp` (SURVEY §8 / r15): the driver
     * testdata ships no partsupp table, so the four partsupp-anchored
     * TPC-H shapes (Q2/Q9/Q11/Q20) generate one — each part × 4 suppliers
@@ -1135,25 +1164,8 @@ object RelationalQueries {
     // no fact-side sort/window at any scale.
     "q_anomaly_mad" -> ((s, d) => {
       val ev = anomalyQuantized(Tables.events(s, d))
-      val hist = ev.groupBy(col("event_type"), col("q"))
-        .agg(count(lit(1)).as("c"))
-      def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
-        val byType = Window.partitionBy("event_type")
-        h.withColumn("cum", sum(col("c")).over(byType.orderBy(col(v))))
-          .withColumn("n", sum(col("c")).over(byType))
-          .filter(col("cum") >= expr("(n + 1) DIV 2"))
-          .groupBy("event_type").agg(min(col(v)).as(out))
-      }
-      val med = lowerMedian(hist, "q", "med_q")
-      val devHist = hist.join(broadcast(med), "event_type")
-        .groupBy(col("event_type"),
-          abs(col("q") - col("med_q")).as("aq"))
-        .agg(sum(col("c")).as("c"))
-      val mad = lowerMedian(devHist, "aq", "mad_q")
-      ev.join(broadcast(med), "event_type")
-        .join(broadcast(mad), "event_type")
-        .filter(col("mad_q") > 0 &&
-          abs(col("q") - col("med_q")) > lit(3) * col("mad_q"))
+      ev.join(broadcast(madStats(ev)), "event_type")
+        .filter(abs(col("q") - col("med_q")) > lit(3) * col("mad_q"))
         .select(col("event_id"), col("event_type"), col("value"),
           abs(col("q") - col("med_q")).as("dev_cents"),
           col("mad_q").as("mad_cents"))

@@ -817,6 +817,38 @@ object BeaconStreaming {
       .filter(abs(col("z")) > 3.0)
   }
 
+  /** Robust (MAD) live outlier gate — `q_anomaly_mad`'s streaming arm,
+    * built exactly like [[anomalyScoreStream]]: the per-type
+    * (lower-median, MAD) pair fits ONCE from a static corpus through the
+    * SAME `RelationalQueries.madStats` histogram builder the batch gate
+    * uses (one definition, no drift), collects as a bounded model table
+    * (one row per event type), and rides into the stream as a broadcast
+    * literal — the per-row gate `|cents − med| > 3·MAD` is a stateless
+    * pure-BIGINT filter, so the stream holds NO state store at all and
+    * per-row cost is two integer ops. Frozen stats are the serving-tier
+    * trade the batch/stream split is FOR: the robust statistics move only
+    * when the fit corpus is re-run, so a mid-stream distribution shift
+    * shows up as a changed outlier RATE (alertable), never as a silently
+    * self-adjusting threshold. */
+  def madOutlierStream(stream: DataFrame, fitEvents: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val stats = graft.ops.RelationalQueries
+      .madStats(graft.ops.RelationalQueries.anomalyQuantized(fitEvents))
+      .collect() // bounded: one row per event type, MAD = 0 types dropped
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(stats.nonEmpty,
+      "madOutlierStream: fit corpus yields no usable per-type stats " +
+        "(every type has MAD = 0)")
+    val statsDf = stats.toSeq.toDF("et", "med_q", "mad_q")
+    val ev = graft.ops.RelationalQueries.anomalyQuantized(stream)
+    ev.join(broadcast(statsDf), ev("event_type") === statsDf("et"))
+      .filter(abs(col("q") - col("med_q")) > lit(3) * col("mad_q"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        abs(col("q") - col("med_q")).as("dev_cents"),
+        col("mad_q").as("mad_cents"))
+  }
+
   /** Stream-stream interval join (r12) — `q_click_attribution` as a live
     * pipeline: purchases join the same user's clicks from the strictly
     * preceding hour, both sides derived from ONE events stream (a

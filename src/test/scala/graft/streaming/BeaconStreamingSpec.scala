@@ -1123,4 +1123,18 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty, "fixture produced no |z|>3 outliers")
     assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
   }
+
+  test("madOutlierStream with frozen fixture stats equals batch q_anomaly_mad") {
+    val sfDir = "/root/testdata/sf0.001"
+    val fit = graft.tables.Tables.events(spark, sfDir)
+    val streamed = replayEventSlices("stream-mad",
+      BeaconStreaming.madOutlierStream(_, fit)).collect()
+    val batch = graft.ops.RelationalQueries
+      .queries("q_anomaly_mad")(spark, sfDir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"), r.getAs[Long]("dev_cents"),
+        r.getAs[Long]("mad_cents"))
+    assert(batch.nonEmpty, "fixture produced no MAD outliers")
+    assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
+  }
 }
