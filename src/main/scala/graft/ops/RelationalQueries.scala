@@ -64,19 +64,51 @@ object RelationalQueries {
   private[graft] def madStats(ev: DataFrame): DataFrame = {
     val hist = ev.groupBy(col("event_type"), col("q"))
       .agg(count(lit(1)).as("c"))
-    def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
-      val byType = Window.partitionBy("event_type")
-      h.withColumn("cum", sum(col("c")).over(byType.orderBy(col(v))))
-        .withColumn("n", sum(col("c")).over(byType))
-        .filter(col("cum") >= expr("(n + 1) DIV 2"))
-        .groupBy("event_type").agg(min(col(v)).as(out))
-    }
-    val med = lowerMedian(hist, "q", "med_q")
-    val devHist = hist.join(broadcast(med), "event_type")
-      .groupBy(col("event_type"), abs(col("q") - col("med_q")).as("aq"))
-      .agg(sum(col("c")).as("c"))
-    val mad = lowerMedian(devHist, "aq", "mad_q")
-    med.join(mad, "event_type").filter(col("mad_q") > 0)
+    // Both selections fold ROW-LOCALLY over each type's collected
+    // histogram: the array is bounded by the VALUE DOMAIN (distinct
+    // cents — ≤ 49k entries ≈ 800 KB for the fixture's 0..490 range),
+    // never by corpus size, so one row per type carries the whole
+    // distribution. The fold walks the sorted (q, c) pairs accumulating
+    // counts until (n+1) DIV 2 — the lower median — and the DEVIATION
+    // histogram is a transform+re-sort of the SAME array once med is in
+    // hand (duplicate |q−med| keys need no merge: the cumulative walk
+    // crosses the threshold at the same aq either way). This replaces
+    // the earlier four-cumulative-window form: same exact integers, but
+    // two aggregates and two narrow projections instead of four window
+    // stages and two joins — fewer stages at any scale, and locally it
+    // was the window chains, not the fact passes, that owned the time
+    // (MadFloorProbe: stats−hist = 0.66 s of the 1.05 s total).
+    // The med fold binds through a one-element transform LAMBDA on
+    // purpose: a plain med_q column reference inside the deviation
+    // lambda gets INLINED by project collapse — the whole median fold
+    // re-evaluates per array element, turning the row-local walk
+    // quadratic (measured: 52 s at sf0.1 vs 0.3 s for this form; lambda
+    // variables evaluate once, column references do not survive
+    // CollapseProject).
+    hist.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("q"), col("c")))).as("h"),
+        sum(col("c")).as("n"))
+      .select(col("event_type"), expr(
+        """transform(array(
+               aggregate(h,
+                 named_struct('cum', 0L, 'm', CAST(NULL AS BIGINT)),
+                 (a, x) -> IF(a.m IS NOT NULL, a,
+                   named_struct('cum', a.cum + x.c,
+                     'm', IF(a.cum + x.c >= (n + 1) DIV 2, x.q,
+                             CAST(NULL AS BIGINT))))).m),
+             m -> named_struct(
+               'med_q', m,
+               'mad_q', aggregate(sort_array(transform(h,
+                     x -> named_struct('aq', abs(x.q - m), 'c', x.c))),
+                   named_struct('cum', 0L, 'm2', CAST(NULL AS BIGINT)),
+                   (a, x) -> IF(a.m2 IS NOT NULL, a,
+                     named_struct('cum', a.cum + x.c,
+                       'm2', IF(a.cum + x.c >= (n + 1) DIV 2, x.aq,
+                               CAST(NULL AS BIGINT))))).m2))[0]""")
+        .as("s"))
+      .select(col("event_type"), col("s.med_q").as("med_q"),
+        col("s.mad_q").as("mad_q"))
+      .filter(col("mad_q") > 0)
   }
 
   /** Deterministic derived `partsupp` (SURVEY §8 / r15): the driver
@@ -1152,16 +1184,16 @@ object RelationalQueries {
     // but the cent quantization bounds the VALUE DOMAIN, so the exact
     // lower median comes from a histogram: ONE map-side-combined
     // groupBy(type, cents) — output ≤ #types × distinct-cents rows no
-    // matter the corpus — then a cumulative window over that tiny table
-    // picks the smallest q with cum ≥ (n+1) div 2. The MAD histogram
-    // never touches the facts again: |q − med| regroups the SAME value
-    // histogram (deviation counts are sums of value counts). Second and
-    // final fact pass: broadcast the ≤ #types (med, mad) rows back and
-    // keep |q − med| > 3·MAD — every compare pure BIGINT, zero float
-    // drift against the twin. MAD = 0 groups (over half the mass on one
-    // cent) drop out — the textbook degenerate case where the gate would
-    // flag every non-median row. Two fact scans, two bounded histograms,
-    // no fact-side sort/window at any scale.
+    // matter the corpus — collected per type and folded ROW-LOCALLY to
+    // the smallest q with cum ≥ (n+1) div 2 (see [[madStats]]; the MAD
+    // deviation histogram is a transform of the same bounded array, so
+    // the facts are never touched again). Second and final fact pass:
+    // broadcast the ≤ #types (med, mad) rows back and keep
+    // |q − med| > 3·MAD — every compare pure BIGINT, zero float drift
+    // against the twin. MAD = 0 groups (over half the mass on one cent)
+    // drop out — the textbook degenerate case where the gate would flag
+    // every non-median row. Two fact scans, two bounded aggregates, no
+    // fact-side sort/window at any scale.
     "q_anomaly_mad" -> ((s, d) => {
       val ev = anomalyQuantized(Tables.events(s, d))
       ev.join(broadcast(madStats(ev)), "event_type")

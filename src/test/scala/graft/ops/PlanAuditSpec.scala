@@ -194,18 +194,20 @@ class PlanAuditSpec extends SparkTestBase {
       "q_scd2_history regressed to a window form")
     assert(scd.count(_.isInstanceOf[ShuffleExchangeExec]) === 1,
       "q_scd2_history must shuffle exactly once (the user_id fold)")
-    // q_anomaly_mad: med/MAD come back as BROADCASTS (never a sort-merge
-    // of the facts), and every window sits above the bounded cents
-    // histogram — a WindowExec whose subtree reaches a scan without
-    // passing a HashAggregate would be a fact-stream sort
+    // q_anomaly_mad: med/MAD come back as ONE broadcast (never a
+    // sort-merge of the facts), and the medians fold row-locally over
+    // the collected per-type histogram — NO WindowExec anywhere (the
+    // pre-diet form paid four cumulative-window stages; MadFloorProbe
+    // measured them at 0.66 s of the 1.05 s total)
     val mad = physical("q_anomaly_mad")
     assert(mad.exists(_.isInstanceOf[BroadcastHashJoinExec]),
-      "q_anomaly_mad: expected broadcast med/mad lookups")
+      "q_anomaly_mad: expected the broadcast (med, mad) lookup")
     assert(!mad.exists(_.isInstanceOf[SortMergeJoinExec]),
       "q_anomaly_mad must not sort-merge the fact stream")
-    for (w <- mad.filter(_.isInstanceOf[WindowExec]))
-      assert(nodes(w).exists(_.isInstanceOf[HashAggregateExec]),
-        "q_anomaly_mad: window over an un-aggregated (fact) stream")
+    assert(!mad.exists(_.isInstanceOf[WindowExec]),
+      "q_anomaly_mad regressed to cumulative-window medians")
+    assert(mad.exists(_.isInstanceOf[HashAggregateExec]),
+      "q_anomaly_mad: expected the (type, cents) histogram aggregate")
   }
 
   test("filtered parquet scans push their predicates down") {
