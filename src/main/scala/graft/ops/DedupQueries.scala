@@ -431,6 +431,67 @@ object DedupQueries {
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsOf(Tables.documents(s, d))
 
+  /** Triangle census of the near-dup candidate graph (r15) — nodes, edges,
+    * wedges, triangles and the global clustering coefficient
+    * (3·triangles / wedges) over the banded-LSH pair graph. The curation
+    * read: q_dup_degree counts partners per doc; this measures how CLIQUEY
+    * the graph is. Template/boilerplate families close their triangles
+    * (every page near-dups every other page), chained drift (A~B~C without
+    * A~C) does not — so the coefficient answers "will q_dedup_clusters
+    * collapse this graph in a round or two, or drag long chains?" BEFORE
+    * the CC loop spends its iterations.
+    *
+    * Plan — the node-iterator with degree ordering (the standard MR
+    * triangle discipline): orient every undirected edge from its
+    * lower-(degree, id) endpoint to its higher, so out-degrees are
+    * O(√|E|)-bounded regardless of skew — a template hub that would mint
+    * deg² wedges from its star instead RECEIVES those edges and mints
+    * none. Wedges are the i<j pairs of each source's sorted out-neighbor
+    * list (the same in-bucket expansion discipline as LSH banding — a
+    * groupBy + row-local expansion, never a join fan-out), and a wedge
+    * closes iff its endpoint pair is an edge — one LEFT SEMI probe into
+    * the edge list, multiplicity preserved on the wedge side so each
+    * triangle counts exactly once (at its minimum-order vertex). The edge
+    * list localCheckpoints once (bounded: one row per candidate pair) and
+    * feeds all three consumers — degrees, wedge source, close probe —
+    * without re-running the LSH pipeline. n_wedges reports the
+    * orientation-independent Σ d(d−1)/2; nodes are docs with ≥1 candidate
+    * edge (isolated docs are not in the pair graph by construction). */
+  private[ops] def triangleStatsOf(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(true) // one row per candidate pair; three consumers
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // one row per touched doc; three consumers
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
+    // Each wedge leaves as its closing probe's undirected (min id, max id)
+    // key: out-neighbor ids are distinct (the edge list is a set), so the
+    // sorted list's i<j pairs are already (min, max).
+    val wedges = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+      .filter(size(col("ns")) > 1)
+      .select(explode(expr(pairExpansionSql("ns",
+        "named_struct('a', a, 'b', b)"))).as("w"))
+      .select(col("w.a").as("a"), col("w.b").as("b"))
+    val closed = wedges.join(e, Seq("a", "b"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .select(
+        deg.agg(count(lit(1)).as("n")).scalar().as("n_nodes"),
+        col("n_edges"),
+        deg.agg(sum(expr("(d * (d - 1)) div 2")).cast("long").as("w"))
+          .scalar().as("n_wedges"),
+        closed.agg(count(lit(1)).as("t")).scalar().as("n_triangles"))
+      .withColumn("clustering",
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges")))
+  }
+
   /** SQL for the sorted in-bucket pair expansion: for each i<j element pair
     * (a, b) of the array column `ms`, emit `build`; `keepAb` optionally
     * filters the PAIR before the struct is built (it may reference both
@@ -738,6 +799,13 @@ object DedupQueries {
         .agg(count(lit(1)).as("degree"))
     }),
 
+    // Triangle census of the candidate graph (r15) — see
+    // [[triangleStatsOf]] for the degree-ordered node-iterator plan.
+    "q_triangle_count" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      triangleStatsOf(lshPairs(s, d))
+    }),
+
     // Incremental dedup: the last 20% of the id space plays today's delta
     // batch, the first 80% the standing corpus (the split is an in-plan
     // scalar subquery so the same query runs at every SF — see dedupDelta
@@ -1012,6 +1080,28 @@ object DedupQueries {
           ends AS (SELECT doc_a AS doc_id FROM pairs
                    UNION ALL SELECT doc_b FROM pairs)
           SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id""",
+    // naive triple self-join (each triangle once, from its min-id vertex a
+    // with a < b < c) — fine at oracle scale; the Spark side's
+    // degree-ordered count is provably the same number
+    "q_triangle_count" ->
+      s"""WITH $shingleCte,
+          e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+          deg AS (SELECT v, COUNT(*) AS d
+                  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) u
+                  GROUP BY v),
+          tri AS (SELECT COUNT(*) AS t
+                  FROM e e1
+                  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+          agg AS (SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+                         (SELECT COUNT(*) FROM e) AS n_edges,
+                         (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT)
+                          FROM deg) AS n_wedges,
+                         (SELECT t FROM tri) AS n_triangles)
+          SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                 CASE WHEN n_wedges > 0
+                      THEN (3.0 * n_triangles) / n_wedges END AS clustering
+          FROM agg""",
     // pairs is one row per banded pair (grouped), exactly the Spark side's
     // first-agreeing-band multiplicity; the 80/20 split threshold is the
     // same MAX(doc_id)*0.8 scalar both engines compute

@@ -73,6 +73,118 @@ object EventQueries {
       .select(col("user_id"), col("h.event_type"),
         col("h.valid_from_us"), col("h.valid_to_us"))
 
+  /** CDC apply (r15) — merge a changelog onto a snapshot, latest-wins per
+    * key, with MERGE-style row provenance. The id-space split plays the
+    * roles (the q_dedup_delta discipline): the first 80% of event_ids is
+    * the standing SNAPSHOT (its latest observation per user = the current
+    * state), the last 20% is today's CHANGELOG, and the fixture's `error`
+    * events play the tombstones (in production the changelog carries an
+    * op column; the CASE below is where it plugs in). Semantics: the
+    * changelog's latest row per key wins over the snapshot
+    * unconditionally (a changelog is newer by definition); a tombstone
+    * winner deletes the key (emitted with action='deleted', NULL state —
+    * the audit row a MERGE's DELETE clause logs); a tombstone for a key
+    * the snapshot never had is a no-op and emits nothing.
+    *
+    * Plan: ONE exchange on user_id — both sides' latest-row picks are
+    * max(struct(tsu, event_id, …)) conditionals inside the SAME aggregate
+    * (struct order is total: event_id is unique), so there is no
+    * snapshot⋈changelog join at all; the split threshold is an in-plan
+    * scalar subquery (`Dataset.scalar()`), so the same query runs at
+    * every SF. At 100 TB the changelog side is a day's delta — the
+    * aggregate's map-side combine collapses it before the shuffle, and
+    * the snapshot side ships each key once. */
+  private[ops] def cdcMergeOf(ev: DataFrame): DataFrame = {
+    val k = ev.agg((max("event_id") * lit(0.8)).cast("long").as("k")).scalar()
+    val side = struct(col("tsu"), col("event_id"), col("event_type"),
+      col("value"))
+    ev.select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id"), col("event_type"), col("value"),
+        (col("event_id") >= k).as("is_delta"))
+      .groupBy("user_id")
+      .agg(max(when(!col("is_delta"), side)).as("bw"),
+        max(when(col("is_delta"), side)).as("dw"))
+      .withColumn("action",
+        when(col("dw").isNull, "unchanged")
+          .when(col("dw.event_type") === "error" && col("bw").isNotNull,
+            "deleted")
+          .when(col("dw.event_type") === "error",
+            lit(null).cast("string")) // tombstone for an absent key: no-op
+          .when(col("bw").isNull, "inserted")
+          .otherwise("updated"))
+      .filter(col("action").isNotNull)
+      .select(col("user_id"), col("action"),
+        when(col("action") === "unchanged", col("bw.event_type"))
+          .when(col("action") === "deleted", lit(null).cast("string"))
+          .otherwise(col("dw.event_type")).as("state"),
+        when(col("action") === "unchanged", col("bw.value"))
+          .when(col("action") === "deleted", lit(null).cast("double"))
+          .otherwise(col("dw.value")).as("state_value"),
+        when(col("action") === "unchanged", col("bw.tsu"))
+          .otherwise(col("dw.tsu")).as("state_ts_us"))
+  }
+
+  /** Peak concurrency per day (r15) — the sweep-line: each event opens an
+    * interval [tsu, tsu + max(1 µs, ⌊value·10⁶⌋ µs)) (the fixture's
+    * `value` plays a duration in seconds), and the answer per day is the
+    * maximum number of simultaneously-open intervals and the first
+    * instant it is reached. The capacity-planning read of an event log —
+    * sessionization's dual (q_sessionize asks "which rows share a
+    * session", this asks "how many sessions are open at once").
+    *
+    * Plan — the TWO-LEVEL distributed prefix sum, because a naive running
+    * sum over all boundaries is one global sort on a single reducer:
+    * ±1 deltas collapse by exact timestamp first (so equal-instant
+    * opens/closes net out — the step function is evaluated BETWEEN
+    * instants, never mid-tie), each DAY partition computes its own local
+    * running sum in parallel, and the cross-day carry is a second-level
+    * running sum over the per-day NETS — a #days-row table (the bounded
+    * single-reducer window the skyline/collapse queries also run on).
+    * peak(day) = max(carry, max(local run + carry)): the carry term alone
+    * covers the day whose maximum stands at 00:00 (overnight intervals
+    * still open, every in-day delta negative). Day indexing is pure
+    * integer epoch-µs division — no calendar, no timezone. At 100 TB the
+    * collapsed boundary table is the largest thing here (≤ 2 rows per
+    * event, three integer columns — it localCheckpoints once for its two
+    * consumers, the budgetSample reliable-checkpoint caveat applies); the
+    * per-day running sums are day-parallel, and the only global window
+    * runs on the O(days) carry table. */
+  private[ops] def concurrencyPeakOf(ev: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val iv = ev.select(
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("s"),
+      (expr("unix_micros(CAST(ts AS TIMESTAMP))") +
+        greatest(lit(1L), floor(col("value") * lit(1000000.0)).cast("long")))
+        .as("e"))
+    val g = iv
+      .select(explode(array(
+        struct(col("s").as("t"), lit(1L).as("dx")),
+        struct(col("e").as("t"), lit(-1L).as("dx")))).as("d"))
+      .groupBy(expr(s"d.t div ${dayUs}L").as("day_idx"), col("d.t").as("t"))
+      .agg(sum(col("d.dx")).as("net"))
+    val wRun = Window.partitionBy("day_idx").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = g.select(col("day_idx"), col("t"),
+        sum(col("net")).over(wRun).as("run"))
+      .localCheckpoint(true) // two consumers: the carry table + the peaks
+    val wPrior = Window.orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // last boundary's run == the day's net level change (runs restart at 0)
+    val carry = local.groupBy("day_idx")
+      .agg(max(struct(col("t"), col("run"))).as("last"))
+      .select(col("day_idx"),
+        coalesce(sum(col("last.run")).over(wPrior), lit(0L)).as("carry"))
+    local.join(broadcast(carry), "day_idx")
+      .groupBy("day_idx", "carry")
+      .agg(max(struct((col("run") + col("carry")).as("run"),
+        (-col("t")).as("nt"))).as("p"))
+      .select(col("day_idx"),
+        greatest(col("carry"), col("p.run")).as("peak"),
+        when(col("carry") >= col("p.run"), col("day_idx") * lit(dayUs))
+          .otherwise(-col("p.nt")).as("first_peak_t_us"))
+  }
+
   private def sortedEvents(ev: DataFrame): DataFrame =
     ev.groupBy("user_id")
       .agg(sort_array(collect_list(
@@ -274,7 +386,16 @@ object EventQueries {
     // no self-join, per-user arrays bounded by user activity exactly as
     // q_funnel/q_event_transitions budget. Times leave as epoch
     // MICROSECONDS (the q_window_range discipline).
-    "q_scd2_history" -> ((s, d) => scd2Of(Tables.events(s, d)))
+    "q_scd2_history" -> ((s, d) => scd2Of(Tables.events(s, d))),
+
+    // CDC apply (r15) — changelog-onto-snapshot latest-wins merge with
+    // MERGE-style provenance; see [[cdcMergeOf]].
+    "q_cdc_merge" -> ((s, d) => cdcMergeOf(Tables.events(s, d))),
+
+    // Peak concurrency per day (r15) — two-level distributed sweep-line;
+    // see [[concurrencyPeakOf]].
+    "q_concurrency_peak" -> ((s, d) =>
+      concurrencyPeakOf(Tables.events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -405,6 +526,80 @@ object EventQueries {
          SELECT user_id, event_type, tsu AS valid_from_us,
                 LEAD(tsu) OVER (PARTITION BY user_id
                   ORDER BY tsu, event_id, event_type) AS valid_to_us
-         FROM s"""
+         FROM s""",
+
+    // rn=1 per (user, side) under (tsu DESC, event_id DESC) is the same
+    // latest-wins pick as the Spark max(struct(tsu, event_id, …)); the
+    // 80/20 split threshold is the same MAX(event_id)*0.8 scalar
+    "q_cdc_merge" ->
+      """WITH kk AS (SELECT CAST(MAX(event_id) * 0.8 AS BIGINT) AS k
+                     FROM events),
+              o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                           event_type, value,
+                           event_id >= (SELECT k FROM kk) AS is_delta,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY user_id,
+                                          event_id >= (SELECT k FROM kk)
+                             ORDER BY epoch_us(ts) DESC, event_id DESC)
+                             AS rn
+                    FROM events),
+              b AS (SELECT * FROM o WHERE NOT is_delta AND rn = 1),
+              d AS (SELECT * FROM o WHERE is_delta AND rn = 1),
+              m AS (SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+                           b.event_type AS bt, b.value AS bv, b.tsu AS btsu,
+                           d.event_type AS dt, d.value AS dv, d.tsu AS dtsu,
+                           b.user_id IS NOT NULL AS hb,
+                           d.user_id IS NOT NULL AS hd
+                    FROM b FULL OUTER JOIN d ON b.user_id = d.user_id),
+              r AS (SELECT user_id,
+                           CASE WHEN NOT hd THEN 'unchanged'
+                                WHEN dt = 'error' AND hb THEN 'deleted'
+                                WHEN dt = 'error' THEN NULL
+                                WHEN NOT hb THEN 'inserted'
+                                ELSE 'updated' END AS action,
+                           CASE WHEN NOT hd THEN bt
+                                WHEN dt = 'error' THEN NULL
+                                ELSE dt END AS state,
+                           CASE WHEN NOT hd THEN bv
+                                WHEN dt = 'error' THEN NULL
+                                ELSE dv END AS state_value,
+                           CASE WHEN NOT hd THEN btsu
+                                ELSE dtsu END AS state_ts_us
+                    FROM m)
+         SELECT * FROM r WHERE action IS NOT NULL""",
+
+    // global running sum over collapsed boundary instants; per-day peak =
+    // max(carry-in level, in-day max), carry-in = run at the last boundary
+    // before the day — associativity makes this equal to the Spark side's
+    // two-level (per-day local run + day-net prefix) decomposition
+    "q_concurrency_peak" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS s,
+                            epoch_us(ts) + GREATEST(1,
+                              CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS e
+                     FROM events),
+              d AS (SELECT s AS t, 1 AS dx FROM iv
+                    UNION ALL SELECT e, -1 FROM iv),
+              g AS (SELECT t, SUM(dx) AS net FROM d GROUP BY t),
+              r AS (SELECT t, t // 86400000000 AS day_idx,
+                           CAST(SUM(net) OVER (ORDER BY t) AS BIGINT) AS run
+                    FROM g),
+              pk AS (SELECT day_idx, MAX(run) AS mrun FROM r GROUP BY 1),
+              ft AS (SELECT r.day_idx, MIN(r.t) AS first_t
+                     FROM r JOIN pk ON r.day_idx = pk.day_idx
+                                   AND r.run = pk.mrun
+                     GROUP BY 1),
+              cr AS (SELECT day_idx,
+                            COALESCE((SELECT run FROM r r2
+                                      WHERE r2.t < pk.day_idx * 86400000000
+                                      ORDER BY r2.t DESC LIMIT 1),
+                                     0) AS c
+                     FROM pk)
+         SELECT pk.day_idx,
+                GREATEST(cr.c, pk.mrun) AS peak,
+                CASE WHEN cr.c >= pk.mrun THEN pk.day_idx * 86400000000
+                     ELSE ft.first_t END AS first_peak_t_us
+         FROM pk
+         JOIN cr ON cr.day_idx = pk.day_idx
+         JOIN ft ON ft.day_idx = pk.day_idx"""
   )
 }

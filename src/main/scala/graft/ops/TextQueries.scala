@@ -27,7 +27,48 @@ object TextQueries {
     "de" -> Seq("ch", "ei", "nd", "ie", "sc"),
     "fr" -> Seq("es", "le", "de", "re", "ou"))
 
+  /** Pareto skyline over the curation plane (r15) — the documents no other
+    * document weakly dominates on (n_chars, stopword hits), both
+    * maximized: the "longest AND most natural-language" frontier a
+    * curation pass keeps when it refuses to collapse two quality axes
+    * into one weighted score. A doc is dominated iff some other doc is ≥
+    * on both axes and > on at least one; ties on both axes keep both.
+    *
+    * Plan — collapse, then frontier, then admit: (1) one map-side-combined
+    * aggregate collapses the corpus to (x, max y) — bounded by |distinct
+    * n_chars| (the VALUE domain), not by corpus size; (2) the frontier
+    * condition "y strictly above every strictly-longer collapsed point"
+    * is one running max over the collapsed table sorted by x DESC — a
+    * single-reducer window, deliberately: its input is the bounded
+    * collapsed table, never the corpus (the q_concurrency_peak carry
+    * table makes the same call); (3) the admitted (x, y) pairs broadcast
+    * back as a semi-join-shaped equality filter over the per-doc rows —
+    * the corpus is touched exactly twice, both times scan-shaped. The
+    * classic partition-local-prune distributed skyline falls out for
+    * free: step (1) IS the prune (anything below its x-group's max is
+    * dominated within the partition stream before the exchange). */
+  private[ops] def skylineOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("n_chars"),
+      expr(s"size(filter(split(trim(text), '\\\\s+'), x -> x IN ($stopList)))")
+        .cast("long").as("n_stop"))
+    val collapsed = t.groupBy("n_chars").agg(max("n_stop").as("ymax"))
+    val wLonger = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val admit = collapsed
+      .withColumn("cm", max("ymax").over(wLonger))
+      .filter(col("cm").isNull || col("ymax") > col("cm"))
+      .select(col("n_chars").as("ax"), col("ymax").as("ay"))
+    t.join(broadcast(admit),
+        t("n_chars") === col("ax") && t("n_stop") === col("ay"), "left_semi")
+      .select(col("doc_id"), col("n_chars"), col("n_stop"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pareto skyline (r15) — see [[skylineOf]].
+    "q_skyline" -> ((s, d) => skylineOf(Tables.documents(s, d))),
+
     // Token counting: whitespace tokens + a BPE-ish lowercase-run count.
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -889,6 +930,20 @@ object TextQueries {
           FROM perdoc CROSS JOIN piv""")
 
   val oracle: Map[String, String] = Map(
+    // definitional NOT EXISTS dominance — fine at oracle scale; the Spark
+    // side's collapse-then-frontier plan is provably the same set
+    "q_skyline" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+                            CAST(len(list_filter(
+                              string_split_regex(trim(text), '\\s+'),
+                              x -> x IN ($stopList))) AS BIGINT) AS n_stop
+                     FROM documents)
+          SELECT a.doc_id, a.n_chars, a.n_stop
+          FROM t a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM t b
+            WHERE b.n_chars >= a.n_chars AND b.n_stop >= a.n_stop
+              AND (b.n_chars > a.n_chars OR b.n_stop > a.n_stop))""",
     // The probe's sufficient statistics are integer sums over integer
     // features, so this twin is hash-EXACT — an engine-neutral trained
     // model's fit side, checked to the bit. The densifying range join at

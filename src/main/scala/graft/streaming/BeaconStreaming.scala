@@ -908,4 +908,110 @@ object BeaconStreaming {
     * available now, then stop — D3's `AvailableNow`. */
   def runAvailableNow(writer: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery =
     writer.trigger(Trigger.AvailableNow()).start()
+
+  /** Streaming CDC apply (r15) — [[graft.ops.EventQueries.cdcMergeOf]]'s
+    * operational twin: maintain a latest-state snapshot table from a
+    * changelog STREAM, the incrementally-updated form of the reference's
+    * continuously-overwritten "latest" tables (A10/D6). Each micro-batch
+    * reduces to its per-key winner (one max(struct) aggregate — map-side
+    * combined, so a day's changelog collapses before it touches the
+    * snapshot) and merges into the on-disk snapshot via one key join.
+    *
+    * Merge rule (associative, so ANY micro-batch slicing of the changelog
+    * converges to the same snapshot — spec-pinned): a changelog row beats
+    * a bootstrap-era row unconditionally (a changelog is newer than the
+    * snapshot it amends, the q_cdc_merge rule); between changelog rows the
+    * (tsu, event_id) max wins. Tombstones (the fixture's `error` rows)
+    * PERSIST as NULL-state rows instead of deleting — the classic
+    * out-of-order shield: a late-arriving older upsert in a later batch
+    * must lose to the tombstone, which it can only do if the tombstone's
+    * (tsu, event_id) is still there to lose to. [[cdcCurrentView]] is the
+    * read view that drops them.
+    *
+    * Scale: the per-batch cost is one collapsed-delta join against the
+    * snapshot — O(snapshot) per batch in this plain-parquet form
+    * (localCheckpoint cuts the self-overwrite lineage; a transactional
+    * table format would make it O(touched partitions) — that swap lives
+    * entirely inside [[cdcApplyBatch]]). */
+  def cdcApplySink(changelog: DataFrame, snapshotPath: String,
+                   checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    changelog.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cdcApplyBatch(batch, snapshotPath)
+      }
+
+  /** Bootstrap the snapshot from a base observation log: latest row per
+    * key, marked pre-changelog (`from_changelog = false`) so the first
+    * applied changelog row beats it unconditionally. */
+  def cdcSnapshotInit(base: DataFrame): DataFrame =
+    base.select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"))
+      .groupBy("user_id")
+      .agg(max(struct(col("tsu"), col("event_id"), col("event_type"),
+        col("value"))).as("w"))
+      .select(col("user_id"), col("w.event_type").as("state"),
+        col("w.value").as("state_value"), col("w.tsu").as("state_ts_us"),
+        col("w.event_id").as("state_event_id"),
+        lit(false).as("from_changelog"))
+
+  /** One micro-batch of the CDC apply: collapse the batch to per-key
+    * winners, merge into the parquet snapshot at `snapshotPath` under the
+    * [[cdcApplySink]] rule, overwrite in place. */
+  private[streaming] def cdcApplyBatch(batch: DataFrame,
+                                       snapshotPath: String): Unit = {
+    val s = batch.sparkSession
+    val delta = batch.select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"))
+      .groupBy("user_id")
+      .agg(max(struct(col("tsu"), col("event_id"), col("event_type"),
+        col("value"))).as("dw"))
+    val snap =
+      if (new java.io.File(snapshotPath).exists()) s.read.parquet(snapshotPath)
+      else cdcSnapshotInit(batch.filter(lit(false)))
+    // winner: changelog beats bootstrap; changelog vs changelog by
+    // (tsu, event_id); a winning tombstone becomes a NULL-state row
+    val deltaWins = col("s.user_id").isNull ||
+      !col("s.from_changelog") ||
+      struct(col("dw.tsu"), col("dw.event_id")) >
+        struct(col("s.state_ts_us"), col("s.state_event_id"))
+    val merged = snap.alias("s")
+      .join(delta.alias("d"), col("s.user_id") <=> col("d.user_id"),
+        "full_outer")
+      .select(
+        coalesce(col("s.user_id"), col("d.user_id")).as("user_id"),
+        when(col("dw").isNull, col("s.state"))
+          .otherwise(when(deltaWins,
+            when(col("dw.event_type") === "error",
+              lit(null).cast("string")).otherwise(col("dw.event_type")))
+            .otherwise(col("s.state"))).as("state"),
+        when(col("dw").isNull, col("s.state_value"))
+          .otherwise(when(deltaWins,
+            when(col("dw.event_type") === "error",
+              lit(null).cast("double")).otherwise(col("dw.value")))
+            .otherwise(col("s.state_value"))).as("state_value"),
+        when(col("dw").isNull, col("s.state_ts_us"))
+          .otherwise(when(deltaWins, col("dw.tsu"))
+            .otherwise(col("s.state_ts_us"))).as("state_ts_us"),
+        when(col("dw").isNull, col("s.state_event_id"))
+          .otherwise(when(deltaWins, col("dw.event_id"))
+            .otherwise(col("s.state_event_id"))).as("state_event_id"),
+        (coalesce(col("s.from_changelog"), lit(false)) ||
+          col("dw").isNotNull).as("from_changelog"))
+      .localCheckpoint(true) // cut lineage off the files we overwrite
+    merged.write.mode("overwrite").parquet(snapshotPath)
+    merged.unpersist(blocking = true)
+  }
+
+  /** The CDC snapshot's read view: current keys only (tombstoned keys'
+    * NULL-state shield rows drop here). */
+  def cdcCurrentView(s: SparkSession, snapshotPath: String): DataFrame =
+    s.read.parquet(snapshotPath).filter(col("state").isNotNull)
+      .select("user_id", "state", "state_value", "state_ts_us")
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantics pins for the r15 closing additions. Cross-engine values are
+  * pinned by the DuckDB twins at sf0.01; these tests pin the branches the
+  * fixture does NOT exercise — at sf0.01 every user has changelog rows, so
+  * q_cdc_merge's 'unchanged'/'inserted' actions and the no-op-tombstone
+  * drop never fire there; the fixture has no midnight-straddling peak, so
+  * q_concurrency_peak's carry-at-day-start branch never wins; and the
+  * triangle census needs a hand-countable graph (including a hub-skew one
+  * that exercises the degree orientation) plus a known Pareto plane. */
+class R15cOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dayUs = 86400000000L
+
+  // --- q_cdc_merge -------------------------------------------------------
+
+  private val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def t(sec: Long) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+  private def us(sec: Long) = (ts0.getTime + sec * 1000L) * 1000L
+
+  test("cdcMerge: all four actions, the no-op tombstone, and latest-wins ties") {
+    // max event_id = 100 → split k = 80; ids < 80 are the snapshot,
+    // ids >= 80 the changelog; 'error' rows play the tombstones
+    val ev = Seq(
+      // u1: snapshot only → unchanged
+      (1L, t(0), 1L, "A", 1.0),
+      // u2: snapshot + one changelog upsert → updated
+      (2L, t(0), 2L, "A", 1.0), (81L, t(10), 2L, "B", 2.0),
+      // u3: changelog only (id 80 IS delta — boundary inclusive) → inserted
+      (80L, t(5), 3L, "C", 3.0),
+      // u4: snapshot + tombstone → deleted (NULL state, tombstone time)
+      (3L, t(0), 4L, "D", 4.0), (100L, t(20), 4L, "error", 0.0),
+      // u5: tombstone for a key the snapshot never had → emits NOTHING
+      (90L, t(10), 5L, "error", 0.0),
+      // u6: two changelog rows at the SAME ts → higher event_id wins
+      (4L, t(0), 6L, "A", 1.0),
+      (85L, t(10), 6L, "B", 5.0), (86L, t(10), 6L, "C", 6.0),
+      // u7: tombstone then a LATER upsert → the upsert wins → updated
+      (5L, t(0), 7L, "A", 1.0),
+      (87L, t(10), 7L, "error", 0.0), (88L, t(20), 7L, "B", 7.0),
+      // u8: upsert then a LATER tombstone → deleted
+      (6L, t(0), 8L, "A", 1.0),
+      (89L, t(10), 8L, "B", 8.0), (91L, t(20), 8L, "error", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventQueries.cdcMergeOf(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) "-" else r.getString(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "unchanged", "A", 1.0, us(0)),
+      (2L, "updated", "B", 2.0, us(10)),
+      (3L, "inserted", "C", 3.0, us(5)),
+      (4L, "deleted", "-", -1.0, us(20)),
+      (6L, "updated", "C", 6.0, us(10)),
+      (7L, "updated", "B", 7.0, us(20)),
+      (8L, "deleted", "-", -1.0, us(20))))
+  }
+
+  // --- q_concurrency_peak ------------------------------------------------
+
+  test("concurrencyPeak: equal-instant open/close nets out; overnight carry wins a delta-negative day") {
+    // all times relative to a computed midnight so the day split is exact
+    // regardless of the JVM/session timezone
+    val day1Start = (us(0) / dayUs + 1L) * dayUs
+    def at(relSec: Long) = // relSec relative to that midnight (may be < 0)
+      new java.sql.Timestamp((day1Start / 1000L) + relSec * 1000L)
+    // intervals (100 s each): A=[-3600,-3500) B=[-3550,-3450) C=[-3500,-3400)
+    // — A closes EXACTLY when C opens, so the -3500 instant nets to 0 and
+    // concurrency stays 2 (a +1-before-−1 tie order would claim 3) —
+    // and D=[-10, 90) straddles midnight: day 1's only delta is D's close,
+    // so its true peak is the CARRY level standing at 00:00.
+    val ev = Seq(
+      (1L, at(-3600), 1L, "view", 100.0), (2L, at(-3550), 1L, "view", 100.0),
+      (3L, at(-3500), 1L, "view", 100.0), (4L, at(-10), 1L, "view", 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventQueries.concurrencyPeakOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val d0 = day1Start / dayUs - 1L
+    assert(out.toSeq === Seq(
+      (d0, 2L, day1Start - 3550L * 1000000L), // first reaches 2 when B opens
+      (d0 + 1L, 1L, day1Start))) // carry=1 at 00:00; in-day runs are 0
+  }
+
+  // --- q_triangle_count ---------------------------------------------------
+
+  test("triangleStats: hand-countable graph (triangle + tail)") {
+    // K3 on {1,2,3} plus the tail 3-4-5: deg = (2,2,3,2,1),
+    // wedges = 1+1+3+1+0 = 6, triangles = 1, clustering = 3·1/6 = 0.5
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val r = DedupQueries.triangleStatsOf(pairs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) === ((5L, 5L, 6L, 1L, 0.5)))
+  }
+
+  test("triangleStats: hub star — orientation points INTO the hub, count still exact") {
+    // star 1-{2,3,4,5} plus closing edge 2-3: the hub (deg 4) receives
+    // every oriented edge and mints no wedges itself; the one triangle is
+    // still found from its minimum-ORDER vertex (4 or 5 mint nothing
+    // either — deg 1). wedges = C(4,2) + 1 + 1 = 8, clustering = 3/8.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+      .toDF("doc_a", "doc_b")
+    val r = DedupQueries.triangleStatsOf(pairs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) === ((5L, 5L, 8L, 1L, 0.375)))
+  }
+
+  // --- q_skyline -----------------------------------------------------------
+
+  test("skyline: dominance drops, both-axes ties keep both") {
+    // stopwords counted by the builder: the/a/an/of/to/and
+    val docs = Seq(
+      (1L, "the the the", "en", "s", 10L), // frontier (10, 3)
+      (2L, "the the", "en", "s", 20L), //     frontier (20, 2)
+      (3L, "x y", "en", "s", 20L), //         (20, 0): dominated by d2
+      (4L, "the", "en", "s", 30L), //         frontier (30, 1)
+      (5L, "the the the", "en", "s", 5L), //  (5, 3): dominated by d1
+      (6L, "of and to", "en", "s", 10L)) //   (10, 3): TIE with d1 — kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextQueries.skylineOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 10L, 3L), (2L, 20L, 2L), (4L, 30L, 1L), (6L, 10L, 3L)))
+  }
+}

@@ -1137,4 +1137,71 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty, "fixture produced no MAD outliers")
     assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
   }
+
+  test("cdcApplySink sliced replay equals batch q_cdc_merge's surviving view") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.tables.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val k = ev.agg(expr("CAST(MAX(event_id) * 0.8 AS BIGINT)"))
+      .collect().head.getLong(0)
+    val dir = tmpDir("stream-cdc")
+    // bootstrap the snapshot from the base slice's latest rows
+    BeaconStreaming.cdcSnapshotInit(ev.filter(col("event_id") < k))
+      .write.mode("overwrite").parquet(s"$dir/snap")
+    // replay the changelog slice in two arbitrary halves
+    val delta = ev.filter(col("event_id") >= k)
+      .orderBy("ts", "event_id").collect()
+    for (slice <- Seq(delta.take(delta.length / 2),
+      delta.drop(delta.length / 2))) {
+      spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(slice: _*)),
+          ev.schema)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val q = BeaconStreaming.cdcApplySink(
+          spark.readStream.schema(ev.schema).parquet(s"$dir/in"),
+          s"$dir/snap", s"$dir/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+        r.getAs[Double]("state_value"), r.getAs[Long]("state_ts_us"))
+    val streamed = BeaconStreaming.cdcCurrentView(spark, s"$dir/snap")
+      .collect()
+    val batch = graft.ops.EventQueries.queries("q_cdc_merge")(spark, sfDir)
+      .filter(col("action") =!= "deleted")
+      .select("user_id", "state", "state_value", "state_ts_us").collect()
+    assert(batch.nonEmpty, "fixture produced no surviving CDC states")
+    assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
+  }
+
+  test("cdcApplyBatch: out-of-order arrivals lose to the stored winner; slicing is order-invariant") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    // u1: newer upsert arrives FIRST, older tombstone limps in a batch
+    //     later → tombstone must lose (state stays B)
+    // u2: tombstone first, older upsert later → must NOT resurrect
+    val b1 = Seq((1L, t(20), 10L, "B", 2.0), (2L, t(20), 11L, "error", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val b2 = Seq((1L, t(10), 8L, "error", 0.0), (2L, t(10), 9L, "A", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    def applied(prefix: String, batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      val p = tmpDir(prefix) + "/snap"
+      batches.foreach(b => BeaconStreaming.cdcApplyBatch(b, p))
+      spark.read.parquet(p)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          Option(r.getAs[String]("state")).getOrElse("-"),
+          r.getAs[Long]("state_event_id")))
+        .sortBy(_._1).toSeq
+    }
+    val sliced = applied("cdc-sliced", Seq(b1, b2))
+    assert(sliced === Seq((1L, "B", 10L), (2L, "-", 11L)))
+    // the same rows in ONE batch converge to the same snapshot
+    assert(applied("cdc-oneshot", Seq(b1.union(b2))) === sliced)
+    // and in the REVERSED slice order too (merge rule is associative)
+    assert(applied("cdc-reversed", Seq(b2, b1)) === sliced)
+  }
 }
