@@ -146,10 +146,10 @@ object EventQueries {
     * still open, every in-day delta negative). Day indexing is pure
     * integer epoch-µs division — no calendar, no timezone. At 100 TB the
     * collapsed boundary table is the largest thing here (≤ 2 rows per
-    * event, three integer columns — it localCheckpoints once for its two
-    * consumers, the budgetSample reliable-checkpoint caveat applies); the
-    * per-day running sums are day-parallel, and the only global window
-    * runs on the O(days) carry table. */
+    * event, three integer columns); its two consumers — the per-day
+    * running sums and the per-day nets — both hang off the SAME day-keyed
+    * exchange, so ReuseExchange materializes it once, and the only global
+    * window runs on the O(days) carry table. */
   private[ops] def concurrencyPeakOf(ev: DataFrame): DataFrame = {
     val dayUs = 86400000000L
     val iv = ev.select(
@@ -161,20 +161,30 @@ object EventQueries {
       .select(explode(array(
         struct(col("s").as("t"), lit(1L).as("dx")),
         struct(col("e").as("t"), lit(-1L).as("dx")))).as("d"))
+      // no-op guard (t derives from a non-null cast chain) that plants the
+      // day_idx non-null CONSTRAINT below the aggregate on BOTH consumers:
+      // without it the inner join's inferred isnotnull(day_idx) pushes
+      // into the window branch only, the two subtrees stop canonicalizing
+      // equal, and ReuseExchange silently double-scans the corpus
+      .filter(expr(s"d.t div ${dayUs}L").isNotNull)
       .groupBy(expr(s"d.t div ${dayUs}L").as("day_idx"), col("d.t").as("t"))
       .agg(sum(col("d.dx")).as("net"))
     val wRun = Window.partitionBy("day_idx").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = g.select(col("day_idx"), col("t"),
-        sum(col("net")).over(wRun).as("run"))
-      .localCheckpoint(true) // two consumers: the carry table + the peaks
+      sum(col("net")).over(wRun).as("run"))
     val wPrior = Window.orderBy("day_idx")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // last boundary's run == the day's net level change (runs restart at 0)
-    val carry = local.groupBy("day_idx")
-      .agg(max(struct(col("t"), col("run"))).as("last"))
+    // the day's net level change = sum of its deltas — derived from the
+    // SAME day-keyed exchange the window runs on, so ReuseExchange
+    // computes the collapsed boundary table once for both consumers (the
+    // r15 first cut localCheckpointed `local` and argmax-ed each day's
+    // LAST run instead: an extra eager job + a per-day max(struct) sort
+    // aggregate, for the same number)
+    val carry = g.groupBy("day_idx")
+      .agg(sum(col("net")).as("day_net"))
       .select(col("day_idx"),
-        coalesce(sum(col("last.run")).over(wPrior), lit(0L)).as("carry"))
+        coalesce(sum(col("day_net")).over(wPrior), lit(0L)).as("carry"))
     local.join(broadcast(carry), "day_idx")
       .groupBy("day_idx", "carry")
       .agg(max(struct((col("run") + col("carry")).as("run"),

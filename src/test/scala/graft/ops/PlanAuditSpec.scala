@@ -210,6 +210,41 @@ class PlanAuditSpec extends SparkTestBase {
       "q_anomaly_mad: expected the (type, cents) histogram aggregate")
   }
 
+  test("the closing-r15 shapes keep their scale contracts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    // q_cdc_merge: ONE shuffle of the observation log — both sides'
+    // latest-row picks live inside the same user-key aggregate, so a
+    // regression to a snapshot⋈changelog join would show a second
+    // exchange (or a sort-merge join)
+    val cdc = physical("q_cdc_merge")
+    assert(cdc.count(_.isInstanceOf[ShuffleExchangeExec]) === 1,
+      "q_cdc_merge must shuffle exactly once (the user_id fold)")
+    assert(!cdc.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q_cdc_merge regressed to a snapshot-join form")
+    // q_skyline: the admission set comes back as a broadcast LEFT SEMI;
+    // the corpus must never sort-merge
+    val sky = physical("q_skyline")
+    assert(sky.exists {
+      case b: BroadcastHashJoinExec => b.joinType.toString == "LeftSemi"
+      case _ => false
+    }, "q_skyline: expected the broadcast LeftSemi admission probe")
+    assert(!sky.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q_skyline must not sort-merge the corpus")
+    // q_concurrency_peak: the carry branch must REUSE the collapsed
+    // boundary table's exchange, not re-scan the corpus — AQE only
+    // decides stage reuse at runtime, so materialize and read the FINAL
+    // adaptive plan (the no-op day_idx null guard in concurrencyPeakOf
+    // exists precisely to keep the two subtrees canonically equal; this
+    // pin is what fails if someone removes it)
+    val cp = SparkEntry.queries("q_concurrency_peak")(spark, sfDir)
+    cp.queryExecution.toRdd.count()
+    assert(cp.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .contains("ReusedExchange"),
+      "q_concurrency_peak: carry branch no longer reuses the boundary stage")
+  }
+
   test("filtered parquet scans push their predicates down") {
     // every query that filters the lineitem scan must show PushedFilters
     val scans = physical("q_scan_filter").collect {
