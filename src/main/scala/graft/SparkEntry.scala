@@ -43,5 +43,5 @@ object SparkEntry {
     * red them for the exact reasons they are tolerance-checked). */
   def toleranceSql: Map[String, String] =
     TextQueries.toleranceOracle ++ RetrievalQueries.toleranceOracle ++
-      RelationalQueries.toleranceOracle
+      RelationalQueries.toleranceOracle ++ DedupQueries.toleranceOracle
 }

@@ -482,6 +482,21 @@ object CorpusQueries {
           levenshtein(col("tok"), col("term")).cast("long").as("dist"))
     }),
 
+    // PPS systematic sampling (r15) — importance-weighted corpus sampling
+    // (probability proportional to size, here n_chars) with EXACT integer
+    // arithmetic, so the sample is identical on every engine, run, and
+    // cluster size — the reproducibility contract the md5-bucket samplers
+    // give uniform sampling, extended to weighted draws (rand()-keyed
+    // A-ES sampling can never give a training recipe this property, and
+    // float-keyed variants can flip adjacent ranks across engines). A
+    // grid of every step-th weight unit (step = max(1, total div 50))
+    // walks the doc_id-ordered cumulative weight; a doc is drawn once
+    // per grid point inside its (cum−w, cum] span, so heavy docs carry a
+    // multiplicity column m instead of being capped at one draw — true
+    // PPS-with-replacement semantics. See [[ppsSampleOf]] for the
+    // two-level prefix-sum plan.
+    "q_pps_sample" -> ((s, d) => ppsSampleOf(Tables.documents(s, d))),
+
     // Deterministic per-source eval sample (r13) — "give me k docs per
     // source" the reproducible way: rank every doc inside its source by
     // the content-independent md5(doc_id) key (the q_sample_stratified
@@ -717,6 +732,46 @@ object CorpusQueries {
       .filter(col("rnk") <= 5)
       .select(col("source"), col("rnk"), col("doc_id"), col("lang"),
         col("n_chars"))
+  }
+
+  /** q_pps_sample's pipeline over an arbitrary documents frame — see the
+    * registration comment for the sampling contract. Plan: the
+    * doc_id-ordered cumulative weight is the r10 two-level prefix sum in
+    * its simplest form — contiguous id-range shards (`doc_id div 1024`,
+    * monotone in doc_id, so in-shard cumsum + exclusive shard offsets ≡
+    * the global running sum), the shard offsets hang off the SAME
+    * shard-keyed exchange the in-shard window runs on (the
+    * q_concurrency_peak ReuseExchange discipline, including the no-op
+    * null guard that keeps the two subtrees canonically equal), and the
+    * O(#shards) offset table broadcasts back. `total` and `step` are
+    * exact integer driver scalars — the same numbers any engine computes.
+    * At 100 TB: one narrow 2-column scan, one range-shard exchange, and
+    * a per-shard sort; no global single-reducer anything. */
+  private[graft] def ppsSampleOf(docs: DataFrame, k: Long = 50L): DataFrame = {
+    val t = docs.select(col("doc_id"), col("n_chars").as("w"))
+      .filter(expr("doc_id div 1024").isNotNull) // the reuse guard
+      .withColumn("shard", expr("doc_id div 1024"))
+    val total = t.agg(sum("w")).head.getLong(0)
+    val step = math.max(1L, total / k)
+    val wLocal = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.select(col("doc_id"), col("w"), col("shard"),
+      sum("w").over(wLocal).as("cum_local"))
+    val wPrior = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // shard total = the LAST in-shard cumsum = max (w ≥ 0 ⇒ nondecreasing):
+    // deriving it from `local` keeps this consumer ABOVE the shard
+    // exchange (already hash(shard)-partitioned — no second exchange),
+    // so the runtime reuses the one materialized stage for both branches
+    val offsets = local.groupBy("shard").agg(max("cum_local").as("shard_w"))
+      .select(col("shard"),
+        coalesce(sum(col("shard_w")).over(wPrior), lit(0L)).as("off"))
+    local.join(broadcast(offsets), "shard")
+      .withColumn("cum", col("cum_local") + col("off"))
+      .withColumn("m",
+        expr(s"cum div ${step}L - (cum - w) div ${step}L"))
+      .filter(col("m") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("m"))
   }
 
   /** q_budget_sample's pipeline over an arbitrary documents frame. The
@@ -1415,6 +1470,24 @@ object CorpusQueries {
                 CAST(levenshtein(tok, term) AS BIGINT) AS dist
          FROM toks JOIN dl ON abs(length(tok) - length(term)) <= 1
                            AND levenshtein(tok, term) <= 1""",
+    // global running sum — associativity makes it equal to the Spark
+    // side's two-level (in-shard cumsum + shard offsets) decomposition;
+    // total and step are the same exact integers both engines compute
+    "q_pps_sample" ->
+      """WITH t AS (SELECT doc_id, n_chars AS w FROM documents),
+              tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM t),
+              st AS (SELECT GREATEST(1, total // 50) AS step FROM tot),
+              c AS (SELECT doc_id, w,
+                           CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT)
+                             AS cum
+                    FROM t)
+         SELECT doc_id, w, cum,
+                cum // (SELECT step FROM st)
+                  - (cum - w) // (SELECT step FROM st) AS m
+         FROM c
+         WHERE cum // (SELECT step FROM st)
+                 - (cum - w) // (SELECT step FROM st) > 0""",
+
     "q_group_sample" ->
       """WITH k AS (SELECT doc_id, source, lang, n_chars,
                            CAST(md5_number_lower(CAST(doc_id AS VARCHAR))

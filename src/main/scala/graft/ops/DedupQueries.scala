@@ -492,6 +492,52 @@ object DedupQueries {
           lit(3.0) * col("n_triangles") / col("n_wedges")))
   }
 
+  /** PageRank over the near-dup candidate graph (r15) — the third graph
+    * read beside q_dup_degree (local) and q_triangle_count (clustering):
+    * a stationary CENTRALITY, the "which documents sit at the center of a
+    * template family" score that degree alone misses (a doc bridging two
+    * families outranks an equal-degree doc buried in one). Undirected
+    * edges walk both ways; damping 0.85; a FIXED five iterations — a
+    * convergence test would make the result depend on scheduling, and the
+    * tolerance twin must unroll the identical computation.
+    *
+    * Plan: the symmetric edge list localCheckpoints ONCE (it is read
+    * every round — the CC-loop discipline) and degrees hang off it; each
+    * round is one join of the current ranks to the edges on the source
+    * key followed by one sum-by-destination — the canonical two-exchange
+    * PageRank round, map-side-combined, nothing corpus-quadratic. Every
+    * node of the pair graph has degree ≥ 1, so there are no dangling
+    * nodes and no rank mass correction term.
+    *
+    * Correctness gate: rows-only by DESIGN for the driver's hash gate —
+    * per-node contribution sums reduce in engine-specific order, so the
+    * last ulp of a double sum is not reproducible; the DuckDB twin
+    * (five unrolled CTE rounds of the identical arithmetic) value-gates
+    * it under rel-tol 1e-9 in `tools/check_tolerance.py`, the
+    * q_bm25_logidf convention. */
+  private[ops] def pageRankOf(pairs: DataFrame, iters: Int = 5,
+                              damping: Double = 0.85): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // read every round; bounded by the pair list
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("doc_id"),
+      (lit(1.0) / lit(n.toDouble)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("doc_id"), (col("pr") / col("deg")).as("c"))
+      ranks = contrib.groupBy("doc_id")
+        .agg(sum(col("c")).as("s"))
+        .select(col("doc_id"),
+          (lit((1.0 - damping) / n.toDouble) +
+            lit(damping) * col("s")).as("pr"))
+    }
+    ranks
+  }
+
   /** SQL for the sorted in-bucket pair expansion: for each i<j element pair
     * (a, b) of the array column `ms`, emit `build`; `keepAb` optionally
     * filters the PAIR before the struct is built (it may reference both
@@ -806,6 +852,14 @@ object DedupQueries {
       triangleStatsOf(lshPairs(s, d))
     }),
 
+    // PageRank centrality over the candidate graph (r15) — see
+    // [[pageRankOf]]; rows-only for the hash gate by design, value-gated
+    // under rel-tol 1e-9 by the tolerance twin.
+    "q_pagerank" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      pageRankOf(lshPairs(s, d))
+    }),
+
     // Incremental dedup: the last 20% of the id space plays today's delta
     // batch, the first 80% the standing corpus (the split is an in-plan
     // scalar subquery so the same query runs at every SF — see dedupDelta
@@ -1047,6 +1101,31 @@ object DedupQueries {
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)"""
+
+  /** Tolerance twin for q_pagerank (see [[pageRankOf]]'s correctness-gate
+    * scaladoc): five unrolled rounds of the identical arithmetic;
+    * `tools/check_tolerance.py` compares pr per doc_id at rel-tol 1e-9. */
+  private[graft] val toleranceOracle: Map[String, String] = Map(
+    "q_pagerank" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""r$k AS (SELECT s.dst AS doc_id,
+                          (1 - 0.85) / (SELECT n FROM nn)
+                            + 0.85 * SUM(r.pr / d.deg) AS pr
+                   FROM sym s
+                   JOIN r${k - 1} r ON r.doc_id = s.src
+                   JOIN deg d ON d.src = s.src
+                   GROUP BY s.dst)"""
+      }.mkString(",\n          ")
+      s"""WITH $shingleCte,
+          sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+          nn AS (SELECT COUNT(*) AS n FROM deg),
+          r0 AS (SELECT src AS doc_id, 1.0 / (SELECT n FROM nn) AS pr
+                 FROM deg),
+          $rounds
+          SELECT doc_id, pr FROM r5"""
+    })
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->

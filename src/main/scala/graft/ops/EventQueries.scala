@@ -195,6 +195,38 @@ object EventQueries {
           .otherwise(-col("p.nt")).as("first_peak_t_us"))
   }
 
+  /** Point-in-time join (r15) — the feature-store correctness op: each
+    * purchase event picks up the state its user was in AT THAT INSTANT
+    * according to the SCD2 history derived from the user's NON-purchase
+    * observations (training-serving skew is exactly what you get when
+    * this join is done wrong — a plain latest-state join leaks the
+    * future). Validity is [[scd2Of]]'s half-open [from, to): a purchase
+    * at exactly a transition instant belongs to the NEW state; a
+    * purchase before the user's first observation keeps a NULL state
+    * (LEFT join — facts are never dropped by missing history).
+    *
+    * Plan: the history is one scd2 fold (one user-key exchange of the
+    * observation log), the facts filter to one event type at the scan,
+    * and the join is an equi-join on user_id with the validity window as
+    * a residual — per-user run counts bound the match fan-out exactly as
+    * q_click_attribution's hour band does. At any instant exactly ONE
+    * run is valid, so the join multiplies nothing. */
+  private[ops] def pitJoinOf(ev: DataFrame): DataFrame = {
+    val h = scd2Of(ev.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("hu"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        col("value").as("amount"))
+    p.join(h, col("user_id") === col("hu") &&
+        col("valid_from_us") <= col("ts_us") &&
+        (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("ts_us"),
+        col("state"), col("amount"))
+  }
+
   private def sortedEvents(ev: DataFrame): DataFrame =
     ev.groupBy("user_id")
       .agg(sort_array(collect_list(
@@ -405,7 +437,11 @@ object EventQueries {
     // Peak concurrency per day (r15) — two-level distributed sweep-line;
     // see [[concurrencyPeakOf]].
     "q_concurrency_peak" -> ((s, d) =>
-      concurrencyPeakOf(Tables.events(s, d)))
+      concurrencyPeakOf(Tables.events(s, d))),
+
+    // Point-in-time join (r15) — facts pick up the state valid at their
+    // instant from the SCD2 history; see [[pitJoinOf]].
+    "q_pit_join" -> ((s, d) => pitJoinOf(Tables.events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -610,6 +646,33 @@ object EventQueries {
                      ELSE ft.first_t END AS first_peak_t_us
          FROM pk
          JOIN cr ON cr.day_idx = pk.day_idx
-         JOIN ft ON ft.day_idx = pk.day_idx"""
+         JOIN ft ON ft.day_idx = pk.day_idx""",
+
+    // the q_scd2_history CTE over non-purchase observations, then the
+    // validity-window probe — half-open [from, to), LEFT so pre-history
+    // purchases keep a NULL state
+    "q_pit_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type,
+                           LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id, event_type)
+                             AS prev
+                    FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                      AND event_type <> 'purchase'),
+              s AS (SELECT user_id, tsu, event_id, event_type FROM e
+                    WHERE prev IS NULL OR prev <> event_type),
+              h AS (SELECT user_id AS hu, event_type AS state,
+                           tsu AS valid_from_us,
+                           LEAD(tsu) OVER (PARTITION BY user_id
+                             ORDER BY tsu, event_id, event_type)
+                             AS valid_to_us
+                    FROM s),
+              p AS (SELECT user_id, event_id AS purchase_id,
+                           epoch_us(ts) AS ts_us, value AS amount
+                    FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, p.purchase_id, p.ts_us, h.state, p.amount
+         FROM p LEFT JOIN h
+           ON p.user_id = h.hu AND h.valid_from_us <= p.ts_us
+              AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)"""
   )
 }

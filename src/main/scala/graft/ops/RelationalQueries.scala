@@ -1404,6 +1404,28 @@ object RelationalQueries {
           approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"))),
 
+    // MERGEABLE sketches (r15) — the incremental form q_approx_agg's
+    // one-shot estimate cannot give: per (type, day) HLL sketches
+    // materialize as binary columns (at 100 TB these are the daily
+    // sketch-table rows a pipeline PERSISTS — re-aggregating a month of
+    // distinct users then costs a union of 30 sketches per key, never a
+    // re-scan of the raw log), and the monthly estimate is
+    // hll_union_agg + hll_sketch_estimate over them. Day indexing is
+    // tz-free integer epoch-µs division (the q_concurrency_peak
+    // convention). Rows-only by design for the hash gate (sketch
+    // estimates are not cross-engine-reproducible); value-gated like
+    // q_approx_agg: estimate within 4σ of the exact distinct at the
+    // default lgConfigK=12 (rsd = 1.04/√4096 ≈ 1.6%), day counts exact.
+    "q_sketch_union" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+            .as("day_idx"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))),
+
     // EXACT percentiles (r12) — the companion to q_approx_agg's sketches:
     // Spark's `percentile` and DuckDB's `quantile_cont` share the
     // (n−1)·p linear-interpolation definition, and the interpolation is
@@ -1454,6 +1476,12 @@ object RelationalQueries {
       """SELECT event_type,
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
                 CAST(COUNT(value) AS BIGINT) AS n_vals
+         FROM events GROUP BY event_type""",
+    "q_sketch_union" ->
+      """SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+                  AS n_days
          FROM events GROUP BY event_type""")
 
   val oracle: Map[String, String] = Map(

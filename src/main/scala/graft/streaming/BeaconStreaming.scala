@@ -1014,4 +1014,63 @@ object BeaconStreaming {
   def cdcCurrentView(s: SparkSession, snapshotPath: String): DataFrame =
     s.read.parquet(snapshotPath).filter(col("state").isNotNull)
       .select("user_id", "state", "state_value", "state_ts_us")
+
+  /** Streaming sketch-table maintenance (r15) —
+    * [[graft.ops.RelationalQueries]]'s `q_sketch_union` kept incrementally:
+    * each micro-batch reduces to its own per-(type, day) HLL sketches (one
+    * map-side-combined aggregate — a batch's million rows become a handful
+    * of kilobyte sketches before anything touches storage) and merges into
+    * the on-disk sketch table with the binary `hll_union` — HLL insertion
+    * and union are commutative AND idempotent (re-adding an item cannot
+    * move any register), so ANY micro-batch slicing converges to the same
+    * estimates as the one-shot batch aggregate and at-least-once
+    * foreachBatch redelivery is harmless (spec-pinned for slicing). This is the pattern that makes month-window
+    * distinct-count dashboards O(days × keys) at 100 TB instead of
+    * O(raw log): the stream pays one narrow aggregate per batch, the
+    * dashboard pays a sketch union per key. */
+  def sketchUnionSink(events: DataFrame, tablePath: String,
+                      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sketchUnionBatch(batch, tablePath)
+      }
+
+  /** One micro-batch of the sketch maintenance: aggregate the batch's
+    * sketches, hll_union into the parquet table at `tablePath`. */
+  private[streaming] def sketchUnionBatch(batch: DataFrame,
+                                          tablePath: String): Unit = {
+    val s = batch.sparkSession
+    val b = batch.select(col("event_type").cast("string").as("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+          .as("day_idx"),
+        col("user_id").cast("long").as("user_id"))
+      .groupBy("event_type", "day_idx")
+      .agg(expr("hll_sketch_agg(user_id)").as("bsk"))
+    val old =
+      if (new java.io.File(tablePath).exists()) s.read.parquet(tablePath)
+      else b.filter(lit(false))
+        .select(col("event_type"), col("day_idx"), col("bsk").as("sk"))
+    val merged = old.alias("o")
+      .join(b.alias("b"),
+        col("o.event_type") <=> col("b.event_type") &&
+          col("o.day_idx") <=> col("b.day_idx"), "full_outer")
+      .select(
+        coalesce(col("o.event_type"), col("b.event_type")).as("event_type"),
+        coalesce(col("o.day_idx"), col("b.day_idx")).as("day_idx"),
+        when(col("o.sk").isNull, col("b.bsk"))
+          .when(col("b.bsk").isNull, col("o.sk"))
+          .otherwise(expr("hll_union(o.sk, b.bsk)")).as("sk"))
+      .localCheckpoint(true) // cut lineage off the files we overwrite
+    merged.write.mode("overwrite").parquet(tablePath)
+    merged.unpersist(blocking = true)
+  }
+
+  /** The sketch table's read view: per-type distinct-user estimate over
+    * the union of all daily sketches — the q_sketch_union output shape. */
+  def sketchUnionView(s: SparkSession, tablePath: String): DataFrame =
+    s.read.parquet(tablePath)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
 }

@@ -113,6 +113,117 @@ class R15cOpsSpec extends SparkTestBase {
       r.getDouble(4)) === ((5L, 5L, 8L, 1L, 0.375)))
   }
 
+  // --- q_pit_join ----------------------------------------------------------
+
+  test("pitJoin: boundary instants take the NEW state; pre-history and no-history purchases keep NULL") {
+    // u1 history: A [t0, t20) then B [t20, open); purchases at t5 (A),
+    // t20 (exactly the transition — belongs to B), t25 (B), and t(-10)
+    // (before any observation — NULL). u2 has purchases only — NULL.
+    val ev = Seq(
+      (1L, t(0), 1L, "A", 0.0), (2L, t(20), 1L, "B", 0.0),
+      (10L, t(5), 1L, "purchase", 1.0), (11L, t(20), 1L, "purchase", 2.0),
+      (12L, t(25), 1L, "purchase", 3.0), (13L, t(-10), 1L, "purchase", 4.0),
+      (14L, t(0), 2L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventQueries.pitJoinOf(ev).collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(3)) "-" else r.getString(3))).sortBy(_._1)
+    assert(out.toSeq === Seq((10L, "A"), (11L, "B"), (12L, "B"),
+      (13L, "-"), (14L, "-")))
+  }
+
+  test("pitJoin: every fixture purchase appears exactly once (validity tiles)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    val out = EventQueries.pitJoinOf(ev)
+    assert(out.count() === nPurch) // LEFT + one-valid-run-per-instant
+    assert(out.groupBy("purchase_id").count()
+      .filter(col("count") > 1).count() === 0L)
+  }
+
+  // --- q_sketch_union ------------------------------------------------------
+
+  test("sketchUnion: daily-sketch union is exact at micro cardinality") {
+    // 30 users spread over 3 days with overlap: HLL is exact in its
+    // small-cardinality regime, so the union's estimate must equal the
+    // straight distinct — this pins the union actually merging sketches
+    // (a lost day would under-count by the day's unique users)
+    val rows = (1L to 20L).map(u => (u, t(u), u, "view", 0.0)) ++ // day 0: users 1..20
+      (21L to 40L).map(u => (u + 100L, t(86400 + u), (u % 30L) + 1L,
+        "view", 0.0)) ++ // day 1: users 1..11 and 22..30 (overlaps day 0)
+      (41L to 50L).map(u => (u + 200L, t(2 * 86400 + u), u - 20L,
+        "view", 0.0)) // day 2: users 21..30
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val exact = ev.select("user_id").distinct().count()
+    val res = ev
+      .groupBy(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+          .as("day_idx"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .collect().head
+    assert(res.getLong(1) === 3L)
+    assert(res.getLong(2) === exact)
+  }
+
+  // --- q_pps_sample --------------------------------------------------------
+
+  test("ppsSample: grid multiplicities, boundary inclusion, heavy-doc multi-draw") {
+    // weights 10/10/35/5/40 → total 100, step = 100/50 = 2, grid at every
+    // even cum unit; hand-counted multiplicities per (cum−w, cum] span —
+    // doc 2 ends EXACTLY on a grid point (cum 20 ∈ its span, not doc 3's)
+    val docs = Seq((1L, 10L), (2L, 10L), (3L, 35L), (4L, 5L), (5L, 40L))
+      .toDF("doc_id", "n_chars")
+    val out = CorpusQueries.ppsSampleOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 10L, 10L, 5L), (2L, 10L, 20L, 5L),
+      (3L, 35L, 55L, 17L), (4L, 5L, 60L, 3L), (5L, 40L, 100L, 20L)))
+    assert(out.map(_._4).sum === 50L) // multiplicities partition the grid
+  }
+
+  test("ppsSample: cross-shard offsets reproduce the global cumsum") {
+    // ids straddle three id-range shards (div 1024); total 12 < k so
+    // step floors to 1 and every weight unit draws — cum must be the
+    // GLOBAL running sum, i.e. the shard offsets actually added
+    val docs = Seq((10L, 3L), (1500L, 4L), (3000L, 5L))
+      .toDF("doc_id", "n_chars")
+    val out = CorpusQueries.ppsSampleOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq === Seq((10L, 3L, 3L), (1500L, 7L, 4L),
+      (3000L, 12L, 5L)))
+  }
+
+  // --- q_pagerank ----------------------------------------------------------
+
+  test("pageRank: path-graph symmetry, hub centrality, unit mass") {
+    // path 1-2-3: ends are symmetric, the middle is the most central;
+    // total rank mass stays 1 (no dangling nodes in a pair graph)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val pr = DedupQueries.pageRankOf(path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) === pr(3L)) // exact: identical arithmetic on both ends
+    assert(pr(2L) > pr(1L))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)
+    // driver-side reference fold of the same five rounds, same doubles
+    var (e, m) = (1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 5) {
+      val t = (1.0 - 0.85) / 3 // the builder's exact teleport constant
+      val (e2, m2) = (t + 0.85 * (m / 2), t + 0.85 * (e + e))
+      e = e2; m = m2
+    }
+    assert(math.abs(pr(1L) - e) < 1e-12 && math.abs(pr(2L) - m) < 1e-12)
+    // star 1-{2..5}: the hub concentrates rank
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("doc_a", "doc_b")
+    val ps = DedupQueries.pageRankOf(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Seq(2L, 3L, 4L, 5L).forall(l => ps(1L) > 2 * ps(l)))
+  }
+
   // --- q_skyline -----------------------------------------------------------
 
   test("skyline: dominance drops, both-axes ties keep both") {

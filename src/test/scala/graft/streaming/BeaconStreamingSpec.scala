@@ -1204,4 +1204,38 @@ class BeaconStreamingSpec extends SparkTestBase {
     // and in the REVERSED slice order too (merge rule is associative)
     assert(applied("cdc-reversed", Seq(b2, b1)) === sliced)
   }
+
+  test("sketchUnionSink sliced replay equals batch q_sketch_union") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.tables.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val dir = tmpDir("stream-sketch")
+    val ordered = ev.orderBy("ts", "event_id").collect()
+    for (slice <- Seq(ordered.take(ordered.length / 3),
+      ordered.slice(ordered.length / 3, 2 * ordered.length / 3),
+      ordered.drop(2 * ordered.length / 3))) {
+      spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(slice: _*)),
+          ev.schema)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val q = BeaconStreaming.sketchUnionSink(
+          spark.readStream.schema(ev.schema).parquet(s"$dir/in"),
+          s"$dir/tbl", s"$dir/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("est_users"))
+    val streamed = BeaconStreaming.sketchUnionView(spark, s"$dir/tbl")
+      .collect().map(key).sorted.toSeq
+    val batch = graft.ops.RelationalQueries
+      .queries("q_sketch_union")(spark, sfDir).collect().map(key).sorted.toSeq
+    assert(batch.nonEmpty)
+    // HLL union is commutative + idempotent, so the 3-slice replay's
+    // estimates equal the one-shot batch aggregate EXACTLY — a lost or
+    // double-counted day would move some register
+    assert(streamed === batch)
+  }
 }

@@ -195,11 +195,68 @@ def check_approx_agg(con, out_dir, sql):
     return None
 
 
+PAGERANK_REL_TOL = 1e-9  # per-node contribution sums reduce in
+#                          engine-specific order; 5 rounds of double sums
+
+
+def check_pagerank(con, out_dir, sql):
+    ocols, orows = fetch(con, sql)
+    scols, srows = fetch(con, f"SELECT * FROM '{out_dir}/q_pagerank/*.parquet'")
+    if len(orows) != len(srows):
+        return f"row counts differ: spark={len(srows)} oracle={len(orows)}"
+    om = rows_by_key(ocols, orows, ["doc_id"])
+    sm = rows_by_key(scols, srows, ["doc_id"])
+    if om.keys() != sm.keys():
+        return (f"doc_id sets differ: only-spark={sorted(set(sm) - set(om))[:3]} "
+                f"only-oracle={sorted(set(om) - set(sm))[:3]}")
+    o_pr, s_pr = ocols.index("pr"), scols.index("pr")
+    for k in om:
+        a, b = sm[k][s_pr], om[k][o_pr]
+        if abs(a - b) > PAGERANK_REL_TOL * max(abs(a), abs(b)):
+            return f"doc {k}: pr out of rel-tol: spark={a!r} oracle={b!r}"
+    # rank mass sanity on the Spark side: sums to ~N*(teleport+damped avg)
+    # == 1.0 per-node average only on a regular graph; the robust invariant
+    # is that every pr is positive and finite
+    if any(not (sm[k][s_pr] > 0) for k in sm):
+        return "non-positive pagerank value"
+    return None
+
+
+HLL_SKETCH_RSD = 1.04 / (2 ** 12) ** 0.5  # lgConfigK=12 default
+
+
+def check_sketch_union(con, out_dir, sql):
+    ocols, orows = fetch(con, sql)
+    scols, srows = fetch(
+        con, f"SELECT * FROM '{out_dir}/q_sketch_union/*.parquet'")
+    if len(orows) != len(srows):
+        return f"row counts differ: spark={len(srows)} oracle={len(orows)}"
+    om = rows_by_key(ocols, orows, ["event_type"])
+    sm = rows_by_key(scols, srows, ["event_type"])
+    if om.keys() != sm.keys():
+        return "event_type sets differ"
+    oi = {c: ocols.index(c) for c in ocols}
+    si = {c: scols.index(c) for c in scols}
+    for k in om:
+        if om[k][oi["n_days"]] != sm[k][si["n_days"]]:
+            return (f"{k[0]}: n_days differs spark={sm[k][si['n_days']]} "
+                    f"oracle={om[k][oi['n_days']]}")
+        exact = om[k][oi["exact_users"]]
+        est = sm[k][si["est_users"]]
+        tol = max(HLL_SIGMA * HLL_SKETCH_RSD * exact, HLL_ABS_SLACK)
+        if abs(est - exact) > tol:
+            return (f"{k[0]}: est_users={est} vs exact={exact} outside "
+                    f"{HLL_SIGMA} sigma ({tol:.1f})")
+    return None
+
+
 CHECKS = {
     "q_bm25_logidf": check_bm25_logidf,
     "q_lm_fluency_terciles": check_terciles,
     "q_probe_score": check_probe_score,
     "q_approx_agg": check_approx_agg,
+    "q_pagerank": check_pagerank,
+    "q_sketch_union": check_sketch_union,
 }
 
 
