@@ -64,17 +64,33 @@ object R15cGrowth {
       s
     }
 
+    def sketchOf(e: DataFrame): DataFrame = e
+      .groupBy(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+          .as("day_idx"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+
     // warm-up (JIT + codegen), untimed
     EventQueries.cdcMergeOf(evTimes(1)).queryExecution.toRdd.count()
     EventQueries.concurrencyPeakOf(evTimes(1)).queryExecution.toRdd.count()
+    EventQueries.pitJoinOf(evTimes(1)).queryExecution.toRdd.count()
+    sketchOf(evTimes(1)).queryExecution.toRdd.count()
     TextQueries.skylineOf(docsTimes(1)).queryExecution.toRdd.count()
+    CorpusQueries.ppsSampleOf(docsTimes(1)).queryExecution.toRdd.count()
     DedupQueries.triangleStatsOf(DedupQueries.lshPairsOf(docsTimes(1)))
+      .queryExecution.toRdd.count()
+    DedupQueries.pageRankOf(DedupQueries.lshPairsOf(docsTimes(1)))
       .queryExecution.toRdd.count()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
 
     println(f"${"scale"}%-6s ${"events"}%9s ${"cdc_s"}%7s ${"conc_s"}%7s " +
-      f"${"docs"}%7s ${"skyline_s"}%10s ${"triangle_s"}%11s")
+      f"${"pit_s"}%7s ${"sketch_s"}%9s " +
+      f"${"docs"}%7s ${"skyline_s"}%10s ${"pps_s"}%7s " +
+      f"${"triangle_s"}%11s ${"pagerank_s"}%11s")
     for (n <- Seq(1, 4, 16)) {
       val e = evTimes(n)
       val nEv = e.count()
@@ -82,15 +98,23 @@ object R15cGrowth {
       val tP = t {
         EventQueries.concurrencyPeakOf(e).queryExecution.toRdd.count()
       }
+      val tJ = t { EventQueries.pitJoinOf(e).queryExecution.toRdd.count() }
+      val tK = t { sketchOf(e).queryExecution.toRdd.count() }
       val d = docsTimes(n)
       val nD = d.count()
       val tS = t { TextQueries.skylineOf(d).queryExecution.toRdd.count() }
+      val tW = t { CorpusQueries.ppsSampleOf(d).queryExecution.toRdd.count() }
       val tT = t {
         DedupQueries.triangleStatsOf(DedupQueries.lshPairsOf(d))
           .queryExecution.toRdd.count()
       }
+      val tR = t {
+        DedupQueries.pageRankOf(DedupQueries.lshPairsOf(d))
+          .queryExecution.toRdd.count()
+      }
       println(f"${n}%-6d ${nEv}%9d ${tC}%7.3f ${tP}%7.3f " +
-        f"${nD}%7d ${tS}%10.3f ${tT}%11.3f")
+        f"${tJ}%7.3f ${tK}%9.3f " +
+        f"${nD}%7d ${tS}%10.3f ${tW}%7.3f ${tT}%11.3f ${tR}%11.3f")
     }
     spark.stop()
   }
