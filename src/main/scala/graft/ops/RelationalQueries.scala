@@ -160,6 +160,66 @@ object RelationalQueries {
                              AS ps_availqty
                     FROM ps1)"""
 
+  /** The 32-bit MSB-first bit interleave of two 16-bit values, generated
+    * once for both dialects (disjoint bit positions, so `+` is `|`):
+    * `shl`/`shr`/`idiv` abstract the only operator spellings Spark SQL
+    * and DuckDB disagree on. Shared generator = the two engines cannot
+    * drift on the interleave arithmetic. */
+  private[ops] def zorderSql(a: String, b: String,
+                             shl: (String, Int) => String,
+                             shr: (String, Int) => String): String =
+    (0 until 16).map { i =>
+      s"${shl(s"(${shr(a, i)} & 1)", 2 * i + 1)} + " +
+        s"${shl(s"(${shr(b, i)} & 1)", 2 * i)}"
+    }.mkString("(", " + ", ")")
+
+  private def sparkShl(e: String, n: Int) =
+    if (n == 0) e else s"shiftleft($e, $n)"
+  private def sparkShr(e: String, n: Int) =
+    if (n == 0) e else s"shiftright($e, $n)"
+  private def duckShl(e: String, n: Int) = if (n == 0) e else s"($e << $n)"
+  private def duckShr(e: String, n: Int) = if (n == 0) e else s"($e >> $n)"
+
+  /** q_zorder's pipeline — see the registration comment for the skipping
+    * contract. Scaling bounds come back as exact integer driver scalars
+    * (the ppsSampleOf convention); everything per-row is one codegen'd
+    * integer expression; the census is one 32-row aggregate. */
+  private[graft] def zorderOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+        .as("day_idx"))
+    val Array(maxU, dayLo, daySpan) = ev
+      .agg(max("user_id"), min("day_idx"),
+        greatest(max("day_idx") - min("day_idx"), lit(1L)))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val z = zorderSql(
+      s"((user_id * 65535) div ${math.max(maxU, 1L)})",
+      s"(((day_idx - ${dayLo}L) * 65535) div ${daySpan}L)",
+      sparkShl, sparkShr)
+    ev.withColumn("z", expr(z))
+      .groupBy(expr("z div 134217728").as("bucket")) // top 5 of 32 bits
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("u_min"), max("user_id").as("u_max"),
+        min("day_idx").as("d_min"), max("day_idx").as("d_max"))
+  }
+
+  /** q_zorder's DuckDB twin over the live views — same generator, DuckDB
+    * operator spellings, bounds from correlated scalar subqueries. */
+  private def zorderOracle: String = {
+    val z = zorderSql(
+      "((user_id * 65535) // (SELECT GREATEST(MAX(user_id), 1) FROM ev))",
+      "(((day_idx - (SELECT MIN(day_idx) FROM ev)) * 65535) // " +
+        "(SELECT GREATEST(MAX(day_idx) - MIN(day_idx), 1) FROM ev))",
+      duckShl, duckShr)
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx
+                    FROM events),
+            zs AS (SELECT user_id, day_idx, $z AS z FROM ev)
+        SELECT z // 134217728 AS bucket, COUNT(*) AS n,
+               MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+               MIN(day_idx) AS d_min, MAX(day_idx) AS d_max
+        FROM zs GROUP BY 1"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1/C2/B2 — projection + range filter; both reach the parquet scan
     // (PushedFilters + pruned ReadSchema).
@@ -176,6 +236,25 @@ object RelationalQueries {
         .filter(col("l_returnflag").isin("A", "R") &&
           col("l_shipdate").isNotNull && !(col("l_quantity") < 5))
         .select("l_orderkey", "l_returnflag", "l_quantity")),
+
+    // Z-order layout keys (r15) — the two-dimensional data-skipping
+    // story: a table range-sorted by ONE column skips row groups only on
+    // that column's predicates; sorting by the BIT-INTERLEAVED key of two
+    // columns bounds BOTH columns' min/max inside every contiguous chunk,
+    // so parquet row-group stats prune two-dimensional predicates after
+    // one layout pass (`df.repartitionByRange(zval).sortWithinPartitions
+    // (zval).write...` at the sink — this query computes the key and
+    // PROVES the bound). Dims scale linearly onto 16 bits (locality
+    // preserved — hashing would destroy exactly the property z-order
+    // exists to keep), the 32-bit z-value interleaves them MSB-first, and
+    // the output is the per-top-5-bit-bucket census: the top 5 z bits pin
+    // the user dim's top 3 and the day dim's top 2, so within ANY bucket
+    // max−min < 2¹³ (user) and < 2¹⁴ (day) BY CONSTRUCTION — ranges an
+    // eighth/quarter of the domain, which is the skipping guarantee
+    // (spec-pinned; also hash-checked against the twin's identical
+    // integer pipeline). Everything is one codegen'd per-row expression
+    // + one 32-row aggregate — scan-bound at any scale.
+    "q_zorder" -> ((s, d) => zorderOf(Tables.events(s, d))),
 
     // C7/C8/B4/B5 — grouped agg with exact decimal sums (doubles summed as
     // decimal so the result is order-independent → safe on any cluster).
@@ -1485,6 +1564,7 @@ object RelationalQueries {
          FROM events GROUP BY event_type""")
 
   val oracle: Map[String, String] = Map(
+    "q_zorder" -> zorderOracle,
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
          FROM lineitem

@@ -197,6 +197,28 @@ class R15cOpsSpec extends SparkTestBase {
       (3000L, 12L, 5L)))
   }
 
+  // --- q_zorder ------------------------------------------------------------
+
+  test("zorder: every top-5-bit bucket bounds BOTH dims by construction") {
+    // the skipping guarantee: the top 5 z bits pin the user dim's top 3
+    // scaled bits (range ≤ domain/8) and the day dim's top 2 (≤ domain/4)
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    val out = RelationalQueries.zorderOf(ev).collect()
+    val maxU = ev.agg(max("user_id")).head.getLong(0)
+    val span = ev
+      .selectExpr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS d")
+      .agg(max("d") - min("d")).head.getLong(0)
+    assert(out.length === 32)
+    assert(out.map(_.getAs[Long]("n")).sum === ev.count())
+    for (r <- out) {
+      assert(r.getAs[Long]("u_max") - r.getAs[Long]("u_min") <=
+        maxU / 8 + 1, s"user range leak in bucket ${r.getLong(0)}")
+      assert(r.getAs[Long]("d_max") - r.getAs[Long]("d_min") <=
+        span / 4 + 1, s"day range leak in bucket ${r.getLong(0)}")
+    }
+  }
+
   // --- q_pagerank ----------------------------------------------------------
 
   test("pageRank: path-graph symmetry, hub centrality, unit mass") {
