@@ -744,7 +744,9 @@ object CorpusQueries {
     * q_concurrency_peak ReuseExchange discipline, including the no-op
     * null guard that keeps the two subtrees canonically equal), and the
     * O(#shards) offset table broadcasts back. `total` and `step` are
-    * exact integer driver scalars — the same numbers any engine computes.
+    * exact integer driver scalars — the same numbers any engine computes
+    * (one eager aggregate job at construction time, the budgetSample
+    * convention; plan-only consumers pay it too).
     * At 100 TB: one narrow 2-column scan, one range-shard exchange, and
     * a per-shard sort; no global single-reducer anything. */
   private[graft] def ppsSampleOf(docs: DataFrame, k: Long = 50L): DataFrame = {

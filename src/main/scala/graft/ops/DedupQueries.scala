@@ -509,6 +509,11 @@ object DedupQueries {
     * node of the pair graph has degree ≥ 1, so there are no dangling
     * nodes and no rank mass correction term.
     *
+    * Like budgetSample, CONSTRUCTING this frame runs eager jobs (the
+    * edge-list checkpoint + the node count) — plan-only consumers
+    * (explain, audits) pay them too; the localCheckpoint cluster caveat
+    * in budgetSample's scaladoc applies.
+    *
     * Correctness gate: rows-only by DESIGN for the driver's hash gate —
     * per-node contribution sums reduce in engine-specific order, so the
     * last ulp of a double sum is not reproducible; the DuckDB twin

@@ -182,8 +182,9 @@ object RelationalQueries {
 
   /** q_zorder's pipeline — see the registration comment for the skipping
     * contract. Scaling bounds come back as exact integer driver scalars
-    * (the ppsSampleOf convention); everything per-row is one codegen'd
-    * integer expression; the census is one 32-row aggregate. */
+    * (the ppsSampleOf convention — one eager aggregate job at
+    * construction time); everything per-row is one codegen'd integer
+    * expression; the census is one 32-row aggregate. */
   private[graft] def zorderOf(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"),
       expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
