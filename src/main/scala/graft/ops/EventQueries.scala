@@ -49,7 +49,7 @@ object EventQueries {
   // them with Tables.events; EventGrowth times the SAME builders over
   // replicated inputs, so the growth harness cannot drift from the
   // registered shapes.
-  private[ops] def scd2Of(ev: DataFrame): DataFrame =
+  private[graft] def scd2Of(ev: DataFrame): DataFrame =
     ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(

@@ -1073,4 +1073,35 @@ object BeaconStreaming {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+
+  /** Streaming point-in-time enrichment (r15) —
+    * [[graft.ops.EventQueries]]'s `q_pit_join` with the FACTS as a
+    * stream: each arriving purchase picks up the state its user was in
+    * at that instant from a STATIC SCD2 history frame (the feature
+    * table). This is the STREAM-STATIC join — stateless per micro-batch
+    * (no watermark, no join state: the static side is fixed for the
+    * run), the serving-time form of the batch training join, and because
+    * both use the same validity predicate the enriched rows are
+    * spec-pinned row-equal to q_pit_join on a replayed slice — the
+    * training-serving-skew check, executed. The static side re-reads per
+    * batch under the optimizer's control; Spark broadcasts it when small
+    * (histories keyed per user usually are after date-range pruning).
+    * Semantics match the batch op: half-open [from, to), LEFT so
+    * pre-/no-history facts pass through with NULL state. */
+  def pitEnrichStream(stream: DataFrame, history: DataFrame): DataFrame = {
+    val h = history.select(col("user_id").as("hu"),
+      col("event_type").as("state"), col("valid_from_us"),
+      col("valid_to_us"))
+    stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("purchase_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        col("value").cast("double").as("amount"))
+      .join(h, col("user_id") === col("hu") &&
+        col("valid_from_us") <= col("ts_us") &&
+        (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("ts_us"),
+        col("state"), col("amount"))
+  }
 }

@@ -219,6 +219,24 @@ class R15cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("zorderSql: the generated interleave is a bijection (roundtrip)") {
+    // evaluate the generated Spark expression over edge/random 16-bit
+    // pairs, invert it in plain Scala (odd bits → a, even bits → b)
+    val vals = Seq(0L, 1L, 2L, 255L, 256L, 4095L, 12345L, 32768L, 65535L)
+    val pairs = for (a <- vals; b <- vals) yield (a, b)
+    val z = RelationalQueries.zorderSql("a16", "b16",
+      (e, n) => if (n == 0) e else s"shiftleft($e, $n)",
+      (e, n) => if (n == 0) e else s"shiftright($e, $n)")
+    val out = pairs.toDF("a16", "b16").withColumn("z", expr(z))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((a, b, zv) <- out) {
+      val aBack = (0 until 16).map(i => ((zv >> (2 * i + 1)) & 1L) << i).sum
+      val bBack = (0 until 16).map(i => ((zv >> (2 * i)) & 1L) << i).sum
+      assert((aBack, bBack) === ((a, b)), s"roundtrip failed at z=$zv")
+    }
+    assert(out.map(_._3).distinct.length === out.length) // injective
+  }
+
   // --- q_pagerank ----------------------------------------------------------
 
   test("pageRank: path-graph symmetry, hub centrality, unit mass") {

@@ -1238,4 +1238,26 @@ class BeaconStreamingSpec extends SparkTestBase {
     // double-counted day would move some register
     assert(streamed === batch)
   }
+
+  test("pitEnrichStream sliced replay equals batch q_pit_join (training-serving parity)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    // the static feature table: the SCD2 history over non-purchase
+    // observations — exactly what q_pit_join derives internally
+    val history = graft.ops.EventQueries.scd2Of(
+      ev.filter(col("event_type") =!= "purchase"))
+    val streamed = replayEventSlices("stream-pit",
+      BeaconStreaming.pitEnrichStream(_, history)).collect()
+    val batch = graft.ops.EventQueries.queries("q_pit_join")(spark, sfDir)
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("purchase_id"),
+        Option(r.getAs[String]("state")).getOrElse("-"),
+        r.getAs[Long]("ts_us"))
+    assert(batch.nonEmpty)
+    assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
+    // the parity is non-trivial only if both NULL and non-NULL states occur
+    assert(streamed.exists(_.isNullAt(3)) || batch.forall(!_.isNullAt(3)))
+    assert(streamed.exists(!_.isNullAt(3)))
+  }
 }
