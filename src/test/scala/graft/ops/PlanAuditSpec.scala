@@ -243,6 +243,15 @@ class PlanAuditSpec extends SparkTestBase {
       org.apache.spark.sql.execution.FormattedMode)
       .contains("ReusedExchange"),
       "q_concurrency_peak: carry branch no longer reuses the boundary stage")
+    // q_pps_sample makes the same claim: the offset table derives ABOVE
+    // the shared shard exchange, so the final plan must reuse that stage
+    // (and the offsets' groupBy must NOT plan its own exchange)
+    val pps = SparkEntry.queries("q_pps_sample")(spark, sfDir)
+    pps.queryExecution.toRdd.count()
+    assert(pps.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .contains("ReusedExchange"),
+      "q_pps_sample: offsets branch no longer reuses the shard stage")
   }
 
   test("filtered parquet scans push their predicates down") {
