@@ -227,6 +227,46 @@ object EventQueries {
         col("state"), col("amount"))
   }
 
+  /** Interval-overlap join (r15) — which incidents ('error' intervals)
+    * overlap which sessions ('view' intervals), GLOBALLY (no shared
+    * entity key to equi-join on — the shape Spark has no native operator
+    * for, and the naive form is a cross join with a range predicate).
+    * Durations come from `value` seconds, half-open [s, e) on both sides
+    * (touching endpoints do NOT overlap).
+    *
+    * Plan — time-grain bucketing with first-shared-bucket emission: each
+    * interval explodes to its covered 10-minute buckets (≤ 2 per
+    * interval at the fixture's ≤ 491 s durations — fan-out is
+    * ⌈duration/grain⌉, a constant), the join is an EQUI-join on the
+    * bucket, the true overlap predicate rides as a residual, and the
+    * duplicate a pair would emit once per shared bucket is rejected by
+    * the FIRST-shared-bucket predicate — `bkt = (max(s_a, s_b)) div g`,
+    * derivable from the carried keys, so no DISTINCT aggregate ever sees
+    * the pair stream (q_phash_neardup's first-agreeing-band discipline
+    * applied to TIME). At 100 TB: shuffle is by time bucket — pick the
+    * grain so per-bucket membership is bounded (grain ≈ median duration
+    * keeps fan-out ≤ 2 while bounding bucket width); a hot bucket is the
+    * LSH hot-bucket problem and takes the same salt hatch. */
+  private[ops] def intervalJoinOf(ev: DataFrame,
+                                  grainUs: Long = 600000000L): DataFrame = {
+    def side(t: String, p: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as(s"${p}_s"),
+        (expr("unix_micros(CAST(ts AS TIMESTAMP))") +
+          greatest(lit(1L), floor(col("value") * lit(1000000.0))
+            .cast("long"))).as(s"${p}_e"))
+      .withColumn("bkt", explode(expr(
+        s"sequence(${p}_s div ${grainUs}L, (${p}_e - 1) div ${grainUs}L)")))
+    side("error", "a").join(side("view", "b"), Seq("bkt"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+        col("bkt") ===
+          expr(s"greatest(a_s, b_s) div ${grainUs}L"))
+      .select(col("a_id").as("incident_id"), col("b_id").as("session_id"),
+        col("a_s").as("incident_start_us"), col("b_s").as("session_start_us"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+  }
+
   private def sortedEvents(ev: DataFrame): DataFrame =
     ev.groupBy("user_id")
       .agg(sort_array(collect_list(
@@ -441,7 +481,11 @@ object EventQueries {
 
     // Point-in-time join (r15) — facts pick up the state valid at their
     // instant from the SCD2 history; see [[pitJoinOf]].
-    "q_pit_join" -> ((s, d) => pitJoinOf(Tables.events(s, d)))
+    "q_pit_join" -> ((s, d) => pitJoinOf(Tables.events(s, d))),
+
+    // Interval-overlap join (r15) — keyless interval×interval overlap
+    // via time-grain bucketing; see [[intervalJoinOf]].
+    "q_interval_join" -> ((s, d) => intervalJoinOf(Tables.events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -673,6 +717,23 @@ object EventQueries {
          SELECT p.user_id, p.purchase_id, p.ts_us, h.state, p.amount
          FROM p LEFT JOIN h
            ON p.user_id = h.hu AND h.valid_from_us <= p.ts_us
-              AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)"""
+              AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)""",
+
+    // definitional range join — fine at oracle scale; the Spark side's
+    // bucketed form is provably the same pair set (first-shared-bucket
+    // emits each overlapping pair exactly once)
+    "q_interval_join" ->
+      """WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+                           epoch_us(ts) + GREATEST(1,
+                             CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS a_e
+                    FROM events WHERE event_type = 'error'),
+              b AS (SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+                           epoch_us(ts) + GREATEST(1,
+                             CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS b_e
+                    FROM events WHERE event_type = 'view')
+         SELECT a_id AS incident_id, b_id AS session_id,
+                a_s AS incident_start_us, b_s AS session_start_us,
+                LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_us
+         FROM a JOIN b ON a_s < b_e AND b_s < a_e"""
   )
 }

@@ -197,6 +197,45 @@ class R15cOpsSpec extends SparkTestBase {
       (3000L, 12L, 5L)))
   }
 
+  // --- q_interval_join -------------------------------------------------------
+
+  test("intervalJoin: cross-grain pairs emit ONCE; touching endpoints do not overlap") {
+    // grain 600 s. Incident A spans a grain boundary (covers 2 buckets);
+    // session S1 overlaps it across that boundary — the pair shares TWO
+    // buckets and must emit exactly once. S2 starts exactly at A's end
+    // (touching, half-open → NO row). S3 is strictly inside A
+    // (containment). S4 is far away (no shared bucket at all).
+    val ev = Seq(
+      (1L, t(500), 1L, "error", 200.0), //  A = [500, 700)
+      (10L, t(550), 1L, "view", 100.0), // S1 = [550, 650) → overlap 100 s
+      (11L, t(700), 1L, "view", 50.0), //  S2 = [700, 750) → touching: none
+      (12L, t(600), 1L, "view", 50.0), //  S3 = [600, 650) → contained, 50 s
+      (13L, t(5000), 1L, "view", 50.0)) // S4: disjoint
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventQueries.intervalJoinOf(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(4))).sortBy(_._1)
+    assert(out.toSeq === Seq((10L, 100000000L), (12L, 50000000L)))
+  }
+
+  test("intervalJoin: bucketed pair set equals the definitional quadratic join on the fixture") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    def iv(t: String, p: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as(s"${p}_s"),
+        (expr("unix_micros(CAST(ts AS TIMESTAMP))") +
+          greatest(lit(1L), floor(col("value") * lit(1000000.0))
+            .cast("long"))).as(s"${p}_e"))
+    val naive = iv("error", "a").crossJoin(iv("view", "b"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bucketed = EventQueries.intervalJoinOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(naive.nonEmpty)
+    assert(bucketed === naive)
+  }
+
   // --- q_zorder ------------------------------------------------------------
 
   test("zorder: every top-5-bit bucket bounds BOTH dims by construction") {
