@@ -64,6 +64,19 @@ object R15cGrowth {
       s
     }
 
+    // interval-join replication must offset TIME, not ids: copies at the
+    // same instants genuinely overlap each other (the op is keyless), so
+    // id-offset copies would measure the real n² cross-copy output, not
+    // volume growth; +35 days per copy keeps copies disjoint in time
+    def evTimesShifted(n: Int): DataFrame =
+      (0 until n).map { c =>
+        ev.select((col("user_id") + lit(c * maxUser)).as("user_id"),
+          (col("event_id") + lit(c * maxEvent)).as("event_id"),
+          col("event_type"),
+          (col("ts") + expr(s"INTERVAL ${c * 35} DAYS")).as("ts"),
+          col("value"))
+      }.reduce(_ union _)
+
     def sketchOf(e: DataFrame): DataFrame = e
       .groupBy(col("event_type"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
@@ -77,6 +90,8 @@ object R15cGrowth {
     EventQueries.cdcMergeOf(evTimes(1)).queryExecution.toRdd.count()
     EventQueries.concurrencyPeakOf(evTimes(1)).queryExecution.toRdd.count()
     EventQueries.pitJoinOf(evTimes(1)).queryExecution.toRdd.count()
+    EventQueries.intervalJoinOf(evTimesShifted(1))
+      .queryExecution.toRdd.count()
     sketchOf(evTimes(1)).queryExecution.toRdd.count()
     TextQueries.skylineOf(docsTimes(1)).queryExecution.toRdd.count()
     CorpusQueries.ppsSampleOf(docsTimes(1)).queryExecution.toRdd.count()
@@ -88,7 +103,7 @@ object R15cGrowth {
       .foreach(_.unpersist(blocking = true))
 
     println(f"${"scale"}%-6s ${"events"}%9s ${"cdc_s"}%7s ${"conc_s"}%7s " +
-      f"${"pit_s"}%7s ${"sketch_s"}%9s " +
+      f"${"pit_s"}%7s ${"ivj_s"}%7s ${"sketch_s"}%9s " +
       f"${"docs"}%7s ${"skyline_s"}%10s ${"pps_s"}%7s " +
       f"${"triangle_s"}%11s ${"pagerank_s"}%11s")
     for (n <- Seq(1, 4, 16)) {
@@ -99,6 +114,10 @@ object R15cGrowth {
         EventQueries.concurrencyPeakOf(e).queryExecution.toRdd.count()
       }
       val tJ = t { EventQueries.pitJoinOf(e).queryExecution.toRdd.count() }
+      val eSh = evTimesShifted(n)
+      val tV = t {
+        EventQueries.intervalJoinOf(eSh).queryExecution.toRdd.count()
+      }
       val tK = t { sketchOf(e).queryExecution.toRdd.count() }
       val d = docsTimes(n)
       val nD = d.count()
@@ -113,7 +132,7 @@ object R15cGrowth {
           .queryExecution.toRdd.count()
       }
       println(f"${n}%-6d ${nEv}%9d ${tC}%7.3f ${tP}%7.3f " +
-        f"${tJ}%7.3f ${tK}%9.3f " +
+        f"${tJ}%7.3f ${tV}%7.3f ${tK}%9.3f " +
         f"${nD}%7d ${tS}%10.3f ${tW}%7.3f ${tT}%11.3f ${tR}%11.3f")
     }
     spark.stop()
