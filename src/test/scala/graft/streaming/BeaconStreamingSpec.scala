@@ -1260,4 +1260,17 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(streamed.exists(_.isNullAt(3)) || batch.forall(!_.isNullAt(3)))
     assert(streamed.exists(!_.isNullAt(3)))
   }
+
+  test("intervalOverlapStream sliced replay equals batch q_interval_join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = replayEventSlices("stream-ivj",
+      BeaconStreaming.intervalOverlapStream(_)).collect()
+    val batch = graft.ops.EventQueries.queries("q_interval_join")(
+      spark, sfDir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("incident_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("overlap_us"))
+    assert(batch.nonEmpty, "fixture produced no overlapping intervals")
+    assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
+  }
 }
