@@ -872,7 +872,9 @@ object DedupQueries {
     "q_dedup_delta" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
-      val k = docs.select((max("doc_id") * lit(0.8)).cast("long")).scalar()
+      // explicit FLOOR (the q_cdc_merge cross-engine cast note): DuckDB's
+      // bare CAST rounds where Spark truncates
+      val k = docs.select(floor(max("doc_id") * lit(0.8)).cast("long")).scalar()
       // corpus and delta share one relation, so side AND hs are tagged
       // inside ONE signature scan; the r8 second scan that enumerated
       // delta ids is gone (baseline rides the band exchange — see
@@ -1188,10 +1190,11 @@ object DedupQueries {
           FROM agg""",
     // pairs is one row per banded pair (grouped), exactly the Spark side's
     // first-agreeing-band multiplicity; the 80/20 split threshold is the
-    // same MAX(doc_id)*0.8 scalar both engines compute
+    // same FLOOR(MAX(doc_id)*0.8) scalar both engines compute (explicit
+    // FLOOR — DuckDB's bare CAST rounds, Spark's truncates)
     "q_dedup_delta" ->
       s"""WITH $shingleCte,
-          kk AS (SELECT CAST(MAX(doc_id) * 0.8 AS BIGINT) AS k FROM documents),
+          kk AS (SELECT CAST(FLOOR(MAX(doc_id) * 0.8) AS BIGINT) AS k FROM documents),
           cand AS (SELECT doc_a, doc_b FROM pairs
                    WHERE doc_a >= (SELECT k FROM kk) OR doc_b >= (SELECT k FROM kk)),
           contrib AS (SELECT CASE WHEN doc_a >= (SELECT k FROM kk)

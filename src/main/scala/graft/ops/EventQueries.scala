@@ -49,6 +49,17 @@ object EventQueries {
   // them with Tables.events; EventGrowth times the SAME builders over
   // replicated inputs, so the growth harness cannot drift from the
   // registered shapes.
+  /** The fixture's `value`-seconds → interval-duration-µs spelling
+    * (floored, 1 µs floor so every interval is non-empty) — ONE
+    * definition shared by every batch consumer (concurrencyPeakOf,
+    * intervalJoinOf) and the streaming twin
+    * ([[graft.streaming.BeaconStreaming.intervalOverlapStream]]), so the
+    * spec-pinned batch/stream parities cannot drift on the duration
+    * arithmetic. The DuckDB twins spell it
+    * `GREATEST(1, CAST(FLOOR(value * 1000000.0) AS BIGINT))`. */
+  private[graft] def durationUs(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(lit(1L), floor(value * lit(1000000.0)).cast("long"))
+
   private[graft] def scd2Of(ev: DataFrame): DataFrame =
     ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
       .groupBy("user_id")
@@ -95,7 +106,12 @@ object EventQueries {
     * aggregate's map-side combine collapses it before the shuffle, and
     * the snapshot side ships each key once. */
   private[ops] def cdcMergeOf(ev: DataFrame): DataFrame = {
-    val k = ev.agg((max("event_id") * lit(0.8)).cast("long").as("k")).scalar()
+    // explicit FLOOR, not a bare long cast: Spark's double→long cast
+    // truncates while DuckDB's CAST rounds, so max·0.8 with fractional
+    // part ≥ .5 (max ≡ 1,2 mod 5) would split the boundary event onto
+    // different sides per engine — FLOOR in both spellings pins it
+    val k = ev.agg(floor(max("event_id") * lit(0.8)).cast("long").as("k"))
+      .scalar()
     val side = struct(col("tsu"), col("event_id"), col("event_type"),
       col("value"))
     ev.select(col("user_id"),
@@ -154,8 +170,7 @@ object EventQueries {
     val dayUs = 86400000000L
     val iv = ev.select(
       expr("unix_micros(CAST(ts AS TIMESTAMP))").as("s"),
-      (expr("unix_micros(CAST(ts AS TIMESTAMP))") +
-        greatest(lit(1L), floor(col("value") * lit(1000000.0)).cast("long")))
+      (expr("unix_micros(CAST(ts AS TIMESTAMP))") + durationUs(col("value")))
         .as("e"))
     val g = iv
       .select(explode(array(
@@ -253,8 +268,7 @@ object EventQueries {
       .select(col("event_id").as(s"${p}_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as(s"${p}_s"),
         (expr("unix_micros(CAST(ts AS TIMESTAMP))") +
-          greatest(lit(1L), floor(col("value") * lit(1000000.0))
-            .cast("long"))).as(s"${p}_e"))
+          durationUs(col("value"))).as(s"${p}_e"))
       .withColumn("bkt", explode(expr(
         s"sequence(${p}_s div ${grainUs}L, (${p}_e - 1) div ${grainUs}L)")))
     side("error", "a").join(side("view", "b"), Seq("bkt"))
@@ -620,9 +634,10 @@ object EventQueries {
 
     // rn=1 per (user, side) under (tsu DESC, event_id DESC) is the same
     // latest-wins pick as the Spark max(struct(tsu, event_id, …)); the
-    // 80/20 split threshold is the same MAX(event_id)*0.8 scalar
+    // 80/20 split threshold is the same FLOOR(MAX(event_id)*0.8) scalar
+    // (explicit FLOOR — DuckDB's bare CAST rounds, Spark's truncates)
     "q_cdc_merge" ->
-      """WITH kk AS (SELECT CAST(MAX(event_id) * 0.8 AS BIGINT) AS k
+      """WITH kk AS (SELECT CAST(FLOOR(MAX(event_id) * 0.8) AS BIGINT) AS k
                      FROM events),
               o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
                            event_type, value,
@@ -666,7 +681,7 @@ object EventQueries {
       """WITH iv AS (SELECT epoch_us(ts) AS s,
                             epoch_us(ts) + GREATEST(1,
                               CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS e
-                     FROM events),
+                     FROM events WHERE ts IS NOT NULL),
               d AS (SELECT s AS t, 1 AS dx FROM iv
                     UNION ALL SELECT e, -1 FROM iv),
               g AS (SELECT t, SUM(dx) AS net FROM d GROUP BY t),

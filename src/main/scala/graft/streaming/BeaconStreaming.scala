@@ -941,6 +941,15 @@ object BeaconStreaming {
         cdcApplyBatch(batch, snapshotPath)
       }
 
+  /** Filesystem-agnostic existence probe for the foreachBatch table
+    * sinks — `java.io.File` would read local paths only, and a silent
+    * false on hdfs://…/s3a://… would re-initialize the table EVERY batch
+    * and destroy all accumulated state. */
+  private def tableExists(s: SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   /** Bootstrap the snapshot from a base observation log: latest row per
     * key, marked pre-changelog (`from_changelog = false`) so the first
     * applied changelog row beats it unconditionally. */
@@ -973,7 +982,7 @@ object BeaconStreaming {
       .agg(max(struct(col("tsu"), col("event_id"), col("event_type"),
         col("value"))).as("dw"))
     val snap =
-      if (new java.io.File(snapshotPath).exists()) s.read.parquet(snapshotPath)
+      if (tableExists(s, snapshotPath)) s.read.parquet(snapshotPath)
       else cdcSnapshotInit(batch.filter(lit(false)))
     // winner: changelog beats bootstrap; changelog vs changelog by
     // (tsu, event_id); a winning tombstone becomes a NULL-state row
@@ -1048,7 +1057,7 @@ object BeaconStreaming {
       .groupBy("event_type", "day_idx")
       .agg(expr("hll_sketch_agg(user_id)").as("bsk"))
     val old =
-      if (new java.io.File(tablePath).exists()) s.read.parquet(tablePath)
+      if (tableExists(s, tablePath)) s.read.parquet(tablePath)
       else b.filter(lit(false))
         .select(col("event_type"), col("day_idx"), col("bsk").as("sk"))
     val merged = old.alias("o")
@@ -1088,49 +1097,6 @@ object BeaconStreaming {
     * (histories keyed per user usually are after date-range pruning).
     * Semantics match the batch op: half-open [from, to), LEFT so
     * pre-/no-history facts pass through with NULL state. */
-  /** Streaming interval-overlap join (r15) —
-    * [[graft.ops.EventQueries]]'s `q_interval_join` with BOTH sides as
-    * streams: which arriving incidents overlap which arriving sessions,
-    * with no shared entity key. Spark's stream-stream join machinery
-    * requires an equality key plus an event-time band for state cleanup
-    * — neither exists naturally on a keyless range join; the time-grain
-    * BUCKET supplies the equi key (each interval explodes to its covered
-    * buckets, constant fan-out), and the maximum interval duration
-    * supplies the band (two intervals ≤ D long can only overlap if their
-    * starts are within D — ±600 s here covers the fixture's ≤ 491 s
-    * durations), so both sides' state is watermark-bounded and matches
-    * emit eagerly as partners arrive. The true overlap predicate and the
-    * first-shared-bucket dedup ride as residuals, exactly the batch
-    * plan's discipline — spec-pinned pair-equal to q_interval_join on a
-    * sliced replay across checkpointed invocations. */
-  def intervalOverlapStream(stream: DataFrame,
-                            grainUs: Long = 600000000L): DataFrame = {
-    val base = stream.select(col("event_id").cast("long").as("event_id"),
-      col("event_type").cast("string").as("event_type"),
-      expr("CAST(ts AS TIMESTAMP)").as("ts"),
-      col("value").cast("double").as("value"))
-    def side(t: String, p: String) = base.filter(col("event_type") === t)
-      .select(col("event_id").as(s"${p}_id"), col("ts").as(s"${p}_ts"),
-        expr("unix_micros(ts)").as(s"${p}_s"),
-        (expr("unix_micros(ts)") + greatest(lit(1L),
-          floor(col("value") * lit(1000000.0)).cast("long")))
-          .as(s"${p}_e"))
-      .withColumn(s"${p}_bkt", explode(expr(
-        s"sequence(${p}_s div ${grainUs}L, (${p}_e - 1) div ${grainUs}L)")))
-      .withWatermark(s"${p}_ts", "2 hours")
-    side("error", "a").join(side("view", "b"),
-      col("a_bkt") === col("b_bkt") &&
-        col("b_ts") >= col("a_ts") - expr("INTERVAL 600 SECONDS") &&
-        col("b_ts") <= col("a_ts") + expr("INTERVAL 600 SECONDS") &&
-        col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
-        col("a_bkt") === expr(s"greatest(a_s, b_s) div ${grainUs}L"))
-      .select(col("a_id").as("incident_id"), col("b_id").as("session_id"),
-        col("a_s").as("incident_start_us"),
-        col("b_s").as("session_start_us"),
-        (least(col("a_e"), col("b_e")) -
-          greatest(col("a_s"), col("b_s"))).as("overlap_us"))
-  }
-
   def pitEnrichStream(stream: DataFrame, history: DataFrame): DataFrame = {
     val h = history.select(col("user_id").as("hu"),
       col("event_type").as("state"), col("valid_from_us"),
@@ -1146,5 +1112,54 @@ object BeaconStreaming {
         "left_outer")
       .select(col("user_id"), col("purchase_id"), col("ts_us"),
         col("state"), col("amount"))
+  }
+
+  /** Streaming interval-overlap join (r15) —
+    * [[graft.ops.EventQueries]]'s `q_interval_join` with BOTH sides as
+    * streams: which arriving incidents overlap which arriving sessions,
+    * with no shared entity key. Spark's stream-stream join machinery
+    * requires an equality key plus an event-time band for state cleanup
+    * — neither exists naturally on a keyless range join; the time-grain
+    * BUCKET supplies the equi key (each interval explodes to its covered
+    * buckets, ⌈duration/grain⌉ fan-out), and `maxDurUs` supplies the
+    * band: two intervals each ≤ maxDur long can only overlap if their
+    * starts are within maxDur, so both sides' state is watermark-bounded
+    * and matches emit eagerly as partners arrive. `maxDurUs` is a
+    * CONTRACT: a pair whose intervals exceed it can be silently dropped
+    * by the band predicate (the default 600 s covers the fixture's
+    * ≤ 491 s durations; size it from the duration column's max). The
+    * true overlap predicate and the first-shared-bucket dedup ride as
+    * residuals, exactly the batch plan's discipline — spec-pinned
+    * pair-equal to q_interval_join on a sliced replay across
+    * checkpointed invocations. Durations come from the ONE shared
+    * [[graft.ops.EventQueries.durationUs]] spelling, so batch and stream
+    * cannot drift. */
+  def intervalOverlapStream(stream: DataFrame,
+                            grainUs: Long = 600000000L,
+                            maxDurUs: Long = 600000000L): DataFrame = {
+    val bandSec = (maxDurUs + 999999L) / 1000000L // ceil to whole seconds
+    val base = stream.select(col("event_id").cast("long").as("event_id"),
+      col("event_type").cast("string").as("event_type"),
+      expr("CAST(ts AS TIMESTAMP)").as("ts"),
+      col("value").cast("double").as("value"))
+    def side(t: String, p: String) = base.filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"), col("ts").as(s"${p}_ts"),
+        expr("unix_micros(ts)").as(s"${p}_s"),
+        (expr("unix_micros(ts)") +
+          graft.ops.EventQueries.durationUs(col("value"))).as(s"${p}_e"))
+      .withColumn(s"${p}_bkt", explode(expr(
+        s"sequence(${p}_s div ${grainUs}L, (${p}_e - 1) div ${grainUs}L)")))
+      .withWatermark(s"${p}_ts", "2 hours")
+    side("error", "a").join(side("view", "b"),
+      col("a_bkt") === col("b_bkt") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $bandSec SECONDS") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $bandSec SECONDS") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+        col("a_bkt") === expr(s"greatest(a_s, b_s) div ${grainUs}L"))
+      .select(col("a_id").as("incident_id"), col("b_id").as("session_id"),
+        col("a_s").as("incident_start_us"),
+        col("b_s").as("session_start_us"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_us"))
   }
 }

@@ -1142,7 +1142,7 @@ class BeaconStreamingSpec extends SparkTestBase {
     val sfDir = "/root/testdata/sf0.001"
     val ev = graft.tables.Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_id", "event_type", "value")
-    val k = ev.agg(expr("CAST(MAX(event_id) * 0.8 AS BIGINT)"))
+    val k = ev.agg(expr("CAST(FLOOR(MAX(event_id) * 0.8) AS BIGINT)"))
       .collect().head.getLong(0)
     val dir = tmpDir("stream-cdc")
     // bootstrap the snapshot from the base slice's latest rows
