@@ -1484,6 +1484,26 @@ object RelationalQueries {
           approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"))),
 
+    // Deterministic MODE (r15) — the most frequent cent-quantized value
+    // per event type, with the tie broken toward the SMALLEST value:
+    // Spark's built-in `mode()` is explicitly non-deterministic on ties,
+    // which disqualifies it from any reproducible pipeline (and from a
+    // hash gate); the count-then-argmax composition — one (type, cents)
+    // count aggregate, then max(struct(cnt, −cents)) per type — is
+    // deterministic on every engine, run, and partitioning (integer
+    // argmax is order-free), and both aggregates are map-side combined
+    // over a value-domain-bounded key space (the q_anomaly_mad histogram
+    // discipline).
+    "q_mode" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") * lit(100.0)).cast("long").as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("event_type")
+        .agg(max(struct(col("cnt"), (-col("cents")).as("nc"))).as("m"))
+        .select(col("event_type"), (-col("m.nc")).as("mode_cents"),
+          col("m.cnt").as("mode_count"))),
+
     // MERGEABLE sketches (r15) — the incremental form q_approx_agg's
     // one-shot estimate cannot give: per (type, day) HLL sketches
     // materialize as binary columns (at 100 TB these are the daily
@@ -1566,6 +1586,19 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "q_zorder" -> zorderOracle,
+    // ROW_NUMBER under (cnt DESC, cents) is the same deterministic
+    // argmax as the Spark side's max(struct(cnt, -cents))
+    "q_mode" ->
+      """WITH c AS (SELECT event_type,
+                           CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+                           COUNT(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, cents, cnt,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY cnt DESC, cents) AS rn
+                    FROM c)
+         SELECT event_type, cents AS mode_cents, cnt AS mode_count
+         FROM r WHERE rn = 1""",
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
          FROM lineitem

@@ -236,6 +236,24 @@ class R15cOpsSpec extends SparkTestBase {
     assert(bucketed === naive)
   }
 
+  // --- q_mode --------------------------------------------------------------
+
+  test("mode: count ties break toward the smallest value") {
+    // type A: cents 100 ×2 vs 200 ×2 (tie) → 100 wins; B: 300 ×2 vs
+    // 100 ×1 → 300 wins on count alone
+    val ev = Seq(
+      (1L, t(0), 1L, "A", 1.0), (2L, t(1), 1L, "A", 1.0),
+      (3L, t(2), 1L, "A", 2.0), (4L, t(3), 1L, "A", 2.0),
+      (5L, t(4), 1L, "B", 3.0), (6L, t(5), 1L, "B", 3.0),
+      (7L, t(6), 1L, "B", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("mode").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalQueries.queries("q_mode")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(("A", 100L, 2L), ("B", 300L, 2L)))
+  }
+
   // --- q_zorder ------------------------------------------------------------
 
   test("zorder: every top-5-bit bucket bounds BOTH dims by construction") {
