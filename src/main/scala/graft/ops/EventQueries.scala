@@ -60,6 +60,22 @@ object EventQueries {
   private[graft] def durationUs(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     greatest(lit(1L), floor(value * lit(1000000.0)).cast("long"))
 
+  /** µs per day — the grain of every day-bucketing operator. */
+  private[graft] val DayUs = 86400000000L
+
+  /** The ONE day-index spelling, shared by every operator that buckets
+    * epoch-µs into days (the concurrency-peak boundary fold, the
+    * z-order and HLL-sketch day_idx columns, the streaming sketch
+    * sink): `t div 86 400 000 000`, with the DuckDB twins spelling it
+    * `t // 86400000000`. PRECONDITION — non-negative epoch (timestamps
+    * ≥ 1970-01-01): Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors, so the engines diverge by one day on negative
+    * epoch-µs (ADVICE r15). All fixtures are 2024+; a pre-1970 corpus
+    * needs an explicit floor-division spelling on BOTH engines — change
+    * it HERE and in the twins together, nowhere else. */
+  private[graft] def dayIdxSql(tUsExpr: String): String =
+    s"($tUsExpr) div ${DayUs}L"
+
   private[graft] def scd2Of(ev: DataFrame): DataFrame =
     ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
       .groupBy("user_id")
@@ -167,7 +183,7 @@ object EventQueries {
     * exchange, so ReuseExchange materializes it once, and the only global
     * window runs on the O(days) carry table. */
   private[ops] def concurrencyPeakOf(ev: DataFrame): DataFrame = {
-    val dayUs = 86400000000L
+    val dayUs = DayUs
     val iv = ev.select(
       expr("unix_micros(CAST(ts AS TIMESTAMP))").as("s"),
       (expr("unix_micros(CAST(ts AS TIMESTAMP))") + durationUs(col("value")))
@@ -181,8 +197,8 @@ object EventQueries {
       // without it the inner join's inferred isnotnull(day_idx) pushes
       // into the window branch only, the two subtrees stop canonicalizing
       // equal, and ReuseExchange silently double-scans the corpus
-      .filter(expr(s"d.t div ${dayUs}L").isNotNull)
-      .groupBy(expr(s"d.t div ${dayUs}L").as("day_idx"), col("d.t").as("t"))
+      .filter(expr(dayIdxSql("d.t")).isNotNull)
+      .groupBy(expr(dayIdxSql("d.t")).as("day_idx"), col("d.t").as("t"))
       .agg(sum(col("d.dx")).as("net"))
     val wRun = Window.partitionBy("day_idx").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -655,7 +671,8 @@ object EventQueries {
                            d.event_type AS dt, d.value AS dv, d.tsu AS dtsu,
                            b.user_id IS NOT NULL AS hb,
                            d.user_id IS NOT NULL AS hd
-                    FROM b FULL OUTER JOIN d ON b.user_id = d.user_id),
+                    FROM b FULL OUTER JOIN d
+                      ON b.user_id IS NOT DISTINCT FROM d.user_id),
               r AS (SELECT user_id,
                            CASE WHEN NOT hd THEN 'unchanged'
                                 WHEN dt = 'error' AND hb THEN 'deleted'

@@ -187,7 +187,7 @@ object RelationalQueries {
     * expression; the census is one 32-row aggregate. */
   private[graft] def zorderOf(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"),
-      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+      expr(EventQueries.dayIdxSql("unix_micros(CAST(ts AS TIMESTAMP))"))
         .as("day_idx"))
     val Array(maxU, dayLo, daySpan) = ev
       .agg(max("user_id"), min("day_idx"),
@@ -336,10 +336,17 @@ object RelationalQueries {
     }),
 
     // B7-B11 analog of the reference's blocks_count verify invariant
-    // (`blocks_count.sql:1-11`): MAX(id)+1 = COUNT(*) ⇒ no gaps.
+    // (`blocks_count.sql:1-11`): MAX(id)+1 = COUNT(*) ⇒ no gaps. The two
+    // compared scalars ride ALONGSIDE the verdict bit since r16: the
+    // invariant holds at every fixture scale, so a status-only row was
+    // scale-INVARIANT and the wrong-sf negative control passed it
+    // (VERDICT r15 #2) — emitting max_plus_1/n_rows makes the hash carry
+    // the scale-sensitive values the verdict was computed from.
     "q_completeness_check" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("events")
-      s.sql("""SELECT CASE WHEN (SELECT MAX(event_id) FROM events) + 1 =
+      s.sql("""SELECT (SELECT MAX(event_id) FROM events) + 1 AS max_plus_1,
+                      (SELECT COUNT(*) FROM events) AS n_rows,
+                      CASE WHEN (SELECT MAX(event_id) FROM events) + 1 =
                                (SELECT COUNT(*) FROM events)
                       THEN 'complete' ELSE 'gap' END AS status""")
     }),
@@ -387,10 +394,17 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
     }),
 
-    // C9 — left-anti: customers with no orders.
+    // C9 — left-anti: customers with no very-large order. The r15 form
+    // anti-joined against ALL orders and was EMPTY at every fixture scale
+    // — a vacuous oracle row (the judge's wrong-sf negative control
+    // passed it, i.e. the gate could never detect this query breaking;
+    // VERDICT r15 #2). The > 300 000 totalprice cut yields 3/30/308 rows
+    // at sf0.001/0.01/0.1, so the hash is now scale-sensitive and an
+    // anti-join that wrongly returns nothing goes red.
     "q_anti_join" -> ((s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d).select("o_custkey"),
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+            .select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_acctbal")),
 
@@ -1384,11 +1398,18 @@ object RelationalQueries {
           decode(unhex(hex(substring(col("text"), 1, 8))), "UTF-8")
             .as("graffiti_text"))),
 
-    // C17 — regexp extraction.
+    // C17 — regexp extraction + match counting. n_vruns (vowel-run count
+    // over the TEXT) is the r16 de-vacuization column: doc_ids and
+    // per-doc `source` values coincide between the sf0.001 and sf0.01
+    // fixtures even though the texts differ, so the extraction-only form
+    // hashed identically across scales and the wrong-sf negative control
+    // passed it (VERDICT r15 #2); the text-derived count differs on
+    // 497/500 rows between those fixtures, making the row scale-sensitive.
     "q_regexp" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        regexp_extract(col("source"), "([0-9]+)", 1).as("src_num"))),
+        regexp_extract(col("source"), "([0-9]+)", 1).as("src_num"),
+        regexp_count(col("text"), lit("[aeiou]+")).as("n_vruns"))),
 
     // C19 — integer/math functions (results typed BIGINT on both engines).
     "q_math_funcs" -> ((s, d) =>
@@ -1519,7 +1540,7 @@ object RelationalQueries {
     "q_sketch_union" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+          expr(EventQueries.dayIdxSql("unix_micros(CAST(ts AS TIMESTAMP))"))
             .as("day_idx"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
         .groupBy("event_type")
@@ -1638,7 +1659,9 @@ object RelationalQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)""",
     "q_completeness_check" ->
-      """SELECT CASE WHEN (SELECT MAX(event_id) FROM events) + 1 =
+      """SELECT (SELECT MAX(event_id) FROM events) + 1 AS max_plus_1,
+                (SELECT COUNT(*) FROM events) AS n_rows,
+                CASE WHEN (SELECT MAX(event_id) FROM events) + 1 =
                           (SELECT COUNT(*) FROM events)
                  THEN 'complete' ELSE 'gap' END AS status""",
     "q_date_filter" ->
@@ -1666,7 +1689,9 @@ object RelationalQueries {
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""",
     "q_anti_join" ->
       """SELECT c_custkey, c_acctbal FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000)""",
     "q_join_outer" ->
       """WITH c AS (SELECT user_id AS cu, COUNT(*) AS n_clicks
                     FROM events WHERE event_type = 'click' GROUP BY 1),
@@ -2158,7 +2183,8 @@ object RelationalQueries {
                 decode(unhex(hex(substr(text, 1, 8)))) AS graffiti_text
          FROM documents WHERE text LIKE '%join%'""",
     "q_regexp" ->
-      """SELECT doc_id, regexp_extract(source, '([0-9]+)', 1) AS src_num
+      """SELECT doc_id, regexp_extract(source, '([0-9]+)', 1) AS src_num,
+                len(regexp_extract_all(text, '[aeiou]+')) AS n_vruns
          FROM documents""",
     "q_math_funcs" ->
       """SELECT l_orderkey, l_orderkey % 7 AS mod7,

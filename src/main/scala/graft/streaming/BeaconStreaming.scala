@@ -929,10 +929,10 @@ object BeaconStreaming {
     * read view that drops them.
     *
     * Scale: the per-batch cost is one collapsed-delta join against the
-    * snapshot — O(snapshot) per batch in this plain-parquet form
-    * (localCheckpoint cuts the self-overwrite lineage; a transactional
-    * table format would make it O(touched partitions) — that swap lives
-    * entirely inside [[cdcApplyBatch]]). */
+    * snapshot — O(snapshot) per batch in this plain-parquet form, made
+    * crash-safe by [[commitStateTable]]'s temp-generation swap (a
+    * transactional table format would make it O(touched partitions) —
+    * that swap lives entirely inside [[cdcApplyBatch]]). */
   def cdcApplySink(changelog: DataFrame, snapshotPath: String,
                    checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     changelog.writeStream
@@ -948,6 +948,59 @@ object BeaconStreaming {
   private def tableExists(s: SparkSession, path: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(path)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Sibling temp generation for the state-table swap. */
+  private val NextGenSuffix = ".next"
+
+  /** Crash-safe replacement of a plain-parquet state table (r16, ADVICE
+    * r15): the merged generation lands FULLY DURABLE in a sibling
+    * `<path>.next` dir before the previous generation is touched, then
+    * swaps in via delete + rename. At no point is the accumulated state
+    * held only in executor memory — the in-place `overwrite` this
+    * replaces destroyed the sole copy of the snapshot the moment the
+    * write began, so a crash mid-write lost ALL prior state and
+    * foreachBatch replay silently merged the redelivered batch into an
+    * empty table. Now every crash window is covered:
+    *   - during the `.next` write → old generation untouched;
+    *   - after the write, before/during the swap → [[recoverStateTable]]
+    *     adopts the complete `.next` (its `_SUCCESS` marker proves the
+    *     write finished) on the next read, and the redelivered batch
+    *     re-merges idempotently (max-struct and hll_union are both
+    *     idempotent, spec-pinned via the sliced-replay tests).
+    * Bonus: because the merge no longer reads the files it overwrites,
+    * the localCheckpoint materialization pass is gone — one write
+    * instead of cache-then-write. The dir rename is atomic on
+    * HDFS/posix; on raw object stores (no atomic rename) use a
+    * transactional table format instead — that swap lives entirely
+    * inside this helper. */
+  private[streaming] def commitStateTable(merged: DataFrame,
+                                          path: String): Unit = {
+    val s = merged.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + NextGenSuffix)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // tmp is fully durable (write returned) — now swap
+    fs.delete(hp, true)
+    if (!fs.rename(tmp, hp))
+      throw new java.io.IOException(
+        s"state-table swap failed: $tmp -> $hp")
+  }
+
+  /** Heal [[commitStateTable]]'s delete→rename window: if the table dir
+    * is gone but a COMPLETE next generation exists (its `_SUCCESS`
+    * marker written), adopt it. Called before every state-table read;
+    * a partial `.next` (crash mid-write) is never adopted because the
+    * marker is the last file the committer writes. */
+  private[streaming] def recoverStateTable(s: SparkSession,
+                                           path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + NextGenSuffix)
+    if (!fs.exists(hp) &&
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      fs.rename(tmp, hp)
   }
 
   /** Bootstrap the snapshot from a base observation log: latest row per
@@ -973,6 +1026,7 @@ object BeaconStreaming {
   private[streaming] def cdcApplyBatch(batch: DataFrame,
                                        snapshotPath: String): Unit = {
     val s = batch.sparkSession
+    recoverStateTable(s, snapshotPath)
     val delta = batch.select(col("user_id").cast("long").as("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
         col("event_id").cast("long").as("event_id"),
@@ -1013,16 +1067,16 @@ object BeaconStreaming {
             .otherwise(col("s.state_event_id"))).as("state_event_id"),
         (coalesce(col("s.from_changelog"), lit(false)) ||
           col("dw").isNotNull).as("from_changelog"))
-      .localCheckpoint(true) // cut lineage off the files we overwrite
-    merged.write.mode("overwrite").parquet(snapshotPath)
-    merged.unpersist(blocking = true)
+    commitStateTable(merged, snapshotPath)
   }
 
   /** The CDC snapshot's read view: current keys only (tombstoned keys'
     * NULL-state shield rows drop here). */
-  def cdcCurrentView(s: SparkSession, snapshotPath: String): DataFrame =
+  def cdcCurrentView(s: SparkSession, snapshotPath: String): DataFrame = {
+    recoverStateTable(s, snapshotPath)
     s.read.parquet(snapshotPath).filter(col("state").isNotNull)
       .select("user_id", "state", "state_value", "state_ts_us")
+  }
 
   /** Streaming sketch-table maintenance (r15) —
     * [[graft.ops.RelationalQueries]]'s `q_sketch_union` kept incrementally:
@@ -1050,9 +1104,10 @@ object BeaconStreaming {
   private[streaming] def sketchUnionBatch(batch: DataFrame,
                                           tablePath: String): Unit = {
     val s = batch.sparkSession
+    recoverStateTable(s, tablePath)
     val b = batch.select(col("event_type").cast("string").as("event_type"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
-          .as("day_idx"),
+        expr(graft.ops.EventQueries.dayIdxSql(
+            "unix_micros(CAST(ts AS TIMESTAMP))")).as("day_idx"),
         col("user_id").cast("long").as("user_id"))
       .groupBy("event_type", "day_idx")
       .agg(expr("hll_sketch_agg(user_id)").as("bsk"))
@@ -1070,18 +1125,18 @@ object BeaconStreaming {
         when(col("o.sk").isNull, col("b.bsk"))
           .when(col("b.bsk").isNull, col("o.sk"))
           .otherwise(expr("hll_union(o.sk, b.bsk)")).as("sk"))
-      .localCheckpoint(true) // cut lineage off the files we overwrite
-    merged.write.mode("overwrite").parquet(tablePath)
-    merged.unpersist(blocking = true)
+    commitStateTable(merged, tablePath)
   }
 
   /** The sketch table's read view: per-type distinct-user estimate over
     * the union of all daily sketches — the q_sketch_union output shape. */
-  def sketchUnionView(s: SparkSession, tablePath: String): DataFrame =
+  def sketchUnionView(s: SparkSession, tablePath: String): DataFrame = {
+    recoverStateTable(s, tablePath)
     s.read.parquet(tablePath)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+  }
 
   /** Streaming point-in-time enrichment (r15) —
     * [[graft.ops.EventQueries]]'s `q_pit_join` with the FACTS as a
@@ -1125,9 +1180,13 @@ object BeaconStreaming {
     * band: two intervals each ≤ maxDur long can only overlap if their
     * starts are within maxDur, so both sides' state is watermark-bounded
     * and matches emit eagerly as partners arrive. `maxDurUs` is a
-    * CONTRACT: a pair whose intervals exceed it can be silently dropped
-    * by the band predicate (the default 600 s covers the fixture's
-    * ≤ 491 s durations; size it from the duration column's max). The
+    * CONTRACT, and since r16 an ENFORCED one: any arriving interval
+    * longer than maxDurUs fails its micro-batch with a raise_error
+    * naming the violation, because the band predicate would otherwise
+    * silently drop that interval's overlapping pairs — a join result
+    * that quietly shrinks as the duration distribution grows is worse
+    * than a loud stop (ADVICE r15). Size maxDurUs from the duration
+    * column's max (the default 600 s covers the fixture's ≤ 491 s). The
     * true overlap predicate and the first-shared-bucket dedup ride as
     * residuals, exactly the batch plan's discipline — spec-pinned
     * pair-equal to q_interval_join on a sliced replay across
@@ -1147,6 +1206,14 @@ object BeaconStreaming {
         expr("unix_micros(ts)").as(s"${p}_s"),
         (expr("unix_micros(ts)") +
           graft.ops.EventQueries.durationUs(col("value"))).as(s"${p}_e"))
+      // the maxDurUs contract, enforced: a longer interval would have
+      // its pairs silently dropped by the band predicate below — fail
+      // the batch instead so the operator is re-sized, not wrong
+      .filter(expr(s"CASE WHEN ${p}_e - ${p}_s <= ${maxDurUs}L THEN true " +
+        s"ELSE CAST(raise_error('intervalOverlapStream: interval ' || " +
+        s"${p}_id || ' duration ' || (${p}_e - ${p}_s) || " +
+        s"'us exceeds maxDurUs=${maxDurUs} — its overlaps would be " +
+        s"silently dropped; raise maxDurUs') AS BOOLEAN) END"))
       .withColumn(s"${p}_bkt", explode(expr(
         s"sequence(${p}_s div ${grainUs}L, (${p}_e - 1) div ${grainUs}L)")))
       .withWatermark(s"${p}_ts", "2 hours")

@@ -1273,4 +1273,67 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty, "fixture produced no overlapping intervals")
     assert(streamed.map(key).sorted.toSeq === batch.map(key).sorted.toSeq)
   }
+
+  test("intervalOverlapStream fails LOUDLY on an interval exceeding maxDurUs (r16 contract enforcement)") {
+    import spark.implicits._
+    val dir = tmpDir("stream-ivj-maxdur")
+    // one error/view pair; the view's duration (700 s) exceeds the 600 s
+    // default maxDurUs — pre-r16 its pairs silently vanished from the
+    // join, now the micro-batch must fail naming the contract
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, ts0, 1L, "error", 100.0), (2L, ts0, 2L, "view", 700.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val sch = spark.read.parquet(s"$dir/in").schema
+    val q = BeaconStreaming.intervalOverlapStream(
+        spark.readStream.schema(sch).parquet(s"$dir/in"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxDurUs")),
+      s"expected a maxDurUs contract error, got: ${messages(ex)}")
+  }
+
+  test("commitStateTable crash windows: prior generation survives a mid-write crash; a complete .next is adopted, a partial one is not") {
+    import spark.implicits._
+    val dir = tmpDir("state-swap")
+    val p = s"$dir/tbl"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gen(v: Long) = Seq((1L, v)).toDF("k", "v")
+    def readV() = spark.read.parquet(p).collect().map(_.getLong(1)).toSeq
+
+    // normal path: commit g1 then g2 — table follows, no .next residue
+    BeaconStreaming.commitStateTable(gen(1), p)
+    BeaconStreaming.commitStateTable(gen(2), p)
+    assert(readV() === Seq(2L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + ".next")))
+
+    // crash DURING the .next write (partial dir, no _SUCCESS): the live
+    // table is untouched and recovery must NOT adopt the partial dir
+    gen(99).write.parquet(p + ".next")
+    fs.delete(new org.apache.hadoop.fs.Path(p + ".next/_SUCCESS"), false)
+    BeaconStreaming.recoverStateTable(spark, p)
+    assert(readV() === Seq(2L))
+
+    // crash AFTER the .next write, after the old delete, BEFORE the
+    // rename (the window ADVICE r15 flagged): recovery adopts the
+    // complete generation instead of letting the next batch re-init
+    fs.delete(new org.apache.hadoop.fs.Path(p + ".next"), true)
+    gen(3).write.parquet(p + ".next")
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    BeaconStreaming.recoverStateTable(spark, p)
+    assert(readV() === Seq(3L))
+    // and a subsequent commit over the recovered table works normally
+    BeaconStreaming.commitStateTable(gen(4), p)
+    assert(readV() === Seq(4L))
+  }
 }
