@@ -312,6 +312,17 @@ object GraftFunctions {
         }
         WordGramSet(Cast(args.head, org.apache.spark.sql.types.StringType), n)
       }),
+    (new FunctionIdentifier("word_grams_pos"),
+      new ExpressionInfo(classOf[WordGramsPos].getName, "word_grams_pos"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_grams_pos expects (text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_grams_pos n must be an integer literal, got $other")
+        }
+        WordGramsPos(Cast(args.head, org.apache.spark.sql.types.StringType), n)
+      }),
     (new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       (args: Seq[Expression]) => {

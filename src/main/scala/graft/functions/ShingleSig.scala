@@ -143,6 +143,38 @@ case class WordGramSet(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_grams"
 }
 
+/** `word_grams_pos(text, n)` — ALL `md5_number_lower % (2^63-1)` hashes of
+  * the document's n-word grams IN POSITION ORDER (no sort, no distinct):
+  * element i is the hash of tokens [i, i+n), so `posexplode` recovers
+  * (start-token-index, gram-hash) pairs for free. Built for
+  * cross-document exact-substring dedup (q_substr_dedup, the removal half
+  * of Lee et al. 2022 that q_repeated_spans only measures): removal needs
+  * to know WHERE each duplicated gram sits, which the sorted-distinct
+  * [[WordGramSet]] deliberately discards. Same tokenizer, digest, and
+  * null-under-n-tokens contract as word_grams; case-folding is the
+  * caller's business. */
+case class WordGramsPos(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 256, s"word_grams_pos n must be in [1, 256], got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true // docs under n tokens are null
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleSig.computeGramsPos(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ShingleSig.computeGramsPos($c, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramsPos =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_grams_pos"
+}
+
 /** `repetition_stats(text)` — the integer counts behind the Gopher-style
   * repetition signals (q_repetition), in ONE hash pass over the token
   * stream: token count, distinct-token count, highest token frequency,
@@ -305,6 +337,33 @@ object ShingleSig {
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  /** Static (callable from generated Java): [[computeGrams]] without the
+    * sort/dedup tail — all n-gram hashes in token-position order, so
+    * element i hashes tokens [i, i+n). */
+  def computeGramsPos(t: UTF8String, n: Int): GenericArrayData = {
+    val words = tokensOf(t)
+    val ns = words.length - (n - 1)
+    if (ns <= 0) return null
+    val md = Md5Low63.threadMd5
+    val hs = new Array[Long](ns)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < ns) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hs(i) = Md5Low63.loLane(d)
+      i += 1
+    }
+    new GenericArrayData(hs)
   }
 
   val repetitionType: StructType = StructType(Seq(

@@ -636,7 +636,20 @@ object CorpusQueries {
           posexplode(expr(
             "transform(sequence(0, CAST(ceil(size(w) / 5.0) AS INT) - 1)," +
               " i -> concat(concat_ws(' ', slice(w, i * 5 + 1, 5)), '.'))"))
-            .as(Seq("idx", "line")))))
+            .as(Seq("idx", "line"))))),
+
+    // Cross-document exact-substring DEDUP (r16) — the removal half of
+    // Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    // Better", the ExactSubstr/suffix-array side) that q_repeated_spans
+    // only MEASURES: every duplicated ≥ gram-length token span is kept at
+    // exactly its first corpus-wide occurrence and cut everywhere else.
+    // Same 50-token window as q_repeated_spans (the published ExactSubstr
+    // length), which finds real cross-doc duplicated grams in this
+    // fixture — so the removal rule does work at every scale.
+    "q_substr_dedup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      substrDedupOf(Tables.documents(s, d))
+    })
   )
 
   /** q_line_dedup's pipeline over an arbitrary documents frame.
@@ -697,6 +710,72 @@ object CorpusQueries {
           "transform(array_sort(collect_list(struct(idx, line)))," +
             " x -> x.line)")).as("clean_text"))
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
+  }
+
+  /** q_substr_dedup's pipeline over an arbitrary documents frame — the
+    * distributed re-expression of Lee et al. 2022's suffix-array
+    * ExactSubstr REMOVAL (q_repeated_spans' comment covers why a
+    * gram-hash shuffle replaces the single-machine suffix array).
+    *
+    * Rule: a token position dies iff it is covered by some gram-length
+    * occurrence whose gram hash also occurs at an earlier (doc_id,
+    * start) — "keep the first corpus-wide occurrence, cut the rest", at
+    * gram granularity. A duplicated span of length L ≥ gram is L−gram+1
+    * overlapping duplicated grams; in every non-first doc they cover the
+    * whole span, in the first doc every gram is the winner, so the span
+    * survives exactly once. Within-doc repeats obey the same (doc_id,
+    * start) order.
+    *
+    * Plan, stage by stage (the q_repeated_spans discipline plus a
+    * reassembly tier):
+    *   1. `word_grams_pos` emits all gram hashes in position order inside
+    *      the scan (codegen'd, one md5 per token); posexplode recovers
+    *      (start, hash) — 8-byte hashes ride the exchange, never 50-word
+    *      strings.
+    *   2. ONE exchange on the gram hash; per-group payload is bounded by
+    *      occurrences-per-gram. Winner = array_min of the (doc_id, start)
+    *      structs; every OTHER occurrence emits a kill interval — only
+    *      duplicated grams survive the size ≥ 2 filter, so the kill
+    *      stream is proportional to the duplication rate, not the corpus.
+    *   3. Kill starts fold per doc into a distinct dead-position set
+    *      (row-local flatten, bounded by doc length), then ONE doc_id
+    *      exchange LEFT-joins it back to the token arrays; survivors
+    *      reassemble with an index-aware filter. Docs under gram tokens
+    *      never leave stage 1 as grams and pass through untouched.
+    *
+    * At 100 TB: stages 1-2 are exactly q_repeated_spans' measured-linear
+    * shape (gram volume ≈ token volume); stage 3's join ships each doc's
+    * tokens once and the dead sets only for docs that lose spans. */
+  private[graft] def substrDedupOf(docs: DataFrame, gram: Int = 50): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("w"),
+        expr(s"word_grams_pos(lower(text), $gram)").as("gs"))
+    // kill intervals: non-first occurrences of duplicated grams
+    val kills = toks
+      .select(col("doc_id"),
+        // explode_outer + null filter: the single-eval discipline (a
+        // plain explode lets the optimizer infer size(gs) > 0 and
+        // re-evaluate word_grams_pos inside the pushed Filter)
+        posexplode_outer(col("gs")).as(Seq("s", "gh")))
+      .filter(col("gh").isNotNull)
+      .groupBy("gh")
+      .agg(collect_list(struct(col("doc_id"), col("s"))).as("os"))
+      .filter(size(col("os")) >= 2)
+      .select(array_min(col("os")).as("win"), explode(col("os")).as("o"))
+      .filter(col("o") =!= col("win"))
+      .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))
+    // per-doc dead-position sets (distinct union of the kill intervals)
+    val dead = kills.groupBy("doc_id")
+      .agg(expr(s"array_distinct(flatten(transform(collect_list(s)," +
+        s" st -> sequence(st, st + ${gram - 1}))))").as("dead"))
+    toks.select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"))
+      .join(dead, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(size(col("dead")), lit(0)).cast("long").as("n_removed"),
+        expr("concat_ws(' ', filter(w, (t, p) -> dead IS NULL" +
+          " OR NOT array_contains(dead, p)))").as("clean_text"))
   }
 
   /** q_split_assign's pipeline over an arbitrary documents frame —
@@ -1240,6 +1319,39 @@ object CorpusQueries {
                  CAST(COUNT(*) AS DOUBLE) / MIN(n_grams) AS dup_frac
           FROM ex JOIN dup USING (g)
           GROUP BY doc_id""",
+    // Same gram hashing as q_repeated_spans; the two parallel UNNESTs zip
+    // (DuckDB's multi-unnest-in-SELECT semantics), pairing start s = i-1
+    // with the hash of w[i:i+49]. Winner pick = ROW_NUMBER over (doc_id,
+    // s) — the twin of Spark's array_min over (doc_id, s) structs.
+    "q_substr_dedup" ->
+      """WITH ws AS (SELECT doc_id,
+                            string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents WHERE text IS NOT NULL),
+          occ AS (SELECT doc_id,
+                         UNNEST(generate_series(0, len(w) - 50)) AS s,
+                         UNNEST(list_transform(generate_series(1, len(w) - 49),
+                           i -> CAST(md5_number_lower(array_to_string(w[i:i+49], ' '))
+                                     % 9223372036854775807 AS BIGINT))) AS gh
+                  FROM ws WHERE len(w) >= 50),
+          rk AS (SELECT doc_id, s,
+                        ROW_NUMBER() OVER (PARTITION BY gh
+                                           ORDER BY doc_id, s) AS rn,
+                        COUNT(*) OVER (PARTITION BY gh) AS cnt
+                 FROM occ),
+          dead AS (SELECT doc_id,
+                          list_distinct(flatten(list_transform(list(s),
+                            st -> generate_series(st, st + 49)))) AS dd
+                   FROM rk WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id)
+          SELECT ws.doc_id, len(ws.w) AS n_tokens,
+                 CAST(COALESCE(len(d.dd), 0) AS BIGINT) AS n_removed,
+                 -- COALESCE: DuckDB's array_to_string([]) is NULL where
+                 -- Spark's concat_ws is '' (the fully-removed-doc case)
+                 COALESCE(array_to_string(
+                   list_transform(
+                     list_filter(generate_series(0, len(ws.w) - 1),
+                       p -> d.dd IS NULL OR NOT list_contains(d.dd, p)),
+                     p -> ws.w[p + 1]), ' '), '') AS clean_text
+          FROM ws LEFT JOIN dead d USING (doc_id)""",
     "q_chunk" ->
       """WITH ws AS (SELECT doc_id,
                             string_split_regex(trim(lower(text)), '\s+') AS w

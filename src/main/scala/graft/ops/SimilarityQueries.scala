@@ -194,6 +194,32 @@ object SimilarityQueries {
     * search) and q_semdedup (within-cell near-dup pruning). Returns
     * (vec_id, emb, nv, cell) where nv is the vector's own L2 norm —
     * computed once here so downstream pair math only pays the cross dot. */
+  /** Frozen-cell cosine assignment of an ARBITRARY vector frame against
+    * the standing coarse quantizer for `fitDir` — [[ivfAssigned]]'s
+    * assignment expression factored (r16) so the streaming ANN drift
+    * monitor ([[graft.streaming.BeaconStreaming.annDriftSink]]) and the
+    * batch index share ONE spelling: same cached [[headVecs]] quantizer,
+    * same greatest-over-struct argmax, same -cid tie-break, so a vector
+    * lands in the same cell whichever path scores it. Stateless per row
+    * (centroids are literals) — composes with streaming. Input needs an
+    * `embedding` column; all other columns pass through plus `cell`. */
+  private[graft] def cellAssign(vectors: DataFrame, s: SparkSession,
+                                fitDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = headVecs(s, fitDir, 16).map { case (id, ce) =>
+      (id, ce, math.sqrt(dotLocal(ce, ce))) }
+    val assignCand = cents.map { case (cid, ce, nc) =>
+      struct(
+        (call_function("vector_dot", col("embedding"), typedLit(ce)) /
+          (col("__nv") * lit(nc))).as("s"),
+        lit(-cid).as("n"))
+    }
+    vectors
+      .withColumn("__nv", sqrt(expr("vector_dot(embedding, embedding)")))
+      .withColumn("cell", negate(greatest(assignCand: _*).getField("n")))
+      .drop("__nv")
+  }
+
   private[ops] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cents = headVecs(s, d, 16).map { case (id, ce) =>

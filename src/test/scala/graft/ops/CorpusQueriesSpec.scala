@@ -64,4 +64,48 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(qual.filter(col("n_tokens") < 20).isEmpty)
     assert(qual.filter(col("density") < 0.8).isEmpty)
   }
+
+  test("substrDedupOf: a planted cross-doc span is removed everywhere but its first occurrence; unique text survives byte-identical") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // disjoint vocabularies per role so no ACCIDENTAL 5-gram collides:
+    // span = 7 tokens (with gram 5 → 3 overlapping duplicated grams that
+    // must cover all 7 loser positions); fillers unique per doc
+    val span = "s1 s2 s3 s4 s5 s6 s7"   // 7 tokens, duplicated across docs
+    val span2 = "t1 t2 t3 t4 t5"        // 5 tokens, duplicated WITHIN doc 4
+    val docs = Seq(
+      (1L, s"a1 a2 $span a3 a4"),              // first occurrence — winner
+      (2L, s"b1 b2 b3 $span b4"),              // cross-doc loser
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  // unique, ≥ gram tokens
+      (4L, s"$span2 d1 d2 d3 $span2"),         // within-doc repeat
+      (5L, "e1 e2 e3")                         // under gram tokens
+    ).toDF("doc_id", "text")
+    val out = CorpusQueries.substrDedupOf(docs, gram = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((11L, 0L, s"a1 a2 $span a3 a4")))
+    assert(out(2L) === ((11L, 7L, "b1 b2 b3 b4")))
+    assert(out(3L) === ((10L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))
+    // within-doc: FIRST copy survives, second is cut
+    assert(out(4L) === ((13L, 5L, s"$span2 d1 d2 d3")))
+    assert(out(5L) === ((3L, 0L, "e1 e2 e3")))
+  }
+
+  test("q_substr_dedup on the fixture: removal bites, counts reconcile, and a removed gram's first occurrence survives") {
+    val out = CorpusQueries.queries("q_substr_dedup")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length ===
+      graft.tables.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull).count())
+    assert(rows.exists(_.getAs[Long]("n_removed") > 0),
+      "fixture must contain cross-doc duplicated 50-grams (q_repeated_spans does)")
+    // clean token count = n_tokens - n_removed, on every doc (a fully
+    // removed doc has clean_text = "" which splits to [""], hence 0)
+    val bad = out.filter(
+      when(col("clean_text") === "", 0)
+        .otherwise(size(split(col("clean_text"), "\\s+"))) =!=
+        col("n_tokens") - col("n_removed"))
+    assert(bad.isEmpty, "token accounting must reconcile")
+  }
 }

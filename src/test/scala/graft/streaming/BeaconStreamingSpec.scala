@@ -1302,6 +1302,51 @@ class BeaconStreamingSpec extends SparkTestBase {
       s"expected a maxDurUs contract error, got: ${messages(ex)}")
   }
 
+  test("annDriftSink: the no-drift replay reads tv EXACTLY 0; a planted one-cell drift fires") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.tables.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val sch = emb.schema
+    def replay(prefix: String, slices: Seq[Array[org.apache.spark.sql.Row]]): org.apache.spark.sql.DataFrame = {
+      val dir = tmpDir(prefix)
+      for (slice <- slices) {
+        spark.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(slice: _*)), sch)
+          .coalesce(1).write.mode("append").parquet(s"$dir/in")
+        val q = BeaconStreaming.annDriftSink(
+            spark.readStream.schema(sch).parquet(s"$dir/in"),
+            sfDir, s"$dir/tbl", s"$dir/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      BeaconStreaming.annDriftView(spark, sfDir, s"$dir/tbl")
+    }
+    // no drift: the arrivals ARE the training corpus (any slicing) — the
+    // integer cross-products cancel exactly, so tv == 0, not "≈ 0"
+    val all = emb.orderBy("vec_id").collect()
+    val calm = replay("ann-drift-calm",
+      Seq(all.take(all.length / 3),
+        all.slice(all.length / 3, 2 * all.length / 3),
+        all.drop(2 * all.length / 3))).collect().head
+    assert(calm.getAs[Long]("n_arrivals") === all.length.toLong)
+    assert(calm.getAs[Double]("tv") === 0.0)
+    assert(!calm.getAs[Boolean]("drifted"))
+    // planted drift: every arrival lands in ONE cell (take the training
+    // vectors of the fullest cell) — occupancy concentrates, tv ≈ 1−share
+    val hot = graft.ops.SimilarityQueries.cellAssign(emb, spark, sfDir)
+      .groupBy("cell").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy(col("n").desc).collect().head.getAs[Long]("cell")
+    val oneCell = graft.ops.SimilarityQueries.cellAssign(emb, spark, sfDir)
+      .filter(col("cell") === hot).select("vec_id", "embedding").collect()
+    assert(oneCell.length > 0 && oneCell.length < all.length)
+    val drifted = replay("ann-drift-hot", Seq(oneCell)).collect().head
+    assert(drifted.getAs[Double]("tv") > 0.25,
+      s"one-cell arrivals must concentrate occupancy, tv=${drifted.getAs[Double]("tv")}")
+    assert(drifted.getAs[Boolean]("drifted"))
+  }
+
   test("commitStateTable crash windows: prior generation survives a mid-write crash; a complete .next is adopted, a partial one is not") {
     import spark.implicits._
     val dir = tmpDir("state-swap")
