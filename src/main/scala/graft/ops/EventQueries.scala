@@ -377,6 +377,64 @@ object EventQueries {
       .withColumn("share", col("cnt").cast("double") / total)
   }
 
+  /** q_resample_locf (r16) — regular-grid time-series densification with
+    * last-observation-carried-forward: for every user, one row per whole
+    * HOUR between their first and last observation, carrying the state
+    * (type/value-ts/event-id) of the latest event at or before that
+    * instant. The feature-store resample: training frames want features
+    * on a regular clock, not at ragged event instants; q_pit_join
+    * answers "state at THIS fact's instant", this op answers "state at
+    * EVERY clock tick".
+    *
+    * Semantics: grid = hour boundaries in [ceil_hour(first),
+    * floor_hour(last)] — a user whose events never straddle a boundary
+    * emits nothing; a grid instant equal to an event's instant takes
+    * THAT event (≤, half-open convention's closed left edge); ties at
+    * one instant resolve to the max event_id (the cdc winner order).
+    * Hour arithmetic is pure integer epoch-µs division (non-negative
+    * epoch precondition — [[dayIdxSql]]'s note applies).
+    *
+    * Plan: the q_asof_join union+window discipline — bounds from one
+    * user aggregate, grid rows exploded from a per-user sequence
+    * (fan-out = hours spanned, bounded by the CALENDAR window like
+    * q_retention's set, not by event count), then ONE user_id exchange
+    * where grid rows sort after same-instant events and
+    * `last(ignoreNulls)` carries the event struct forward — no
+    * row-multiplying join, no per-grid-point probe. At 100 TB both
+    * unioned sides shuffle once on user_id and the window's per-user
+    * sort is linear-ish in (events + hours). */
+  private[ops] def resampleLocfOf(ev: DataFrame): DataFrame = {
+    val H = 3600000000L // µs per hour
+    val e = ev.filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id"), col("event_type"))
+    val grid = e.groupBy("user_id").agg(min("tsu").as("lo"), max("tsu").as("hi"))
+      .select(col("user_id"), explode_outer(expr(
+        s"CASE WHEN ((lo + ${H - 1}L) div ${H}L) * ${H}L <= (hi div ${H}L) * ${H}L" +
+          s" THEN sequence(((lo + ${H - 1}L) div ${H}L) * ${H}L," +
+          s" (hi div ${H}L) * ${H}L, ${H}L) END")).as("grid_us"))
+      .filter(col("grid_us").isNotNull)
+    val stT = "struct<tsu:bigint,event_id:bigint,event_type:string>"
+    val tagged = e
+      .select(col("user_id"), col("tsu"), lit(0).as("is_grid"),
+        struct(col("tsu"), col("event_id"), col("event_type")).as("st"))
+      .unionAll(grid.select(col("user_id"), col("grid_us").as("tsu"),
+        lit(1).as("is_grid"), lit(null).cast(stT).as("st")))
+    // grid rows sort AFTER same-instant events (is_grid tiebreak), so a
+    // tick at an event's exact instant carries that event; event_id
+    // orders same-instant events so the carried struct is the max id
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsu"), col("is_grid"), col("st.event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn("lv", last("st", ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("tsu").as("grid_us"),
+        col("lv.event_type").as("state"),
+        col("lv.tsu").as("state_ts_us"),
+        col("lv.event_id").as("state_event_id"))
+  }
+
   private[ops] def attributionLastOf(ev: DataFrame): DataFrame =
     attributionOf(ev)
       .groupBy("user_id", "purchase_id", "amount")
@@ -408,6 +466,9 @@ object EventQueries {
     "q_event_transitions" -> ((s, d) => transitionsOf(Tables.events(s, d))),
 
     "q_retention" -> ((s, d) => retentionOf(Tables.events(s, d))),
+
+    // Regular-grid hourly resample + LOCF — see [[resampleLocfOf]].
+    "q_resample_locf" -> ((s, d) => resampleLocfOf(Tables.events(s, d))),
 
     // Click→purchase attribution — the interval self-join: every
     // purchase pairs with the SAME user's clicks in the strictly
@@ -519,6 +580,40 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The same union+window spelling as the Spark side: grid rows sort
+    // after same-instant events (is_grid), IGNORE NULLS carries the last
+    // event's triple. Hour arithmetic is the identical integer floor/ceil
+    // (// ≡ div on the non-negative fixture epochs — dayIdxSql's note).
+    "q_resample_locf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+                    FROM events
+                    WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+              b AS (SELECT user_id,
+                           ((MIN(tsu) + 3599999999) // 3600000000)
+                             * 3600000000 AS glo,
+                           (MAX(tsu) // 3600000000) * 3600000000 AS ghi
+                    FROM e GROUP BY user_id),
+              g AS (SELECT user_id,
+                           UNNEST(generate_series(glo, ghi, 3600000000)) AS tsu
+                    FROM b WHERE glo <= ghi),
+              u AS (SELECT user_id, tsu, 0 AS is_grid, tsu AS etsu,
+                           event_id, event_type
+                    FROM e
+                    UNION ALL
+                    SELECT user_id, tsu, 1, NULL, NULL, NULL FROM g),
+              c AS (SELECT user_id, tsu, is_grid,
+                           LAST_VALUE(event_type IGNORE NULLS) OVER win AS state,
+                           LAST_VALUE(etsu IGNORE NULLS) OVER win AS state_ts_us,
+                           LAST_VALUE(event_id IGNORE NULLS) OVER win
+                             AS state_event_id
+                    FROM u
+                    WINDOW win AS (PARTITION BY user_id
+                                   ORDER BY tsu, is_grid, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW))
+         SELECT user_id, tsu AS grid_us, state, state_ts_us, state_event_id
+         FROM c WHERE is_grid = 1""",
+
     // min-chained CTEs: t2's min is over clicks strictly after the user's
     // FIRST signup, which equals the Spark fold's "first click after t1"
     "q_funnel" ->

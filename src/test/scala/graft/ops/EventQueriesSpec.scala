@@ -93,4 +93,49 @@ class EventQueriesSpec extends SparkTestBase {
         s"hhi $h outside [1/$k, 1] for ${r.getAs[String]("source")}")
     }
   }
+
+  test("resampleLocfOf: hand fixture — hourly grid, LOCF carry, event-instant tick, sub-hour user emits nothing") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00") // ON the hour
+    def t(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val ev = Seq(
+      // u1: events at 10:00:00 (e1), 10:30 (e2), 12:10 (e3) -> grid
+      // 10:00 (=e1's instant: takes e1), 11:00 (e2 carried), 12:00 (e2)
+      (1L, t(0), 1L, "A", 0.0), (1L, t(1800), 2L, "B", 0.0),
+      (1L, t(7800), 3L, "C", 0.0),
+      // u2: 10:10 and 10:50 — never straddles an hour boundary
+      (2L, t(600), 4L, "X", 0.0), (2L, t(3000), 5L, "Y", 0.0),
+      // u3: two events at the SAME instant 10:59 + one at 11:01 ->
+      // grid 11:00 carries the max event_id of the tie (e7)
+      (3L, t(3540), 6L, "P", 0.0), (3L, t(3540), 7L, "Q", 0.0),
+      (3L, t(3660), 8L, "R", 0.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = EventQueries.resampleLocfOf(ev)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("grid_us"),
+        r.getAs[String]("state"), r.getAs[Long]("state_event_id")))
+      .sortBy(x => (x._1, x._2)).toList
+    val h = 3600000000L
+    val g10 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime * 1000L
+    assert(out === List(
+      (1L, g10, "A", 1L), (1L, g10 + h, "B", 2L), (1L, g10 + 2 * h, "B", 2L),
+      (3L, g10 + h, "Q", 7L)))
+  }
+
+  test("q_resample_locf on the fixture: every grid row is a whole hour inside the user's span and carries a real event") {
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    val out = EventQueries.queries("q_resample_locf")(spark, sfDir)
+    assert(out.count() > 0)
+    assert(out.filter(col("grid_us") % 3600000000L =!= 0).isEmpty,
+      "grid instants must be whole hours")
+    assert(out.filter(col("state_ts_us") > col("grid_us")).isEmpty,
+      "carried state must be at or before the tick")
+    // the carried triple is a REAL event row
+    val evs = ev.select(col("event_id").as("state_event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("state_ts_us"),
+      col("event_type").as("state"))
+    assert(out.select("state_event_id", "state_ts_us", "state")
+      .distinct.join(evs, Seq("state_event_id", "state_ts_us", "state"),
+        "left_anti").isEmpty)
+  }
 }

@@ -254,6 +254,27 @@ class PlanAuditSpec extends SparkTestBase {
       "q_pps_sample: offsets branch no longer reuses the shard stage")
   }
 
+  test("the r16 shapes keep their scale contracts") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q_substr_dedup: the first-wins pick is array_min INSIDE the gram
+    // aggregate — a regression to the windowed rank form would put a
+    // WindowExec over the corpus-sized gram stream
+    val sd = physical("q_substr_dedup")
+    assert(!sd.exists(_.isInstanceOf[WindowExec]),
+      "q_substr_dedup must pick winners inside the aggregate, not a window")
+    // q_resample_locf: the union+window discipline — exactly ONE window
+    // (the LOCF carry) and NO join anywhere (grid rows union in; a
+    // regression to a per-tick as-of JOIN would multiply rows)
+    val rl = physical("q_resample_locf")
+    assert(rl.count(_.isInstanceOf[WindowExec]) === 1,
+      "q_resample_locf must carry state through exactly one window")
+    assert(!rl.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !rl.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "q_resample_locf must not join grid to events")
+  }
+
   test("filtered parquet scans push their predicates down") {
     // every query that filters the lineitem scan must show PushedFilters
     val scans = physical("q_scan_filter").collect {

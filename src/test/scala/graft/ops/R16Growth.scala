@@ -113,6 +113,79 @@ object R16Growth {
   }
 }
 
+/** Growth harness for the two r16-born operators, so each ships with its
+  * curve (the born-probed convention's growth half): q_substr_dedup over
+  * word-prefixed id-offset document copies (disjoint gram spaces — n× is
+  * n independent dedup problems, growth measures volume) and
+  * q_resample_locf over id-offset event copies (per-user grids are
+  * independent; volume grows linearly in users × calendar window).
+  * Expectations: substr_dedup linear-ish (gram volume ≈ token volume —
+  * the q_repeated_spans account, plus a doc_id rejoin); resample
+  * linear-ish in (events + grid ticks).
+  *
+  * Run: sbt "Test/runMain graft.ops.R16bGrowth". Results in PERF.md.
+  */
+object R16bGrowth {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.configure(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    def docsTimes(n: Int): DataFrame =
+      (0 until n).map { c =>
+        docs.select((col("doc_id") + lit(c * maxDoc)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"c${c}_$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ union _)
+
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts", "value")
+    val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1L
+    val maxEvent = ev.agg(max("event_id")).head.getLong(0) + 1L
+    def evTimes(n: Int): DataFrame =
+      (0 until n).map { c =>
+        ev.select((col("user_id") + lit(c * maxUser)).as("user_id"),
+          (col("event_id") + lit(c * maxEvent)).as("event_id"),
+          col("event_type"), col("ts"), col("value"))
+      }.reduce(_ union _)
+
+    def t(body: => Unit): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      body
+      val s = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      s
+    }
+
+    // warm-up, untimed
+    CorpusQueries.substrDedupOf(docsTimes(1)).queryExecution.toRdd.count()
+    EventQueries.resampleLocfOf(evTimes(1)).queryExecution.toRdd.count()
+
+    println(f"${"scale"}%-6s ${"docs"}%7s ${"substr_s"}%9s " +
+      f"${"events"}%8s ${"resample_s"}%11s")
+    for (n <- Seq(1, 4, 16)) {
+      val d = docsTimes(n)
+      val nD = d.count()
+      val tS = t {
+        CorpusQueries.substrDedupOf(d).queryExecution.toRdd.count() }
+      val e = evTimes(n)
+      val nE = e.count()
+      val tR = t {
+        EventQueries.resampleLocfOf(e).queryExecution.toRdd.count() }
+      println(f"${n}%-6d ${nD}%7d ${tS}%9.3f ${nE}%8d ${tR}%11.3f")
+    }
+    spark.stop()
+  }
+}
+
 /** r16 skew dress rehearsal (VERDICT r15 #5): the event-fold family
   * (scd2 / cdc-merge / sessionize / funnel) budgets per-user state by
   * "arrays bounded by user activity" — this harness engineers the hub
