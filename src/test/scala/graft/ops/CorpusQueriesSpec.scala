@@ -92,6 +92,28 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(out(5L) === ((3L, 0L, "e1 e2 e3")))
   }
 
+  test("substrDedupOf is idempotent on the fixture: re-deduplicating the clean corpus removes nothing") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // after removal, every duplicated gram's sole survivor is its first
+    // occurrence, so a second pass finds none of the ORIGINAL duplicated
+    // grams. Caveat, stated: removal CONCATENATES across cut spans, and a
+    // new seam-spanning gram could in principle duplicate surviving text
+    // (Lee et al.'s one-pass removal has the same non-fixpoint property);
+    // this pins that on the real fixture the seams create no such gram —
+    // if a fixture change trips it, weaken to "no originally-duplicated
+    // gram recurs", don't loop to a fixpoint.
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val once = CorpusQueries.substrDedupOf(docs, gram = 5)
+    assert(once.filter(col("n_removed") > 0).count() > 0,
+      "gram=5 must find duplicates on the fixture for this test to bite")
+    val again = CorpusQueries.substrDedupOf(
+      once.select(col("doc_id"), col("clean_text").as("text")), gram = 5)
+    assert(again.filter(col("n_removed") > 0).isEmpty,
+      "second pass must be a no-op — first pass left a duplicated gram")
+  }
+
   test("q_substr_dedup on the fixture: removal bites, counts reconcile, and a removed gram's first occurrence survives") {
     val out = CorpusQueries.queries("q_substr_dedup")(spark, sfDir)
     val rows = out.collect()
