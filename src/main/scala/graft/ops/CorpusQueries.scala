@@ -747,25 +747,38 @@ object CorpusQueries {
     * shape (gram volume ≈ token volume); stage 3's join ships each doc's
     * tokens once and the dead sets only for docs that lose spans. */
   private[graft] def substrDedupOf(docs: DataFrame, gram: Int = 50): DataFrame = {
-    val toks = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        split(trim(lower(col("text"))), "\\s+").as("w"),
-        expr(s"word_grams_pos(lower(text), $gram)").as("gs"))
+    val toks = substrToks(docs, gram)
     // kill intervals: non-first occurrences of duplicated grams
-    val kills = toks
-      .select(col("doc_id"),
-        // explode_outer + null filter: the single-eval discipline (a
-        // plain explode lets the optimizer infer size(gs) > 0 and
-        // re-evaluate word_grams_pos inside the pushed Filter)
-        posexplode_outer(col("gs")).as(Seq("s", "gh")))
-      .filter(col("gh").isNotNull)
+    val kills = substrOcc(toks)
       .groupBy("gh")
       .agg(collect_list(struct(col("doc_id"), col("s"))).as("os"))
       .filter(size(col("os")) >= 2)
       .select(array_min(col("os")).as("win"), explode(col("os")).as("o"))
       .filter(col("o") =!= col("win"))
       .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))
-    // per-doc dead-position sets (distinct union of the kill intervals)
+    substrReassemble(toks, kills, gram)
+  }
+
+  /** q_substr_dedup stage 1, factored (r16) for the streaming ingest-dedup
+    * twin: tokens + positional gram hashes, one pass inside the scan. */
+  private[graft] def substrToks(docs: DataFrame, gram: Int): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("w"),
+        expr(s"word_grams_pos(lower(text), $gram)").as("gs"))
+
+  /** The (doc_id, start, gram-hash) occurrence stream off [[substrToks]].
+    * explode_outer + null filter: the single-eval discipline (a plain
+    * explode lets the optimizer infer size(gs) > 0 and re-evaluate
+    * word_grams_pos inside the pushed Filter). */
+  private[graft] def substrOcc(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), posexplode_outer(col("gs")).as(Seq("s", "gh")))
+      .filter(col("gh").isNotNull)
+
+  /** q_substr_dedup stage 3, factored (r16): fold kill starts into per-doc
+    * dead-position sets and reassemble survivors in source order. */
+  private[graft] def substrReassemble(toks: DataFrame, kills: DataFrame,
+                                      gram: Int): DataFrame = {
     val dead = kills.groupBy("doc_id")
       .agg(expr(s"array_distinct(flatten(transform(collect_list(s)," +
         s" st -> sequence(st, st + ${gram - 1}))))").as("dead"))

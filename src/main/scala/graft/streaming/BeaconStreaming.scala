@@ -1138,6 +1138,99 @@ object BeaconStreaming {
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
   }
 
+  /** Streaming exact-substring dedup AT INGEST (r16) —
+    * [[graft.ops.CorpusQueries.substrDedupOf]]'s operational twin: clean
+    * each arriving micro-batch of documents against a STANDING
+    * first-occurrence gram registry, so a new crawl dump lands already
+    * stripped of every ≥ gram-token span the corpus has seen before (and
+    * of within-batch repeats). This is the production shape of Lee et
+    * al.'s ExactSubstr dedup — the batch op re-answers the whole corpus
+    * per run; the ingest form pays one pass per arrival.
+    *
+    * Winner rule, identical to the batch op: an occurrence survives iff
+    * it IS the registered winner for its gram — the registry entry if
+    * the gram is known, else the batch-local min (doc_id, start), which
+    * then registers. When batches arrive in doc_id order (the replay
+    * spec's slicing), this reproduces the batch op's global first-wins
+    * EXACTLY. Registering the winner's IDENTITY (not a bare seen-flag)
+    * is what makes at-least-once redelivery safe: a redelivered batch
+    * finds its own winners already registered, and "occurrence ≠
+    * registered winner" still spares them — the cleaned output and the
+    * registry are both replay-idempotent (spec-pinned), so the batchId-
+    * keyed output overwrite composes to exactly-once.
+    *
+    * State honesty: the registry is O(distinct grams) ≈ O(corpus
+    * tokens) — that is the inherent index size of exact-substring dedup
+    * (Lee et al.'s suffix array is the same order), kilobyte-rows
+    * (gh, doc_id, s) rather than 50-word strings. The plain-parquet
+    * registry rewrite is O(registry) per batch via the crash-safe
+    * [[commitStateTable]] swap; a transactional format makes it
+    * O(delta) — the same swap seam as the CDC snapshot. */
+  def substrDedupSink(docs: DataFrame, registryPath: String,
+                      outPath: String, checkpoint: String,
+                      gram: Int = 50): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        substrDedupBatch(batch, registryPath, s"$outPath/batch=$batchId",
+          gram)
+      }
+
+  /** One micro-batch of the ingest dedup: clean `batch` against the
+    * registry at `registryPath`, write cleaned docs to `cleanedPath`
+    * (overwrite — batchId-keyed by the sink for exactly-once), register
+    * new winners. */
+  private[streaming] def substrDedupBatch(batch: DataFrame,
+                                          registryPath: String,
+                                          cleanedPath: String,
+                                          gram: Int): Unit = {
+    val s = batch.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    recoverStateTable(s, registryPath)
+    val toks = graft.ops.CorpusQueries.substrToks(batch, gram)
+      .localCheckpoint(true) // two consumers (occ + reassembly) per batch
+    val occ = graft.ops.CorpusQueries.substrOcc(toks)
+    val standing =
+      if (tableExists(s, registryPath)) s.read.parquet(registryPath)
+      else occ.filter(lit(false))
+        .select(col("gh"), col("doc_id").as("win_doc"), col("s").as("win_s"))
+    // per-gram winner: the registry entry if known, else batch-local min
+    val local = occ.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("s"))).as("lw"),
+        collect_list(struct(col("doc_id"), col("s"))).as("os"))
+    // NOT coalesce(struct(...)): a struct of NULL fields is itself
+    // non-null, so coalesce would never fall back to the local winner
+    // and every occurrence would lose (cross-engine discipline #5's
+    // cousin, found by the replay spec at this sink's birth)
+    val j = local.join(standing, Seq("gh"), "left_outer")
+      .select(col("gh"), col("os"),
+        when(col("win_doc").isNotNull,
+          struct(col("win_doc").as("doc_id"), col("win_s").as("s")))
+          .otherwise(col("lw")).as("win"))
+      .localCheckpoint(true) // consumed by kills AND the registry merge
+    val kills = j
+      .select(col("win"), explode(col("os")).as("o"))
+      .filter(col("o") =!= col("win"))
+      .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))
+    graft.ops.CorpusQueries.substrReassemble(toks, kills, gram)
+      .write.mode("overwrite").parquet(cleanedPath)
+    // register this batch's NEW winners (never overwrite an existing
+    // entry — first-wins is forever); union is replay-idempotent because
+    // a redelivered winner coalesces to its own registry entry
+    val grown = standing.unionAll(
+      j.join(standing, Seq("gh"), "left_anti")
+        .select(col("gh"), col("win.doc_id").as("win_doc"),
+          col("win.s").as("win_s")))
+    commitStateTable(grown, registryPath)
+    toks.unpersist(blocking = true)
+    j.unpersist(blocking = true)
+  }
+
+  /** The ingest dedup's read view: all cleaned batches. */
+  def substrDedupView(s: SparkSession, outPath: String): DataFrame =
+    s.read.parquet(outPath)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+
   /** Streaming ANN-index drift monitor (r16, VERDICT r15 #6) — the
     * serving-tier gap closer: [[pqCodesStream]] encodes arrivals against
     * FROZEN codebooks, but nothing detected when the arriving vector

@@ -1302,6 +1302,51 @@ class BeaconStreamingSpec extends SparkTestBase {
       s"expected a maxDurUs contract error, got: ${messages(ex)}")
   }
 
+  test("substrDedupSink: doc_id-ordered sliced replay equals batch q_substr_dedup; redelivery is idempotent") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val sch = docs.schema
+    val dir = tmpDir("stream-substr")
+    // doc_id-ordered slices: the ingest order under which the standing
+    // registry's first-wins reproduces the batch op's global first-wins
+    val ordered = docs.orderBy("doc_id").collect()
+    val slices = ordered.grouped((ordered.length + 2) / 3).toSeq
+    for (slice <- slices) {
+      spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(slice: _*)), sch)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val q = BeaconStreaming.substrDedupSink(
+          spark.readStream.schema(sch).parquet(s"$dir/in"),
+          s"$dir/reg", s"$dir/out", s"$dir/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))
+    val streamed = BeaconStreaming.substrDedupView(spark, s"$dir/out")
+      .collect().map(key).sortBy(_._1).toSeq
+    val batch = graft.ops.CorpusQueries.queries("q_substr_dedup")(spark, sfDir)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(batch.exists(_._3 > 0), "fixture must have cross-doc duplicates")
+    assert(streamed === batch)
+    // redelivery: re-apply the LAST slice against the advanced registry —
+    // winners coalesce to their own registry entries, so the cleaned
+    // output and the registry are byte-stable
+    val regBefore = spark.read.parquet(s"$dir/reg").count()
+    val lastSlice = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(slices.last: _*)), sch)
+    BeaconStreaming.substrDedupBatch(lastSlice, s"$dir/reg",
+      s"$dir/out/batch=${slices.length - 1}", 50)
+    assert(spark.read.parquet(s"$dir/reg").count() === regBefore,
+      "redelivery must not grow the registry")
+    val replayed = BeaconStreaming.substrDedupView(spark, s"$dir/out")
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(replayed === batch, "redelivered batch must clean identically")
+  }
+
   test("annDriftSink: the no-drift replay reads tv EXACTLY 0; a planted one-cell drift fires") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = graft.tables.Tables.embeddings(spark, sfDir)
