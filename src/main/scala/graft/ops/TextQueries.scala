@@ -220,6 +220,25 @@ object TextQueries {
               (col("r.n_tokens") - 1)).as("dup_bigram_frac"))
     }),
 
+    // Token-distribution Shannon entropy per document (r16) — the classic
+    // gibberish/boilerplate filter the ratio signals above don't subsume:
+    // low entropy = template spam (few tokens dominate), suspiciously
+    // high entropy at short length = random noise. H = ln(N) − Σc·ln(c)/N
+    // over the per-doc term-frequency table — ONE codegen'd term_counts
+    // pass per row, the integer moments and the Σc·ln(c) fold all
+    // row-local HOFs over that array, zero shuffles. Single-eval
+    // discipline: the folds consume the GENERATE output attribute
+    // (explode_outer of a 1-element transform array), so CollapseProject
+    // cannot inline term_counts into each use site (cross-engine
+    // checklist #5/#7). Rows-only for the hash gate BY DESIGN: ln is libm
+    // and the oracle's Σ runs in engine-specific group order — the 7th
+    // tolerance twin value-gates it (identity columns exact, entropy
+    // rel-tol 1e-12).
+    "q_entropy" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      entropyOf(Tables.documents(s, d))
+    }),
+
     // Corpus-level n-gram statistics: the top-20 bigrams by frequency —
     // the first table a tokenizer-training or repetition-audit run asks
     // for. Bigrams are built per-row (a doc's adjacent-token pairs never
@@ -885,7 +904,45 @@ object TextQueries {
     * in for the Greenwald–Khanna sketch; per-doc model columns must match
     * EXACTLY, buckets within a small disagreement budget (docs between the
     * exact and sketched pivot), proportions near thirds. */
+  /** q_entropy's pipeline over an arbitrary documents frame — factored
+    * (r16) so the property spec exercises the SAME expression chain the
+    * registered query runs. Requires GraftFunctions registered. */
+  private[graft] def entropyOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode_outer(expr(
+        """transform(array(term_counts(lower(text))), tc -> named_struct(
+             'n_tokens', aggregate(tc, 0L, (a, p) -> a + p.tf),
+             'n_distinct', CAST(size(tc) AS BIGINT),
+             'sclnc', aggregate(tc, CAST(0 AS DOUBLE),
+               (a, p) -> a + CAST(p.tf AS DOUBLE) * ln(CAST(p.tf AS DOUBLE)))))"""))
+        .as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.n_distinct").as("n_distinct"),
+        (log(col("r.n_tokens").cast("double")) -
+          col("r.sclnc") / col("r.n_tokens").cast("double")).as("entropy"))
+
   private[graft] val toleranceOracle: Map[String, String] = Map(
+    // q_entropy's natural twin: identical integer counts, the same
+    // H = ln(N) − Σc·ln(c)/N — but DuckDB's SUM adds in engine-specific
+    // group order and ln is libm, so entropy is value-gated (rel-tol
+    // 1e-12) rather than hash-gated; doc_id/n_tokens/n_distinct exact.
+    "q_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '\s+') AS w
+                      FROM documents WHERE text IS NOT NULL),
+          ex AS (SELECT doc_id, UNNEST(w) AS t FROM tok),
+          tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM ex GROUP BY 1, 2),
+          agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                           AS sclnc
+                  FROM tf GROUP BY doc_id)
+          SELECT doc_id, n_tokens, n_distinct,
+                 ln(CAST(n_tokens AS DOUBLE))
+                   - sclnc / CAST(n_tokens AS DOUBLE) AS entropy
+          FROM agg""",
     // Per-doc integer features + label for the probe — the checker
     // rebuilds X/y in numpy, re-solves the identical ridge system
     // (λ = 655) and compares scores under tolerance (the solve is float;

@@ -1279,4 +1279,34 @@ class OpPropertiesSpec extends SparkTestBase {
       assert(r.getAs[Double]("ks") >= 0.0 && r.getAs[Double]("ks") <= 1.0)
     }
   }
+
+  test("q_entropy: hand-computed values, bounds, and the constant-doc/uniform-doc extremes") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "a a b"),          // H = ln3 - (2 ln2)/3
+      (2L, "x x x x"),        // constant doc: H = 0
+      (3L, "p q r s"),        // uniform: H = ln4
+      (4L, "w")               // single token: H = 0
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextQueries.queries("q_entropy")(
+      spark, "/root/testdata/sf0.001")
+    // hand values go through entropyOf — the SAME expression chain the
+    // registered query runs over the fixture corpus
+    val hand = graft.ops.TextQueries.entropyOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy"))).toMap
+    assert(hand(1L)._1 === 3L && hand(1L)._2 === 2L)
+    assert(math.abs(hand(1L)._3 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-15)
+    assert(hand(2L) === ((4L, 1L, 0.0)))
+    assert(math.abs(hand(3L)._3 - math.log(4)) < 1e-15)
+    assert(hand(4L) === ((1L, 1L, 0.0)))
+    // fixture-wide bounds: 0 <= H <= ln(n_distinct) (Jensen), and the
+    // registered rows reconcile n_distinct <= n_tokens
+    val bad = out.filter(col("entropy") < -1e-12 ||
+      col("entropy") > log(col("n_distinct").cast("double")) + lit(1e-12) ||
+      col("n_distinct") > col("n_tokens"))
+    assert(bad.isEmpty)
+  }
 }

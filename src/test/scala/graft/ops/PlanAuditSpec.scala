@@ -80,7 +80,9 @@ class PlanAuditSpec extends SparkTestBase {
       "q_fingerprint", "q_token_count", "q_text_quality", "q_lang_guess",
       "q_vector_norms",
       // late r8: denylist scrubbing is pure per-row regex inside the scan
-      "q_redact")
+      "q_redact",
+      // r16: entropy is one term_counts pass + row-local HOF folds
+      "q_entropy")
     val offenders = zeroShuffle.filter { name =>
       physical(name).exists(
         _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])

@@ -17,6 +17,8 @@ compared".
   exact COUNT(DISTINCT) at the default relativeSD = 0.05; the
   percentile_approx element's exact rank interval within the published
   Greenwald-Khanna bound (1/accuracy, + equal slack) of the 0.5 target.
+- q_entropy (r16): doc_id/n_tokens/n_distinct exact; Shannon entropy
+  within rel-tol 1e-12 (libm ln + engine-specific float-sum order).
 
 Usage: python3 tools/check_tolerance.py <verify_out_dir> <sf_dir>
 """
@@ -250,6 +252,32 @@ def check_sketch_union(con, out_dir, sql):
     return None
 
 
+def check_entropy(con, out_dir, sql):
+    """q_entropy (r16): identity/count columns exact; entropy within
+    rel-tol 1e-12 of the twin's (libm ln + engine-specific float sum
+    order — the q_bm25_logidf class, plus an abs floor for the exact-zero
+    single-token docs)."""
+    ocols, orows = fetch(con, sql)
+    scols, srows = fetch(con, f"SELECT * FROM '{out_dir}/q_entropy/*.parquet'")
+    if len(orows) != len(srows):
+        return f"row counts differ: spark={len(srows)} oracle={len(orows)}"
+    om = rows_by_key(ocols, orows, ["doc_id"])
+    sm = rows_by_key(scols, srows, ["doc_id"])
+    if om.keys() != sm.keys():
+        return f"doc_id sets differ: only-spark={sorted(set(sm) - set(om))[:3]} only-oracle={sorted(set(om) - set(sm))[:3]}"
+    oi = {c: ocols.index(c) for c in ocols}
+    si = {c: scols.index(c) for c in scols}
+    for k in om:
+        for c in ("n_tokens", "n_distinct"):
+            if om[k][oi[c]] != sm[k][si[c]]:
+                return (f"doc {k}: {c} differs spark={sm[k][si[c]]} "
+                        f"oracle={om[k][oi[c]]}")
+        a, b = sm[k][si["entropy"]], om[k][oi["entropy"]]
+        if abs(a - b) > max(REL_TOL * max(abs(a), abs(b)), 1e-15):
+            return f"doc {k}: entropy out of rel-tol: spark={a!r} oracle={b!r}"
+    return None
+
+
 CHECKS = {
     "q_bm25_logidf": check_bm25_logidf,
     "q_lm_fluency_terciles": check_terciles,
@@ -257,6 +285,7 @@ CHECKS = {
     "q_approx_agg": check_approx_agg,
     "q_pagerank": check_pagerank,
     "q_sketch_union": check_sketch_union,
+    "q_entropy": check_entropy,
 }
 
 
