@@ -206,6 +206,10 @@ object SimilarityQueries {
   private[graft] def cellAssign(vectors: DataFrame, s: SparkSession,
                                 fitDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val clash = vectors.columns.filter(Set("cell", "__nv"))
+    require(clash.isEmpty,
+      s"cellAssign: input columns ${clash.mkString(", ")} collide with " +
+        "the assignment's internal/output names — rename them upstream")
     val cents = headVecs(s, fitDir, 16).map { case (id, ce) =>
       (id, ce, math.sqrt(dotLocal(ce, ce))) }
     val assignCand = cents.map { case (cid, ce, nc) =>
