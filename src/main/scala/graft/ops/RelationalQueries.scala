@@ -365,6 +365,26 @@ object RelationalQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(10)),
 
+    // C12/C13 — top-N PER KEY (r16): the classic "top 3 documents per
+    // source", via the bounded topk_by heap aggregate instead of the
+    // textbook ROW_NUMBER window. Selection and order are identical to
+    // ROW_NUMBER(n_chars DESC, doc_id) — the twin IS that window form —
+    // but the plan is an ObjectHashAggregate with map-side combine: each
+    // task keeps at most k rows per group before the exchange, so the
+    // shuffle carries ≤ k·groups rows, where the window form ships and
+    // per-group SORTS the whole corpus (PlanAuditSpec pins zero
+    // WindowExec). n_chars round-trips through the heap's DOUBLE score
+    // lane exactly (ints ≪ 2^53).
+    "q_group_topn" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(expr("topk_by(CAST(n_chars AS DOUBLE), doc_id, 3)").as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+          col("t.id").as("doc_id"), col("t.score").cast("long").as("n_chars"))
+    }),
+
     // C9 — star join through two broadcast dims (nation, region are tiny at
     // any SF: broadcast explicitly, no shuffle of the fact side).
     "q_join_broadcast" -> ((s, d) =>
@@ -1672,6 +1692,14 @@ object RelationalQueries {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    // the textbook window form — the heap aggregate's selection/order
+    // contract is exactly ROW_NUMBER(n_chars DESC, doc_id)
+    "q_group_topn" ->
+      """SELECT source, rnk, doc_id, n_chars FROM (
+           SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rnk
+           FROM documents) WHERE rnk <= 3""",
     "q_join_broadcast" ->
       """SELECT r_name, COUNT(*) AS n_cust,
                 CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal

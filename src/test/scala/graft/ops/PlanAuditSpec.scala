@@ -275,6 +275,12 @@ class PlanAuditSpec extends SparkTestBase {
       !rl.exists(_.isInstanceOf[
         org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       "q_resample_locf must not join grid to events")
+    // q_group_topn: the per-key top-N comes off the bounded heap
+    // aggregate (≤ k rows per group cross the exchange) — a regression
+    // to the textbook ROW_NUMBER form would window-sort the corpus
+    val gt = physical("q_group_topn")
+    assert(!gt.exists(_.isInstanceOf[WindowExec]),
+      "q_group_topn must use the heap aggregate, not a window")
   }
 
   test("filtered parquet scans push their predicates down") {
