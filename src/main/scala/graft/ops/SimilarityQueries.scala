@@ -204,13 +204,22 @@ object SimilarityQueries {
     * (centroids are literals) — composes with streaming. Input needs an
     * `embedding` column; all other columns pass through plus `cell`. */
   private[graft] def cellAssign(vectors: DataFrame, s: SparkSession,
-                                fitDir: String): DataFrame = {
+                                fitDir: String): DataFrame =
+    cellAssignCents(vectors, s, headVecs(s, fitDir, 16))
+
+  /** [[cellAssign]] against an EXPLICIT centroid set (r17, VERDICT r16
+    * #6): the drift monitor's retrain path serves a RE-FIT codebook from
+    * a state table rather than the frozen fit-corpus head, so the
+    * assignment expression is factored to take whichever centroids the
+    * serving tier resolved. Same argmax, same -cid tie-break. */
+  private[graft] def cellAssignCents(vectors: DataFrame, s: SparkSession,
+                                     cents0: Array[(Long, Array[Float])]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val clash = vectors.columns.filter(Set("cell", "__nv"))
     require(clash.isEmpty,
       s"cellAssign: input columns ${clash.mkString(", ")} collide with " +
         "the assignment's internal/output names — rename them upstream")
-    val cents = headVecs(s, fitDir, 16).map { case (id, ce) =>
+    val cents = cents0.map { case (id, ce) =>
       (id, ce, math.sqrt(dotLocal(ce, ce))) }
     val assignCand = cents.map { case (cid, ce, nc) =>
       struct(
@@ -223,6 +232,12 @@ object SimilarityQueries {
       .withColumn("cell", negate(greatest(assignCand: _*).getField("n")))
       .drop("__nv")
   }
+
+  /** The frozen coarse quantizer for `fitDir`, exposed for the serving
+    * tier (r17): the same cached head-vector centroids [[cellAssign]]
+    * binds — the codebook a retrain REPLACES. */
+  private[graft] def frozenCentroids(s: SparkSession, fitDir: String): Array[(Long, Array[Float])] =
+    headVecs(s, fitDir, 16)
 
   private[ops] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

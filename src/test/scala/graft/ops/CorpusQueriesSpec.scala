@@ -114,6 +114,43 @@ class CorpusQueriesSpec extends SparkTestBase {
       "second pass must be a no-op — first pass left a duplicated gram")
   }
 
+  test("substrDedupOf on a boilerplate-gram fixture: the bounded " +
+    "min-winner plan equals the collect_list reference under hot-key skew") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the VERDICT r16 #1 hazard, engineered: ONE 60-token boilerplate
+    // span (license-header shaped) planted at the head of 30% of fixture
+    // docs — at gram 50 that is 11 grams whose occurrence lists all
+    // concentrate on the planted docs, exactly the hot key the bounded
+    // plan must absorb. Equivalence oracle: the r16 collect_list
+    // spelling, test-local (its unbounded buffer is fine at spec scale)
+    val boiler = (1 to 60).map(i => s"lic$i").mkString(" ")
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 < 3, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))
+    val bounded = CorpusQueries.substrDedupOf(docs)
+      .collect().map(key).sortBy(_._1).toSeq
+    // reference: per-gram collect_list + array_min, the pre-r17 shape
+    val toks = CorpusQueries.substrToks(docs, 50)
+    val refKills = CorpusQueries.substrOcc(toks)
+      .groupBy("gh")
+      .agg(collect_list(struct(col("doc_id"), col("s"))).as("os"))
+      .filter(size(col("os")) >= 2)
+      .select(array_min(col("os")).as("win"), explode(col("os")).as("o"))
+      .filter(col("o") =!= col("win"))
+      .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))
+    val reference = CorpusQueries.substrReassemble(toks, refKills, 50)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(bounded.count(_._3 > 0) >=
+      (0.25 * bounded.length).toInt,
+      "the planted boilerplate must actually bite on ≥ 25% of docs")
+    assert(bounded === reference)
+  }
+
   test("q_substr_dedup on the fixture: removal bites, counts reconcile, and a removed gram's first occurrence survives") {
     val out = CorpusQueries.queries("q_substr_dedup")(spark, sfDir)
     val rows = out.collect()

@@ -1392,6 +1392,58 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(drifted.getAs[Boolean]("drifted"))
   }
 
+  test("annRetrain: a planted drift re-fits the codebook and the retuned " +
+    "monitor reads calm; the calm replay is a strict no-op (r17)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.tables.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    // CALM: arrivals are the training corpus — not drifted, retrain
+    // must refuse and leave no codebook behind (recall therefore holds
+    // by construction: every assignment still scores the frozen index)
+    val calmDir = tmpDir("ann-retrain-calm")
+    BeaconStreaming.annDriftBatch(emb, sfDir, s"$calmDir/tbl", 0L)
+    assert(!BeaconStreaming.annRetrain(spark, sfDir, s"$calmDir/tbl"))
+    val fs = new org.apache.hadoop.fs.Path(calmDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$calmDir/tbl.codebook")), "calm retrain must not commit a codebook")
+    // PLANTED DRIFT: every arrival from ONE cell's training vectors
+    val hot = graft.ops.SimilarityQueries.cellAssign(emb, spark, sfDir)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).collect().head.getAs[Long]("cell")
+    val oneCell = graft.ops.SimilarityQueries.cellAssign(emb, spark, sfDir)
+      .filter(col("cell") === hot).select("vec_id", "embedding")
+    val driftDir = tmpDir("ann-retrain-hot")
+    BeaconStreaming.annDriftBatch(oneCell, sfDir, s"$driftDir/tbl", 0L)
+    val fired = BeaconStreaming.annDriftView(spark, sfDir, s"$driftDir/tbl")
+      .collect().head
+    assert(fired.getAs[Boolean]("drifted"), "the plant must fire the signal")
+    assert(BeaconStreaming.annRetrain(spark, sfDir, s"$driftDir/tbl"),
+      "a fired signal must trigger the retrain")
+    // the epoch swapped: codebook + baseline committed, counts reset
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$driftDir/tbl.codebook")))
+    assert(spark.read.parquet(s"$driftDir/tbl").count() === 0L)
+    // the re-fit codebook spreads the hot region over many cells: the
+    // SAME arrivals, re-scored against the new generation, occupy > 1
+    val cents = BeaconStreaming.servingCentroids(
+      spark, sfDir, s"$driftDir/tbl")
+    val spread = graft.ops.SimilarityQueries
+      .cellAssignCents(oneCell, spark, cents)
+      .select("cell").distinct().count()
+    assert(spread > 1,
+      s"re-fit codebook must split the hot region, got $spread cell(s)")
+    // post-retrain: the same drifted stream keeps arriving — against
+    // the retuned reference the monitor now reads BELOW threshold
+    // (exactly 0 here: the replayed arrivals ARE the reservoir)
+    BeaconStreaming.annDriftBatch(oneCell, sfDir, s"$driftDir/tbl", 1L)
+    val after = BeaconStreaming.annDriftView(spark, sfDir, s"$driftDir/tbl")
+      .collect().head
+    assert(after.getAs[Double]("tv") < 0.25,
+      s"post-retrain tv must drop below threshold, got ${after.getAs[Double]("tv")}")
+    assert(!after.getAs[Boolean]("drifted"))
+  }
+
   test("commitStateTable crash windows: prior generation survives a mid-write crash; a complete .next is adopted, a partial one is not") {
     import spark.implicits._
     val dir = tmpDir("state-swap")
@@ -1425,5 +1477,162 @@ class BeaconStreamingSpec extends SparkTestBase {
     // and a subsequent commit over the recovered table works normally
     BeaconStreaming.commitStateTable(gen(4), p)
     assert(readV() === Seq(4L))
+  }
+
+  test("commitStateTable r17 rename windows: retired .old resurrects, " +
+    "complete .next wins over .old, stray .old is cleared") {
+    import spark.implicits._
+    val dir = tmpDir("state-swap-r17")
+    val p = s"$dir/tbl"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gen(v: Long) = Seq((1L, v)).toDF("k", "v")
+    def readV() = spark.read.parquet(p).collect().map(_.getLong(1)).toSeq
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // crash between RETIRE and PROMOTE with .next complete (the normal
+    // mid-swap window of the rename sequence): live dir gone, old gen in
+    // .old, new gen complete in .next — recovery adopts .next and drops
+    // the retired copy
+    BeaconStreaming.commitStateTable(gen(1), p)
+    gen(2).write.parquet(p + ".next")
+    assert(fs.rename(path(p), path(p + ".old")))
+    BeaconStreaming.recoverStateTable(spark, p)
+    assert(readV() === Seq(2L))
+    assert(!fs.exists(path(p + ".old")) && !fs.exists(path(p + ".next")))
+
+    // same window but .next PARTIAL (no _SUCCESS — per the commit's own
+    // ordering this cannot happen, covered anyway per ADVICE r16): the
+    // retired generation is the sole complete copy and must resurrect
+    gen(99).write.parquet(p + ".next")
+    fs.delete(path(p + ".next/_SUCCESS"), false)
+    assert(fs.rename(path(p), path(p + ".old")))
+    BeaconStreaming.recoverStateTable(spark, p)
+    assert(readV() === Seq(2L), "retired .old must resurrect, not the partial .next")
+    assert(!fs.exists(path(p + ".old")) && !fs.exists(path(p + ".next")))
+
+    // crash mid-CLEANUP (live dir already the new generation, stray
+    // .old left behind): recover clears it; a commit with the stray
+    // still present must also proceed (it needs .old free as a rename
+    // target)
+    gen(0).write.parquet(p + ".old")
+    BeaconStreaming.recoverStateTable(spark, p)
+    assert(!fs.exists(path(p + ".old")))
+    assert(readV() === Seq(2L))
+    gen(0).write.parquet(p + ".old")
+    BeaconStreaming.commitStateTable(gen(3), p)
+    assert(readV() === Seq(3L))
+    assert(!fs.exists(path(p + ".old")) && !fs.exists(path(p + ".next")))
+
+    // at no point above was the table ever PARTIALLY deleted: the only
+    // recursive deletes in the swap touch .old/.next siblings, which is
+    // the whole point of the rename-only sequence (ADVICE r16)
+  }
+
+  test("substrDedupSink arrival-order ledger: in-order clean, " +
+    "out-of-order flagged, redelivery raises no false positive") {
+    import spark.implicits._
+    val dir = tmpDir("substr-order")
+    val reg = s"$dir/reg"
+    def docsDF(ids: Seq[Long]) =
+      ids.map(i => (i, s"doc $i words " * 30)).toDF("doc_id", "text")
+    // batches 0,1 in doc_id order: no violation
+    BeaconStreaming.substrDedupBatch(docsDF(Seq(1L, 2L)), reg,
+      s"$dir/out/batch=0", 50, batchId = 0L)
+    BeaconStreaming.substrDedupBatch(docsDF(Seq(3L, 4L)), reg,
+      s"$dir/out/batch=1", 50, batchId = 1L)
+    val led1 = BeaconStreaming.substrDedupOrderView(spark, reg).collect()
+    assert(led1.length === 2 && led1.forall(!_.getAs[Boolean]("violated")))
+    // batch 2 arrives with doc_ids BELOW batch 1's max: flagged
+    BeaconStreaming.substrDedupBatch(docsDF(Seq(2L, 5L)), reg,
+      s"$dir/out/batch=2", 50, batchId = 2L)
+    val led2 = BeaconStreaming.substrDedupOrderView(spark, reg)
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        r.getAs[Boolean]("violated")).toMap
+    assert(led2(2L), "out-of-order batch must be flagged")
+    assert(!led2(0L) && !led2(1L))
+    // REDELIVERY of batch 1 (its min < its own recorded max, but only
+    // strictly-earlier batches are compared): still unflagged, ledger
+    // row count unchanged
+    BeaconStreaming.substrDedupBatch(docsDF(Seq(3L, 4L)), reg,
+      s"$dir/out/batch=1", 50, batchId = 1L)
+    val led3 = BeaconStreaming.substrDedupOrderView(spark, reg).collect()
+    assert(led3.length === 3)
+    assert(!led3.find(_.getAs[Long]("batch_id") == 1L).get
+      .getAs[Boolean]("violated"),
+      "redelivered batch must not be flagged as out-of-order")
+  }
+
+  test("substrDedup registry append converges after a simulated " +
+    "partial-append crash (r17 O(delta) maintenance)") {
+    import spark.implicits._
+    val dir = tmpDir("substr-partial-append")
+    val reg = s"$dir/reg"
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    // batch 0 registers the corpus's grams, multi-file
+    BeaconStreaming.substrDedupBatch(docs.repartition(8), reg,
+      s"$dir/out/batch=0", 50, batchId = 0L)
+    val full = spark.read.parquet(reg)
+      .collect().map(_.toSeq).toSet
+    assert(full.nonEmpty)
+    // simulate a crash mid-append: only HALF the winners reached the
+    // registry (task-level commits land file-atomically, so a crash
+    // leaves a valid SUBSET of the appended rows) — rewrite the dir
+    // holding an arbitrary half
+    val half = spark.read.parquet(reg).orderBy("gh")
+      .limit(full.size / 2).collect()
+    val regSchema = spark.read.parquet(reg).schema
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(half: _*)), regSchema)
+      .write.mode("overwrite").parquet(reg)
+    assert(spark.read.parquet(reg).count() < full.size)
+    // redelivery: registered prefix coalesces to its own entries, the
+    // left_anti appends exactly the missing winners — the registry
+    // converges to the full set and the cleaned output is unchanged
+    val before = BeaconStreaming.substrDedupView(spark, s"$dir/out")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    BeaconStreaming.substrDedupBatch(docs.repartition(8), reg,
+      s"$dir/out/batch=0", 50, batchId = 0L)
+    assert(spark.read.parquet(reg).collect().map(_.toSeq).toSet === full,
+      "registry must converge to the full winner set")
+    val after = BeaconStreaming.substrDedupView(spark, s"$dir/out")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(after === before, "cleaned output must be replay-stable")
+  }
+
+  test("intervalOverlapStream passes NULL endpoints through to the " +
+    "silent drop instead of raising (ADVICE r16)") {
+    import spark.implicits._
+    val dir = tmpDir("stream-ivj-null")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    // one real overlapping pair + a null-ts error + a null-value view:
+    // pre-fix the NULL condition fell into raise_error and poison-pilled
+    // the stream. A null TS row drops silently (the batch twin's
+    // sequence-explode semantics); a null VALUE is not a null endpoint
+    // at all — durationUs's greatest(1, NULL) floors it to a 1µs
+    // interval (Spark greatest ignores nulls), so event 4 legitimately
+    // pairs with the error it starts inside
+    Seq((1L, Option(ts0), 1L, "error", Option(300.0)),
+        (2L, Option(ts1), 2L, "view", Option(300.0)),
+        (3L, Option.empty[java.sql.Timestamp], 3L, "error", Option(10.0)),
+        (4L, Option(ts0), 4L, "view", Option.empty[Double]))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val sch = spark.read.parquet(s"$dir/in").schema
+    val q = BeaconStreaming.intervalOverlapStream(
+        spark.readStream.schema(sch).parquet(s"$dir/in"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$dir/out").collect()
+    assert(out.map(r => (r.getAs[Long]("incident_id"),
+      r.getAs[Long]("session_id"))).toSet === Set((1L, 2L), (1L, 4L)),
+      "null-ts rows must drop silently; the 1µs-floored null-value " +
+        "view and the real pair must survive")
   }
 }
