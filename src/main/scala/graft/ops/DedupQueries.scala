@@ -796,7 +796,99 @@ object DedupQueries {
         size(col("p.sb")).cast("long").as("nb"))
   }
 
+  /** q_simjoin_prefix's pipeline (r17) — EXACT threshold similarity
+    * self-join via AllPairs/PPJoin prefix filtering (Bayardo, Ma &
+    * Srikant, WWW'07; Chaudhuri et al.'s SSJoin prefix bound), the
+    * no-false-negatives complement to the LSH family: banding MISSES
+    * pairs (BeaconStreamingSpec pins a 1-of-4-band near-dup the stream
+    * keeps), while this join returns EVERY pair with shingle-set
+    * Jaccard ≥ t, exactly — same shingle universe and hash as
+    * q_jaccard_pairs, so the two are directly comparable.
+    *
+    * Why not all-pairs: a doc pair with J(A,B) ≥ t must share an
+    * element inside each side's PREFIX — the first |S| − ⌈t·|S|⌉ + 1
+    * elements under any global total order (if all shared elements sat
+    * outside A's prefix, |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B|). Ordering
+    * rarest-first makes those prefixes collide as little as possible,
+    * so the candidate join is driven by RARE shingles — the frequent
+    * shingle that would hot-key a naive posting join lands in a prefix
+    * only when a doc consists almost entirely of frequent shingles.
+    *
+    * Plan: (1) shingle sets from the same codegen'd shingle_sig_set the
+    * LSH family uses, (2) one df aggregation (count per shingle hash),
+    * (3) per-doc LONG arrays re-sorted rarest-first by (df, hash) — the
+    * global order is established at build time, so NO driver-side rank
+    * table and no single-partition window, and the arrays stay
+    * primitive (array_intersect's atomic fast path; the struct-array
+    * form of this op cost 400× its twin in interpreted O(n·m)
+    * comparisons — the r17 born-probe caught it), (4) prefix explode +
+    * self-equi-join on the bare (shingle, doc) rows with the AllPairs
+    * LENGTH filter (t·|A| ≤ |B| ≤ |A|/t) as a join residual — no array
+    * payload rides the skew-prone exchange, (5) pair dedup by DISTINCT
+    * on the bare id pair, (6) arrays join back once per side and the
+    * exact |A∩B| is ONE primitive array_intersect per surviving
+    * candidate, then the threshold filter. Shuffles: shingle df,
+    * doc-array rebuild, prefix join, pair distinct, two array
+    * lookups — all gram-, prefix- or candidate-volume, never all-pairs.
+    * Hot-prefix skew: the rare-first order IS the de-skewer; the
+    * residual hatch is [[graft.ops.ScaleOps.saltedJoin]], same as
+    * q_jaccard_pairs. */
+  private[graft] def simjoinPrefixOf(s: SparkSession, docs: DataFrame,
+                                     t: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sets = docs
+      .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
+      .select(col("doc_id"), col("g.ss").as("ss"))
+      .filter(col("ss").isNotNull && size(col("ss")) > 0)
+    // the substr-dedup exchange-reuse discipline: the df aggregate and
+    // the df rejoin both hang off ONE explicit repartition(sh), so the
+    // shingle stream is exchanged once, not twice
+    val occ = sets
+      .select(col("doc_id"), explode_outer(col("ss")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .repartition(col("sh"))
+    val dfreq = occ.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ordered = occ.join(dfreq, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, sh)))," +
+        " x -> x.sh)").as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).as("n"))
+      .withColumn("p",
+        (col("n") - ceil(lit(t) * col("n")).cast("int") + 1))
+    val prefix = ordered.select(col("doc_id"), col("n"),
+      explode(expr("slice(arr, 1, p)")).as("sh"))
+    val cands = prefix.alias("a").join(prefix.alias("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= lit(t) * col("b.n") &&
+          col("b.n") >= lit(t) * col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val arrs = ordered.select(col("doc_id"), col("arr"), col("n"))
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("aa"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("ab"),
+        col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("aa"), col("ab"))).cast("long").as("ni"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("ni"),
+        (col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni"))).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXACT Jaccard-threshold similarity self-join (r17) — see
+    // [[simjoinPrefixOf]]: the candidate generator is the prefix-filter
+    // bound, not banding, so unlike q_jaccard_pairs NOTHING above the
+    // threshold is missed. The twin is the brute-force all-shared-
+    // shingle join — any pair the prefix bound wrongly dropped is a
+    // hash mismatch, so the gate proves the bound, not just the math.
+    "q_simjoin_prefix" -> ((s, d) =>
+      simjoinPrefixOf(s, Tables.documents(s, d))),
+
     // C15 / exact dedup: hash-groupBy on the exact content key.
     "q_dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1135,6 +1227,27 @@ object DedupQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // brute force over the SAME hashed shingle universe: every pair of
+    // docs sharing any shingle, thresholded — if the Spark side's
+    // prefix bound drops a qualifying pair, this twin has it and the
+    // hash gate fails
+    "q_simjoin_prefix" ->
+      s"""WITH $shingleCte,
+          ssh AS (SELECT DISTINCT doc_id,
+                         CAST(md5_number_lower('0:' || sh)
+                              % 9223372036854775807 AS BIGINT) AS sh
+                  FROM sh),
+          cnt AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+          i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+                FROM ssh a JOIN ssh b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT da AS doc_a, db AS doc_b, ni,
+                 CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard
+          FROM i
+          JOIN cnt ca ON ca.doc_id = da
+          JOIN cnt cb ON cb.doc_id = db
+          WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.5""",
     "q_dedup_exact" ->
       """SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text""",

@@ -576,10 +576,54 @@ object EventQueries {
 
     // Interval-overlap join (r15) — keyless interval×interval overlap
     // via time-grain bucketing; see [[intervalJoinOf]].
-    "q_interval_join" -> ((s, d) => intervalJoinOf(Tables.events(s, d)))
+    "q_interval_join" -> ((s, d) => intervalJoinOf(Tables.events(s, d))),
+
+    // OHLC bars (r17) — per-(user, day) open/high/low/close + count,
+    // the event-stream downsampler that complements q_resample_locf's
+    // densifier: LOCF fills the grid BETWEEN observations, OHLC
+    // collapses the observations WITHIN a bucket. One hash aggregate,
+    // map-side combinable, O(1) buffers — open/close are
+    // min/max(struct(tsu, event_id, value)) so first/last are total-
+    // order deterministic (the min-struct discipline; min_by/arg_min
+    // tie behavior differs across engines, struct extrema do not).
+    // Day bucketing is the ONE dayIdxSql spelling (non-negative-epoch
+    // precondition documented there).
+    "q_ohlc_bars" -> ((s, d) => ohlcBarsOf(Tables.events(s, d)))
   )
 
+  /** q_ohlc_bars' pipeline over an arbitrary events frame (r17),
+    * factored for the growth harness. */
+  private[graft] def ohlcBarsOf(ev: DataFrame): DataFrame =
+    ev.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"), expr(dayIdxSql("tsu")).as("day"))
+      .agg(min(struct(col("tsu"), col("event_id"), col("value"))).as("o"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(struct(col("tsu"), col("event_id"), col("value"))).as("c"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("day"), col("o.value").as("open"),
+        col("high"), col("low"), col("c.value").as("close"),
+        col("n_events"))
+
   val oracle: Map[String, String] = Map(
+    // the same min/max-over-struct extrema (DuckDB struct comparison is
+    // the identical lexicographic order), the same // day bucketing
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+                           event_id, value
+                    FROM events
+                    WHERE ts IS NOT NULL AND value IS NOT NULL)
+         SELECT user_id, tsu // 86400000000 AS day,
+                (MIN(struct_pack(t := tsu, e := event_id, v := value))).v
+                  AS open,
+                MAX(value) AS high, MIN(value) AS low,
+                (MAX(struct_pack(t := tsu, e := event_id, v := value))).v
+                  AS close,
+                COUNT(*) AS n_events
+         FROM e GROUP BY 1, 2""",
     // The same union+window spelling as the Spark side: grid rows sort
     // after same-instant events (is_grid), IGNORE NULLS carries the last
     // event's triple. Hour arithmetic is the identical integer floor/ceil

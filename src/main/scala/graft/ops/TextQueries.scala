@@ -69,6 +69,43 @@ object TextQueries {
     // Pareto skyline (r15) — see [[skylineOf]].
     "q_skyline" -> ((s, d) => skylineOf(Tables.documents(s, d))),
 
+    // Collocation mining by lift (r17): the 100 most frequent token
+    // bigrams, each scored lift = P(ab)/(P(a)·P(b)) — the PMI exponent,
+    // monotone in PMI with ZERO libm on either engine: the score is one
+    // division of exact BIGINT cross-products (n_ab·N and n_a·n_b, both
+    // far under 2^53 at oracle scales), so the twin is hash-exact where
+    // a log-PMI would be tolerance-tier. Selection before scoring:
+    // top-100 by (count DESC, w1, w2) is a TakeOrderedAndProject — the
+    // unigram table joins against 100 rows, not the corpus, and rides
+    // broadcast. Bigrams stream off the token arrays row-locally
+    // (zip_with over two slices; attribute-bound w, the substrToks
+    // barrier discipline — no split re-eval).
+    "q_colloc_lift" -> ((s, d) => {
+      val tok = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+      val uni = tok.select(explode_outer(col("w")).as("t"))
+        .filter(col("t").isNotNull)
+      val un = uni.groupBy("t").agg(count(lit(1)).as("n"))
+      val tot = uni.groupBy().agg(count(lit(1)).as("nn"))
+      val top = tok.select(explode_outer(expr(
+          "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+            "slice(w, 2, greatest(size(w) - 1, 0)), " +
+            "(a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+        .filter(col("b").isNotNull)
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .orderBy(col("n_ab").desc, col("w1"), col("w2"))
+        .limit(100)
+      val withA = un.join(broadcast(top), col("t") === col("w1"))
+        .select(col("w1"), col("w2"), col("n_ab"), col("n").as("n_a"))
+      un.join(broadcast(withA), col("t") === col("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("n_ab"), col("n_a"),
+          col("n").as("n_b"),
+          ((col("n_ab") * col("nn")).cast("double") /
+            (col("n_a") * col("n")).cast("double")).as("lift"))
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish lowercase-run count.
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -987,6 +1024,27 @@ object TextQueries {
           FROM perdoc CROSS JOIN piv""")
 
   val oracle: Map[String, String] = Map(
+    // identical selection key (count DESC, w1, w2 — a total order, so
+    // the LIMIT boundary cannot disagree) and the identical exact-
+    // BIGINT cross-product division
+    "q_colloc_lift" ->
+      """WITH ws AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents WHERE text IS NOT NULL),
+          uni AS (SELECT UNNEST(w) AS t FROM ws),
+          un AS (SELECT t, COUNT(*) AS n FROM uni GROUP BY t),
+          tot AS (SELECT COUNT(*) AS nn FROM uni),
+          bi AS (SELECT UNNEST(list_transform(
+                          generate_series(1, len(w) - 1),
+                          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+                 FROM ws WHERE len(w) >= 2),
+          bc AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_ab
+                 FROM bi GROUP BY 1, 2),
+          top AS (SELECT w1, w2, n_ab FROM bc
+                  ORDER BY n_ab DESC, w1, w2 LIMIT 100)
+          SELECT t.w1, t.w2, t.n_ab, a.n AS n_a, b.n AS n_b,
+                 CAST(t.n_ab * (SELECT nn FROM tot) AS DOUBLE)
+                   / CAST(a.n * b.n AS DOUBLE) AS lift
+          FROM top t JOIN un a ON a.t = t.w1 JOIN un b ON b.t = t.w2""",
     // definitional NOT EXISTS dominance — fine at oracle scale; the Spark
     // side's collapse-then-frontier plan is provably the same set
     "q_skyline" ->

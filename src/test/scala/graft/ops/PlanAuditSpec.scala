@@ -37,7 +37,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q_hard_negatives",
       // r15: derivedPartsupp's supplier-count rides as a 1-row broadcast
       // cross-join into the part scan — corpus-independent by construction
-      "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20")
+      "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20",
+      // r17: the 1-row unigram-total broadcast cross-join into the
+      // 100-row top-bigram stream — both inputs bounded
+      "q_colloc_lift")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode

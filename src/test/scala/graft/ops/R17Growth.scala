@@ -101,3 +101,48 @@ object R17Growth {
     spark.stop()
   }
 }
+
+/** r17 simjoin growth: q_simjoin_prefix at 1×/4×/16× (born-with-growth
+  * convention). Replication id-offsets AND word-prefixes per copy, so
+  * shingle spaces are disjoint across copies — the n× corpus is n
+  * disjoint 1× similarity problems and the curve measures VOLUME. The
+  * brute-force twin is quadratic in any shared-shingle df; the prefix
+  * plan's candidate stream is what actually grows — both printed.
+  *
+  * Run: sbt "Test/runMain graft.ops.R17SimjoinGrowth". Results in PERF.md.
+  */
+object R17SimjoinGrowth {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.configure(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    def docsTimes(n: Int): DataFrame =
+      (0 until n).map { c =>
+        docs.select((col("doc_id") + lit(c * maxDoc)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"c${c}_$$1").as("text"))
+      }.reduce(_ union _)
+    def t(body: => Unit): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    DedupQueries.simjoinPrefixOf(spark, docsTimes(1))
+      .queryExecution.toRdd.count() // warm-up
+    println(f"${"scale"}%-6s ${"docs"}%7s ${"pairs"}%7s ${"simjoin_s"}%10s")
+    for (n <- Seq(1, 4, 16)) {
+      val d = docsTimes(n)
+      val nD = d.count()
+      var pairs = 0L
+      val tS = t { pairs =
+        DedupQueries.simjoinPrefixOf(spark, d).queryExecution.toRdd.count() }
+      println(f"${n}%-6d ${nD}%7d ${pairs}%7d ${tS}%10.3f")
+    }
+    spark.stop()
+  }
+}
