@@ -889,6 +889,28 @@ object DedupQueries {
     "q_simjoin_prefix" -> ((s, d) =>
       simjoinPrefixOf(s, Tables.documents(s, d))),
 
+    // LSH recall, graded by the exact join (r17): every production
+    // near-dup pipeline runs banded LSH and ASSUMES its recall; this
+    // operator MEASURES it — ground truth = q_simjoin_prefix's exact
+    // J ≥ 0.5 pair set, candidates = q_lsh_pairs' banded stream, output
+    // = one (n_true, n_caught, recall) row. The join is pair-key equi
+    // (left_outer + count(hit) — one aggregation, no second pass over
+    // either pipeline); both inputs are the REGISTERED pipelines, so
+    // the number quoted is the number shipped. The twin recomputes both
+    // sides from the shared shingle CTEs — brute-force truth × SQL
+    // banding — so the recall itself is hash-gated, not just row-shaped.
+    "q_lsh_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = simjoinPrefixOf(s, docs).select(col("doc_a"), col("doc_b"))
+      val cand = lshPairsOf(docs)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left_outer")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
+        .select(col("n_true"), col("n_caught"),
+          (col("n_caught").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    }),
+
     // C15 / exact dedup: hash-groupBy on the exact content key.
     "q_dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1248,6 +1270,30 @@ object DedupQueries {
           JOIN cnt ca ON ca.doc_id = da
           JOIN cnt cb ON cb.doc_id = db
           WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.5""",
+    // truth from the brute-force exact join, candidates from the SQL
+    // banding pipeline (the q_lsh_pairs twin's `pairs` CTE) — the
+    // recall number itself is cross-engine checked
+    "q_lsh_recall" ->
+      s"""WITH $shingleCte,
+          ssh AS (SELECT DISTINCT doc_id,
+                         CAST(md5_number_lower('0:' || sh)
+                              % 9223372036854775807 AS BIGINT) AS sh
+                  FROM sh),
+          cnt AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+          i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+                FROM ssh a JOIN ssh b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          truth AS (SELECT da, db FROM i
+                    JOIN cnt ca ON ca.doc_id = da
+                    JOIN cnt cb ON cb.doc_id = db
+                    WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.5),
+          caught AS (SELECT t.da FROM truth t
+                     JOIN pairs p ON p.doc_a = t.da AND p.doc_b = t.db)
+          SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                 (SELECT COUNT(*) FROM caught) AS n_caught,
+                 CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall""",
     "q_dedup_exact" ->
       """SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text""",

@@ -87,6 +87,34 @@ class R17OpsSpec extends SparkTestBase {
     assert(above.isEmpty, "a pair below threshold must not qualify")
   }
 
+  // --- q_lsh_recall ---------------------------------------------------------
+
+  test("q_lsh_recall: fixture recall is sane and consistent with the " +
+    "two registered pipelines; identical docs read exactly 1.0") {
+    graft.functions.GraftFunctions.register(spark)
+    val row = DedupQueries.queries("q_lsh_recall")(spark, sfDir)
+      .collect().head
+    val (nt, nc, r) = (row.getAs[Long]("n_true"),
+      row.getAs[Long]("n_caught"), row.getAs[Double]("recall"))
+    assert(nt > 0, "fixture must have exact J >= 0.5 pairs")
+    assert(nc <= nt && r > 0.0 && r <= 1.0)
+    assert(r === nc.toDouble / nt.toDouble)
+    // exact duplicates agree on every minhash lane — banding cannot
+    // miss them, so a dup-only corpus reads recall exactly 1.0
+    import spark.implicits._
+    val dupOnly = (Seq(
+      (1L, "p q r s t u v w x y z1 z2 z3"),
+      (2L, "p q r s t u v w x y z1 z2 z3")) ++
+      (10 to 20).map(i => (i.toLong, s"f${i}a f${i}b f${i}c f${i}d")))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("lsh-recall")
+    dupOnly.write.parquet(s"$dir/documents.parquet")
+    val one = DedupQueries.queries("q_lsh_recall")(spark, dir)
+      .collect().head
+    assert(one.getAs[Long]("n_true") === 1L)
+    assert(one.getAs[Double]("recall") === 1.0)
+  }
+
   // --- q_ohlc_bars ----------------------------------------------------------
 
   private val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
