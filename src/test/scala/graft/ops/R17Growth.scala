@@ -87,17 +87,21 @@ object R17Growth {
         EventQueries.resampleLocfOf(e).queryExecution.toRdd.count() }
       println(f"${n}%-8d ${nD}%7d ${tS}%9.3f ${nE}%8d ${tR}%11.3f")
     }
-    // the hub-gram dress rehearsal: natural 16× vs 30%-planted 16×
-    val d16 = docsTimes(16)
-    val tNat = t {
-      CorpusQueries.substrDedupOf(d16).queryExecution.toRdd.count() }
-    val dHub = planted(d16)
-    val nPlanted = dHub.filter(col("text").startsWith(boiler)).count()
-    val tHub = t {
-      CorpusQueries.substrDedupOf(dHub).queryExecution.toRdd.count() }
-    println(f"hub16x: natural ${tNat}%.3f s, planted ${tHub}%.3f s " +
-      f"(${nPlanted} docs share the boilerplate span; ratio " +
-      f"${tHub / tNat}%.2f)")
+    // the hub-gram dress rehearsal: natural vs 30%-planted at 16× AND
+    // 64× (VERDICT r16 #4's "the substr curve read against the
+    // hub-gram fixture too")
+    for (n <- Seq(16, 64)) {
+      val d = docsTimes(n)
+      val tNat = t {
+        CorpusQueries.substrDedupOf(d).queryExecution.toRdd.count() }
+      val dHub = planted(d)
+      val nPlanted = dHub.filter(col("text").startsWith(boiler)).count()
+      val tHub = t {
+        CorpusQueries.substrDedupOf(dHub).queryExecution.toRdd.count() }
+      println(f"hub${n}x: natural ${tNat}%.3f s, planted ${tHub}%.3f s " +
+        f"(${nPlanted} docs share the boilerplate span; ratio " +
+        f"${tHub / tNat}%.2f)")
+    }
     spark.stop()
   }
 }
