@@ -782,7 +782,23 @@ object CorpusQueries {
         count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("gh"), col("win"))
-    val kills = occ.join(wins, Seq("gh"))
+    // spark.graft.substr.salt > 1 arms the hot-gram straggler hatch
+    // (r17): a boilerplate gram's occurrence rows all hash to ONE
+    // reducer in the rejoin — linear work at O(1) memory, but the 64×
+    // hub octave measured the straggler at 1.63× natural wall. Salting
+    // splits each gram's occurrences over `salts` reducers and
+    // replicates the (two-column, duplicated-grams-only) winner rows —
+    // the lshPairsFromSig discipline applied here. The price is a
+    // second occ exchange (a (gh, salt) key cannot reuse the
+    // repartition(gh) stage), so it stays off until a corpus's
+    // boilerplate share justifies it; output is salt-invariant
+    // (spec-pinned on the boilerplate fixture).
+    val salts = docs.sparkSession.conf
+      .get("spark.graft.substr.salt", "1").toInt
+    val joined =
+      if (salts > 1) ScaleOps.saltedJoin(occ, wins, "gh", salts)
+      else occ.join(wins, Seq("gh"))
+    val kills = joined
       .filter(struct(col("doc_id"), col("s")) =!= col("win"))
       .select(col("doc_id"), col("s"))
     substrReassemble(toks, kills, gram)

@@ -149,6 +149,14 @@ class CorpusQueriesSpec extends SparkTestBase {
       (0.25 * bounded.length).toInt,
       "the planted boilerplate must actually bite on ≥ 25% of docs")
     assert(bounded === reference)
+    // the straggler salt hatch is output-invariant: same fixture, salted
+    // rejoin (spark.graft.substr.salt=8), byte-identical result
+    spark.conf.set("spark.graft.substr.salt", "8")
+    try {
+      val salted = CorpusQueries.substrDedupOf(docs)
+        .collect().map(key).sortBy(_._1).toSeq
+      assert(salted === reference, "salted rejoin must not change output")
+    } finally spark.conf.unset("spark.graft.substr.salt")
   }
 
   test("q_substr_dedup on the fixture: removal bites, counts reconcile, and a removed gram's first occurrence survives") {
