@@ -290,6 +290,12 @@ object GraftFunctions {
         require(args.length == 1, "shingle_sig_set expects 1 argument")
         ShingleSigSet(Cast(args.head, org.apache.spark.sql.types.StringType))
       }),
+    (new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSetOnly].getName, "shingle_set"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingle_set expects 1 argument")
+        ShingleSetOnly(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }),
     (new FunctionIdentifier("shingle_minhash"),
       new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
       (args: Seq[Expression]) => {

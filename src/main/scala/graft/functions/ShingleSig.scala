@@ -77,6 +77,37 @@ case class ShingleSigSet(child: Expression) extends UnaryExpression {
   override def prettyName: String = "shingle_sig_set"
 }
 
+/** `shingle_set(text)` — ONLY the sorted distinct band-0 shingle-hash set
+  * (the `ss` field of [[ShingleSigSet]]), bit-identical values, at HALF
+  * the digest cost: `ss` needs just the `'0:' || sh` digest, while the
+  * 4-lane struct also digests `'1:' || sh` for mh2/mh3. Built (r18) for
+  * q_simjoin_prefix standalone — the exact prefix-filter join never
+  * reads the MinHash lanes, so the second digest per shingle was pure
+  * waste there (~half the 0.54 s tokenize stage at sf0.1). Consumers
+  * that need lanes AND set in one pass (q_lsh_recall's shared scan)
+  * keep shingle_sig_set. Equality of this set to shingle_sig_set's `ss`
+  * on the real corpus is spec-pinned (ShingleSigSpec), chaining it to
+  * the proven oracle path. */
+case class ShingleSetOnly(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true // docs under 3 tokens are null
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleSig.computeSet(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ShingleSig.computeSet($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetOnly =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_set"
+}
+
 /** `shingle_minhash(text, k)` — the k-permutation md5p MinHash signature
   * (the [[MinHashSketch]] `md5p` family: base = `md5_number_lower(sh) % P`,
   * lanes = modular linear permutations over Z_{2^31-1}) computed over the
@@ -302,6 +333,34 @@ object ShingleSig {
     }
     InternalRow(mh0, mh1, mh2, mh3,
       new GenericArrayData(java.util.Arrays.copyOf(set, out)))
+  }
+
+  /** Static (callable from generated Java): the sorted distinct band-0
+    * hash set alone — one `'0:' || sh` digest per shingle, skipping the
+    * `'1:'` digest the 4-lane [[compute]] also pays. Values bit-identical
+    * to [[compute]]'s `ss` field. */
+  def computeSet(t: UTF8String): GenericArrayData = {
+    val words = tokensOf(t)
+    val ns = words.length - 2
+    if (ns <= 0) return null
+    val md = Md5Low63.threadMd5
+    val set = new Array[Long](ns)
+    var i = 0
+    while (i < ns) {
+      val sh = words(i) + " " + words(i + 1) + " " + words(i + 2)
+      md.reset()
+      val d0 = md.digest(("0:" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      set(i) = Md5Low63.loLane(d0)
+      i += 1
+    }
+    java.util.Arrays.sort(set)
+    var out = 1
+    i = 1
+    while (i < ns) {
+      if (set(i) != set(out - 1)) { set(out) = set(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(set, out))
   }
 
   /** Static (callable from generated Java): sorted distinct

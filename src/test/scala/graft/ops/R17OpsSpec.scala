@@ -115,6 +115,24 @@ class R17OpsSpec extends SparkTestBase {
     assert(one.getAs[Double]("recall") === 1.0)
   }
 
+  test("q_lsh_recall zero-truth guard (ADVICE r17): a corpus with no " +
+    "exact pair at the threshold reads recall NULL — the twin's NULLIF " +
+    "division — never NaN") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val disjoint = (1 to 12)
+      .map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("lsh-recall-zero")
+    disjoint.write.parquet(s"$dir/documents.parquet")
+    val row = DedupQueries.queries("q_lsh_recall")(spark, dir)
+      .collect().head
+    assert(row.getAs[Long]("n_true") === 0L)
+    assert(row.getAs[Long]("n_caught") === 0L)
+    assert(row.isNullAt(row.fieldIndex("recall")),
+      "0/0 must surface as NULL in both engines")
+  }
+
   // --- q_ohlc_bars ----------------------------------------------------------
 
   private val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

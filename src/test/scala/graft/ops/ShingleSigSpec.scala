@@ -62,6 +62,26 @@ class ShingleSigSpec extends SparkTestBase {
     assert(got === exp)
   }
 
+  test("shingle_set equals shingle_sig_set's ss lane, edge cases + fixture " +
+    "(r18 — chains the one-digest expression to the proven oracle path)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def both(docs: DataFrame) = {
+      val exp = docs
+        .select(col("doc_id"), expr("shingle_sig_set(text).ss").as("ss"))
+        .orderBy("doc_id").collect().toSeq
+      val got = docs
+        .select(col("doc_id"), expr("shingle_set(text)").as("ss"))
+        .orderBy("doc_id").collect().toSeq
+      (exp, got)
+    }
+    val (e1, g1) = both(edgeDocs.toDF("doc_id", "text"))
+    assert(e1.nonEmpty && g1 === e1)
+    val (e2, g2) = both(
+      graft.tables.Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(e2.nonEmpty && g2 === e2)
+  }
+
   test("matches the composed pipeline on the sf0.001 documents fixture") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     val exp = composed(docs).drop("ss").orderBy("doc_id").collect().toSeq

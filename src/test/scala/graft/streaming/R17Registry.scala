@@ -15,7 +15,9 @@ import graft.tables.Tables
   * rewrite through commitStateTable at the final size — the per-batch
   * price the swap path would have paid at that point.
   *
-  * Run: sbt "Test/runMain graft.ops.R17Registry". Results in PERF.md.
+  * Run: sbt "Test/runMain graft.streaming.R17Registry". Results in
+  * PERF.md. (ADVICE r17: this object lives in graft.streaming — the
+  * doc previously named graft.ops and the command failed.)
   */
 object R17Registry {
   def main(args: Array[String]): Unit = {
