@@ -610,6 +610,65 @@ object SimilarityQueries {
       })
       .computeIfAbsent(d, { _ => pqCodebooksResidual(s, d) })
 
+  /** q_ann_ivf's pipeline (factored r18 so q_ann_recall grades the
+    * REGISTERED serving path — see that entry). */
+  private[ops] def annIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+      // The coarse quantizer AND the probe selection are DRIVER state —
+      // k·dim floats and nq·k scores (KBs even at k=2^16), exactly how
+      // every IVF system holds them: probe selection happens client-side
+      // before the index is touched. The 16-row seed is cached per
+      // (JVM, dir) — loaded once per index, like every IVF deployment —
+      // so execution is ONE distributed job. All driver arithmetic
+      // replicates FloatVectorDot's op sequence (dotLocal), so cells,
+      // probes, and scores stay bit-identical to the all-Spark form and
+      // the DuckDB oracle.
+      val head = headVecs(s, d, 16)
+      val nprobe = ivfNprobe(s, 16)
+      val cents = head.map { case (id, ce) =>
+        (id, ce, math.sqrt(dotLocal(ce, ce))) }
+      // queries → nprobe probe cells (csim DESC, cent_id ASC), in the driver
+      val probeRows = head.filter(_._1 < 5).flatMap { case (qid, qe) =>
+        val nq = math.sqrt(dotLocal(qe, qe))
+        cents.map { case (cid, ce, nc) =>
+          (qid, qe, nq, cid, dotLocal(qe, ce) / (nq * nc)) }
+          .sortBy { case (_, _, _, cid, csim) => (-csim, cid) }
+          .take(nprobe)
+      }
+      val probes = s.createDataset(probeRows.toSeq
+        .map { case (qid, qe, nq, cid, _) => (qid, qe, nq, cid) })
+        .toDF("q_id", "qe", "nq", "cell")
+      // corpus → nearest cell: the shared per-row argmax (see ivfAssigned)
+      val assigned = ivfAssigned(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("emb"),
+          col("nv").as("nn"), col("cell"))
+      // search only the probed cells; exact top-3 per query. The top-k is
+      // the bounded topk_by heap (map-side partials, k rows per group per
+      // partition over the shuffle) — the r8 replacement for the last
+      // WindowExec in the similarity family, which sorted every scored
+      // candidate into one reducer per query (at a probed fraction of a
+      // 100 TB corpus, that sort IS the job). The candidate's cell rides
+      // the heap packed into the id lane (id·16 + cell — cells < 16 by
+      // construction, so the packing is lossless and order-preserving:
+      // equal-score ties still break by neighbor_id because cell is a
+      // function of the neighbor), the q_knn_classify label trick.
+      assigned
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("q_id"))
+        .select(col("q_id"),
+          (expr("vector_dot(emb, qe)") / (col("nn") * col("nq"))).as("score"),
+          (col("neighbor_id") * 16L + col("cell")).as("packed"))
+        .groupBy("q_id")
+        .agg(expr("topk_by(score, packed, 3)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"),
+          expr("t.id div 16").as("neighbor_id"),
+          pmod(col("t.id"), lit(16L)).as("cell"),
+          (col("pos") + 1).as("rnk"),
+          col("t.score").as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-10 for 5 broadcast query vectors. Top-k is the
     // bounded [[graft.functions.TopKByScore]] aggregate, NOT a window: the
@@ -779,61 +838,34 @@ object SimilarityQueries {
     // pure per-row work inside the scan and the search is an equi-join on
     // cell id — the inverted-file alternative to q_ann_lsh's hyperplane
     // buckets.
-    "q_ann_ivf" -> ((s, d) => {
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      // The coarse quantizer AND the probe selection are DRIVER state —
-      // k·dim floats and nq·k scores (KBs even at k=2^16), exactly how
-      // every IVF system holds them: probe selection happens client-side
-      // before the index is touched. The 16-row seed is cached per
-      // (JVM, dir) — loaded once per index, like every IVF deployment —
-      // so execution is ONE distributed job. All driver arithmetic
-      // replicates FloatVectorDot's op sequence (dotLocal), so cells,
-      // probes, and scores stay bit-identical to the all-Spark form and
-      // the DuckDB oracle.
-      val head = headVecs(s, d, 16)
-      val nprobe = ivfNprobe(s, 16)
-      val cents = head.map { case (id, ce) =>
-        (id, ce, math.sqrt(dotLocal(ce, ce))) }
-      // queries → nprobe probe cells (csim DESC, cent_id ASC), in the driver
-      val probeRows = head.filter(_._1 < 5).flatMap { case (qid, qe) =>
-        val nq = math.sqrt(dotLocal(qe, qe))
-        cents.map { case (cid, ce, nc) =>
-          (qid, qe, nq, cid, dotLocal(qe, ce) / (nq * nc)) }
-          .sortBy { case (_, _, _, cid, csim) => (-csim, cid) }
-          .take(nprobe)
-      }
-      val probes = s.createDataset(probeRows.toSeq
-        .map { case (qid, qe, nq, cid, _) => (qid, qe, nq, cid) })
-        .toDF("q_id", "qe", "nq", "cell")
-      // corpus → nearest cell: the shared per-row argmax (see ivfAssigned)
-      val assigned = ivfAssigned(s, d)
-        .select(col("vec_id").as("neighbor_id"), col("emb"),
-          col("nv").as("nn"), col("cell"))
-      // search only the probed cells; exact top-3 per query. The top-k is
-      // the bounded topk_by heap (map-side partials, k rows per group per
-      // partition over the shuffle) — the r8 replacement for the last
-      // WindowExec in the similarity family, which sorted every scored
-      // candidate into one reducer per query (at a probed fraction of a
-      // 100 TB corpus, that sort IS the job). The candidate's cell rides
-      // the heap packed into the id lane (id·16 + cell — cells < 16 by
-      // construction, so the packing is lossless and order-preserving:
-      // equal-score ties still break by neighbor_id because cell is a
-      // function of the neighbor), the q_knn_classify label trick.
-      assigned
-        .join(broadcast(probes), Seq("cell"))
-        .filter(col("neighbor_id") =!= col("q_id"))
-        .select(col("q_id"),
-          (expr("vector_dot(emb, qe)") / (col("nn") * col("nq"))).as("score"),
-          (col("neighbor_id") * 16L + col("cell")).as("packed"))
+    "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
+
+    // IVF recall, graded by the exact scan (r18, VERDICT r17 #5) — the
+    // q_lsh_recall pattern applied to the serving tier: ground truth =
+    // exact cosine top-3 per query via the bounded topk_by heap (the
+    // q_cosine_topk machinery at the SAME k and the same (score DESC,
+    // id ASC) total order), candidates = the registered q_ann_ivf
+    // pipeline's probed top-3, output = one (n_true, n_caught, recall)
+    // row. Both inputs are the REGISTERED pipelines, so the recall
+    // quoted is the recall shipped, and the number itself is hash-gated
+    // cross-engine (the twin recomputes truth and IVF from the same
+    // CTE chains; scores are bit-identical — q_cosine_topk and
+    // q_ann_ivf are both hash-green, so top-3 membership is too).
+    // Empty truth reads NULL, the q_lsh_recall NULLIF discipline.
+    "q_ann_recall" -> ((s, d) => {
+      val truth = cosineScored(s, d)
         .groupBy("q_id")
-        .agg(expr("topk_by(score, packed, 3)").as("top"))
-        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("q_id"),
-          expr("t.id div 16").as("neighbor_id"),
-          pmod(col("t.id"), lit(16L)).as("cell"),
-          (col("pos") + 1).as("rnk"),
-          col("t.score").as("score"))
+        .agg(expr("topk_by(score, neighbor_id, 3)").as("top"))
+        .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+      val cand = annIvf(s, d)
+        .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(cand, Seq("q_id", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
+        .select(col("n_true"), col("n_caught"),
+          when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(col("n_caught").cast("double") /
+              col("n_true").cast("double"))
+            .as("recall"))
     }),
 
     // Symmetric int8 quantization of the embedding column — the storage
@@ -1805,6 +1837,76 @@ object SimilarityQueries {
                        ROW_NUMBER() OVER (PARTITION BY q_id
                          ORDER BY score DESC, neighbor_id) AS rnk
                 FROM scs)
-          SELECT q_id, neighbor_id, cell, rnk, score FROM r WHERE rnk <= 3"""
+          SELECT q_id, neighbor_id, cell, rnk, score FROM r WHERE rnk <= 3""",
+    // truth = the q_cosine_topk twin's exact scores at k = 3, candidates
+    // = the q_ann_ivf twin's probed top-3 (both CTE chains verbatim) —
+    // the recall number itself is cross-engine hash-checked
+    "q_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                    WHERE vec_id < 5),
+          p AS (SELECT q.q_id, e.vec_id AS neighbor_id, e.embedding AS emb, q.qe
+                FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+          t AS (SELECT q_id, neighbor_id, UNNEST(emb) AS x, UNNEST(qe) AS y
+                FROM p),
+          sc AS (SELECT q_id, neighbor_id,
+                        SUM(CAST(x * y AS DOUBLE)) AS dot,
+                        SUM(CAST(x * x AS DOUBLE)) AS nx,
+                        SUM(CAST(y * y AS DOUBLE)) AS ny
+                 FROM t GROUP BY 1, 2),
+          tr AS (SELECT q_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC,
+                                   neighbor_id) AS rnk
+                 FROM sc),
+          truth AS (SELECT q_id, neighbor_id FROM tr WHERE rnk <= 3),
+          cents AS (SELECT vec_id AS cent_id, embedding AS ce
+                    FROM embeddings WHERE vec_id < 16),
+          pc AS (SELECT e.vec_id, c.cent_id, e.embedding AS v, c.ce
+                 FROM embeddings e CROSS JOIN cents c),
+          tc AS (SELECT vec_id, cent_id, UNNEST(v) AS x, UNNEST(ce) AS y
+                 FROM pc),
+          sim AS (SELECT vec_id, cent_id,
+                         SUM(CAST(x * y AS DOUBLE)) /
+                           (sqrt(SUM(CAST(x * x AS DOUBLE))) *
+                            sqrt(SUM(CAST(y * y AS DOUBLE)))) AS csim
+                  FROM tc GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM (
+                         SELECT vec_id, cent_id AS cell,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cent_id) AS rnk
+                         FROM sim) s WHERE rnk = 1),
+          probes AS (SELECT q_id, cell FROM (
+                       SELECT vec_id AS q_id, cent_id AS cell,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cent_id) AS prnk
+                       FROM sim WHERE vec_id < 5) s WHERE prnk <= 2),
+          cand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+                   FROM probes p JOIN assigned a ON a.cell = p.cell
+                   WHERE a.vec_id <> p.q_id),
+          iq AS (SELECT cand.q_id, cand.neighbor_id,
+                        e1.embedding AS emb, e2.embedding AS qe
+                 FROM cand
+                 JOIN embeddings e1 ON e1.vec_id = cand.neighbor_id
+                 JOIN embeddings e2 ON e2.vec_id = cand.q_id),
+          its AS (SELECT q_id, neighbor_id,
+                         UNNEST(emb) AS x, UNNEST(qe) AS y FROM iq),
+          iscs AS (SELECT q_id, neighbor_id,
+                          SUM(CAST(x * y AS DOUBLE)) /
+                            (sqrt(SUM(CAST(x * x AS DOUBLE))) *
+                             sqrt(SUM(CAST(y * y AS DOUBLE)))) AS score
+                   FROM its GROUP BY 1, 2),
+          ir AS (SELECT q_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, neighbor_id) AS rnk
+                 FROM iscs),
+          ivf AS (SELECT q_id, neighbor_id FROM ir WHERE rnk <= 3),
+          caught AS (SELECT t.q_id FROM truth t
+                     JOIN ivf i ON i.q_id = t.q_id
+                       AND i.neighbor_id = t.neighbor_id)
+          SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                 (SELECT COUNT(*) FROM caught) AS n_caught,
+                 CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+                   / NULLIF(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE),
+                            0) AS recall"""
   )
 }

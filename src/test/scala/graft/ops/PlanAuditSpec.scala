@@ -40,7 +40,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20",
       // r17: the 1-row unigram-total broadcast cross-join into the
       // 100-row top-bigram stream — both inputs bounded
-      "q_colloc_lift")
+      "q_colloc_lift",
+      // r18: the recall grader embeds the q_cosine_topk truth pass —
+      // the same broadcast-query non-equi (exclude-self) scoring join
+      "q_ann_recall")
 
   /** Every node of the physical plan, INCLUDING the subtrees behind
     * `AdaptiveSparkPlanExec` — AQE wrappers are leaves to TreeNode

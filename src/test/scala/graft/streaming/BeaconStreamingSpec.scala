@@ -1444,6 +1444,38 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(!after.getAs[Boolean]("drifted"))
   }
 
+  test("annRetrain dedups the reservoir by vec_id (ADVICE r17): a vector " +
+    "stranded in two cells' reservoirs counts once in the committed " +
+    "baseline") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.tables.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val hot = graft.ops.SimilarityQueries.cellAssign(emb, spark, sfDir)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).collect().head.getAs[Long]("cell")
+    val oneCell = graft.ops.SimilarityQueries.cellAssign(emb, spark, sfDir)
+      .filter(col("cell") === hot).select("vec_id", "embedding")
+    val dir = tmpDir("ann-retrain-dup")
+    BeaconStreaming.annDriftBatch(oneCell, sfDir, s"$dir/tbl", 0L)
+    // strand duplicates: the r17 failure mode is a vector persisting in
+    // two cells' reservoirs after a codebook swap re-assigned it —
+    // engineer it directly (same vec_id, different cell, newer seq)
+    val resPath = s"$dir/tbl.reservoir"
+    val res = spark.read.parquet(resPath).localCheckpoint(true)
+    val nVecs = res.select("vec_id").distinct().count()
+    val dup = res.limit(3)
+      .withColumn("cell", col("cell") + 1L)
+      .withColumn("seq", lit(99L))
+    BeaconStreaming.commitStateTable(res.unionByName(dup), resPath)
+    assert(BeaconStreaming.annRetrain(spark, sfDir, s"$dir/tbl"),
+      "the planted drift must still trigger the retrain")
+    val baselineTotal = spark.read.parquet(s"$dir/tbl.baseline")
+      .agg(sum(col("tn"))).head.getLong(0)
+    assert(baselineTotal === nVecs,
+      s"baseline must count each vector once: got $baselineTotal " +
+        s"for $nVecs distinct vectors")
+  }
+
   test("commitStateTable crash windows: prior generation survives a mid-write crash; a complete .next is adopted, a partial one is not") {
     import spark.implicits._
     val dir = tmpDir("state-swap")
@@ -1527,6 +1559,27 @@ class BeaconStreamingSpec extends SparkTestBase {
     // at no point above was the table ever PARTIALLY deleted: the only
     // recursive deletes in the swap touch .old/.next siblings, which is
     // the whole point of the rename-only sequence (ADVICE r16)
+
+    // ADVICE r17: a caller that skips recoverStateTable and commits into
+    // the {live missing, .old present (or complete .next)} window must
+    // FAIL LOUDLY before touching anything — the r17 branch silently
+    // overwrote the complete newer .next with a merge derived from a
+    // missing live table, then promoted it, regressing state
+    gen(4).write.parquet(p + ".next")
+    assert(fs.rename(path(p), path(p + ".old")))
+    val ex = intercept[IllegalStateException] {
+      BeaconStreaming.commitStateTable(gen(-1), p)
+    }
+    assert(ex.getMessage.contains("skipped recoverStateTable"))
+    // both complete generations untouched by the refused commit
+    assert(spark.read.parquet(p + ".next").collect()
+      .map(_.getLong(1)).toSeq === Seq(4L))
+    assert(spark.read.parquet(p + ".old").collect()
+      .map(_.getLong(1)).toSeq === Seq(3L))
+    // the documented heal path still resolves the window normally
+    BeaconStreaming.recoverStateTable(spark, p)
+    assert(readV() === Seq(4L))
+    assert(!fs.exists(path(p + ".old")) && !fs.exists(path(p + ".next")))
   }
 
   test("substrDedupSink arrival-order ledger: in-order clean, " +
@@ -1561,6 +1614,61 @@ class BeaconStreamingSpec extends SparkTestBase {
     assert(!led3.find(_.getAs[Long]("batch_id") == 1L).get
       .getAs[Boolean]("violated"),
       "redelivered batch must not be flagged as out-of-order")
+  }
+
+  test("substrDedupReconcile (r18): violated ingest heals to the batch " +
+    "op byte-for-byte; a calm ledger is a strict no-op") {
+    import spark.implicits._
+    val gram = 5
+    val dir = tmpDir("substr-reconcile")
+    val reg = s"$dir/reg"
+    val out = s"$dir/out"
+    // docs 1 and 4 share a 6-token span: batch-canonical first-wins
+    // keeps doc 1's copy. Ingesting {3,4} BEFORE {1,2} registers doc 4's
+    // copy first — valid single-copy dedup, but diverged from batch.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val all = Seq(
+      (1L, s"$shared tail one p q"),
+      (2L, "filler two goes here fine words"),
+      (3L, "filler three goes here fine words"),
+      (4L, s"$shared tail four x y")).toDF("doc_id", "text")
+    def part(ids: Long*) = all.filter(col("doc_id").isin(ids: _*))
+    BeaconStreaming.substrDedupBatch(part(3L, 4L), reg,
+      s"$out/batch=0", gram, batchId = 0L)
+    BeaconStreaming.substrDedupBatch(part(1L, 2L), reg,
+      s"$out/batch=1", gram, batchId = 1L)
+    def viewRows() = BeaconStreaming.substrDedupView(spark, out)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_text"))).sortBy(_._1).toSeq
+    val batchRows = graft.ops.CorpusQueries.substrDedupOf(all, gram)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_text"))).sortBy(_._1).toSeq
+    assert(batchRows.find(_._1 == 4L).get._3 > 0,
+      "batch-canonical must remove doc 4's copy for this test to bite")
+    assert(viewRows() !== batchRows,
+      "out-of-order ingest must actually diverge (doc 1 lost its span)")
+    assert(BeaconStreaming.substrDedupOrderView(spark, reg)
+      .filter(col("violated")).count() === 1L)
+    // the repair: detector fired → re-derive → swap → detector calm
+    assert(BeaconStreaming.substrDedupReconcile(all, reg, out, gram))
+    assert(viewRows() === batchRows,
+      "reconciled view must equal the batch operator exactly")
+    assert(BeaconStreaming.substrDedupOrderView(spark, reg)
+      .filter(col("violated")).count() === 0L)
+    // second reconcile: calm ledger → strict no-op
+    assert(!BeaconStreaming.substrDedupReconcile(all, reg, out, gram))
+    assert(viewRows() === batchRows)
+    // and the swapped registry keeps serving the ingest path: a new
+    // in-order batch against it stays clean and unflagged
+    val more = Seq((5L, "filler five goes here fine words"))
+      .toDF("doc_id", "text")
+    BeaconStreaming.substrDedupBatch(more, reg,
+      s"$out/batch=2", gram, batchId = 2L)
+    assert(BeaconStreaming.substrDedupOrderView(spark, reg)
+      .filter(col("violated")).count() === 0L)
+    assert(viewRows().length === 5)
   }
 
   test("substrDedup registry append converges after a simulated " +
