@@ -247,24 +247,48 @@ object CorpusQueries {
     // runs on the bounded sources×buckets grid — localCheckpointed once
     // for its consumers (grid build, cumulative windows, totals), where
     // bounded-row windows provide the cumulative sums.
+    // r18 diet (guide §2.4): the r15 plan built the sources×buckets grid
+    // with two DISTINCTs + a crossJoin + a left join and read the
+    // checkpointed cell table three more times (totals, corpusCum,
+    // srcCum) — 13 post-checkpoint exchanges for a bounded grid. This
+    // shape derives the SAME grid from one (b)-keyed aggregate that
+    // carries each bucket's per-source counts as a struct list: the
+    // corpus CDF rides a single-partition window over #buckets rows, the
+    // per-source counts explode against ONE broadcast totals row, and
+    // the final per-source max piggybacks on the source-window exchange
+    // (grouping by source over source-partitioned input needs no new
+    // shuffle). 14 exchanges → 6, the eager grid checkpoint gone, values
+    // bit-identical (all-integer cums, one final double division).
     "q_dist_drift" -> ((s, d) => {
       val cell = Tables.documents(s, d)
         .select(col("source"), expr("n_chars div 32").as("b"))
         .groupBy("source", "b").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      val grid = cell.select("source").distinct
-        .crossJoin(cell.select("b").distinct)
-      val full = grid.join(cell, Seq("source", "b"), "left")
-        .select(col("source"), col("b"), coalesce(col("n"), lit(0L)).as("n"))
-      val srcCum = full.select(col("source"), col("b"),
-        sum("n").over(Window.partitionBy("source").orderBy("b")).as("cum_s"))
-      val corpusCum = full.groupBy("b").agg(sum("n").as("nb"))
-        .select(col("b"), sum("nb").over(Window.orderBy("b")).as("cum_c"))
-      val totals = full.groupBy("source").agg(sum("n").as("n_s"))
-      val nc = totals.agg(sum("n_s").as("n_c"))
-      srcCum.join(corpusCum, "b")
-        .join(broadcast(totals), "source")
-        .crossJoin(broadcast(nc))
+      val perB = cell.groupBy("b").agg(sum("n").as("nb"),
+        collect_list(struct(col("source"), col("n"))).as("ps"))
+      val cumB = perB.withColumn("cum_c",
+        sum("nb").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // one bounded row: every source's total + the corpus total. Derived
+      // from perB's own output (explode of the per-bucket structs), so the
+      // corpus aggregates ONCE — ReuseExchange dedups the shared cell
+      // subtree under both consumers.
+      val totRow = perB
+        .select(explode(col("ps")).as("p"))
+        .groupBy(col("p.source").as("source"))
+        .agg(sum(col("p.n")).as("n_s"))
+        .agg(collect_list(struct(col("source"), col("n_s"))).as("ss"),
+          sum("n_s").as("n_c"))
+      val full = cumB.crossJoin(broadcast(totRow))
+        .select(col("b"), col("cum_c"), col("n_c"), col("ps"),
+          explode(col("ss")).as("sv"))
+        .select(col("b"), col("cum_c"), col("n_c"),
+          col("sv.source").as("source"), col("sv.n_s").as("n_s"),
+          coalesce(expr("get(filter(ps, p -> p.source = sv.source), 0).n"),
+            lit(0L)).as("n"))
+      full
+        .withColumn("cum_s",
+          sum("n").over(Window.partitionBy("source").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("source"), col("n_s"), col("n_c"))
         .agg(max(abs(col("cum_s") * col("n_c") - col("cum_c") * col("n_s")))
           .as("d_num"))
@@ -1083,32 +1107,40 @@ object CorpusQueries {
     val E = totals.sparkSession.conf
       .get("spark.graft.unimax.epochs", "4").toLong
     require(E >= 1L, s"spark.graft.unimax.epochs must be >= 1, got $E")
+    // r18 (guide §2.4): the r10 form read `per` THREE times — the ranked
+    // window, an (S, B) scalar subquery, and a (k, pk, q) scalar subquery
+    // over `capped` — and for q_mix_unimax every consumer owned a full
+    // corpus tokenize+aggregate subtree (4 parquet scans in the plan,
+    // deduplicated only by runtime exchange reuse). The grand totals are
+    // whole-frame aggregates over the SAME single-partition window the
+    // rank already uses, so they now ride the two WindowExecs directly:
+    // zero scalar subqueries, one corpus pass by construction, identical
+    // integer arithmetic (count/sum/DIV over the identical rows). The
+    // single-partition window is bounded by #sources, as before.
     val per = totals.withColumn("cap", col("n_tokens") * E)
     val w = Window.orderBy("cap", "source")
+    val wAll = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = per
       .withColumn("rnk", row_number().over(w).cast("long"))
       .withColumn("pcap", coalesce(sum("cap").over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val st = per
-      .agg(count(lit(1)).as("S"), expr("SUM(n_tokens) DIV 2").as("B"))
-      .select(struct(col("S"), col("B")).as("s")).scalar()
-    val capped = ranked.withColumn("st", st)
+      .withColumn("S", count(lit(1)).over(wAll))
+      .withColumn("_tok_total", sum("n_tokens").over(wAll))
+      .withColumn("B", expr("_tok_total DIV 2"))
+      .drop("_tok_total")
+    val capped = ranked
       .withColumn("capped",
-        col("cap") * (col("st.S") - col("rnk") + 1) <=
-          col("st.B") - col("pcap"))
-    val kq = capped
-      .agg(sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
-        sum(when(col("capped"), col("cap")).otherwise(0L)).as("pk"))
-      .withColumn("st", st)
-      .select(struct(col("k"), col("pk"),
-        when(col("st.S") > col("k"),
-          expr("(st.B - pk) DIV (st.S - k)")).otherwise(lit(0L)).as("q"))
-        .as("kq"))
-      .scalar()
-    capped.withColumn("kq", kq)
+        col("cap") * (col("S") - col("rnk") + 1) <=
+          col("B") - col("pcap"))
+    capped
+      .withColumn("k", sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("pk",
+        sum(when(col("capped"), col("cap")).otherwise(0L)).over(wAll))
       .select(col("source"), col("n_tokens"), col("cap"),
-        when(col("rnk") <= col("kq.k"), col("cap"))
-          .otherwise(col("kq.q")).as("alloc"))
+        when(col("rnk") <= col("k"), col("cap"))
+          .otherwise(when(col("S") > col("k"),
+            expr("(B - pk) DIV (S - k)")).otherwise(lit(0L))).as("alloc"))
       .withColumn("epochs_used",
         col("alloc").cast("double") / col("n_tokens"))
   }

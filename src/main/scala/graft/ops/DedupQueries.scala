@@ -379,11 +379,35 @@ object DedupQueries {
     * component member ≤ the id it labels — monotone toward the min). */
   private[ops] def clusterLabelsPropagate(universe: DataFrame, edges: DataFrame,
                                           maxRounds: Int = Int.MaxValue): (DataFrame, Boolean) = {
+    // r18 loop diet (guide §2.4): the r8 round was join + agg + a SECOND
+    // corpus-sized join of (next ⋈ prev labels) that existed only to feed
+    // the `shrunk` convergence metric. Labels are MONOTONE non-increasing,
+    // so "no label got smaller" ⟺ "Σ labels unchanged" — the sum rides the
+    // same Observation (exact DECIMAL(38,0): 10^12 docs × 2^63 ids stays
+    // under 38 digits, and monotonicity means equality cannot come from
+    // cancellation), and the per-round prev-join is GONE. The prev-join
+    // also silently restricted output keys to the universe (an edge
+    // endpoint outside `universe` must not surface a row); that contract
+    // now holds by a ONE-TIME left-semi of the edge list against the
+    // universe — strictly cheaper than re-joining every round. The edge
+    // list checkpoints PRE-PARTITIONED on its join key (localCheckpoint
+    // preserves outputPartitioning), so at scale the per-round viaEdge
+    // join re-shuffles neither side: each round is the one groupBy
+    // exchange the algorithm fundamentally needs (plus the halving
+    // self-join's cluster-keyed exchange from round 2).
     val sym = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .join(universe.select(col("doc_id")), col("doc_a") === col("doc_id"),
+        "left_semi")
+      .repartition(col("doc_b"))
       .localCheckpoint(true) // the edge list is re-read every iteration
+    def labelSum(o: org.apache.spark.sql.Observation): Option[BigDecimal] =
+      Option(o.get("lsum")).map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
+    val obs0 = org.apache.spark.sql.Observation("cc_round_0")
     var labels = universe.select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint(true)
+      .observe(obs0, sum(col("cluster").cast("decimal(38,0)")).as("lsum"))
+      .localCheckpoint(true) // eager: obs0 lands in this same job
+    var prevSum = labelSum(obs0)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -408,21 +432,20 @@ object DedupQueries {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
       val next = prop
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .observe(obs,
-          sum(when(col("cluster") < col("prev"), 1L).otherwise(0L))
-            .as("shrunk"))
+        .observe(obs, sum(col("cluster").cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint(true)
-      // labels only ever decrease, so "no label got smaller" = fixed point
-      // (sum over an empty universe is null -> converged)
-      converged = Option(obs.get("shrunk")).forall(_.asInstanceOf[Long] == 0L)
+      // labels only ever decrease, so "sum unchanged" = fixed point
+      // (sum over an empty universe is null on both sides -> converged)
+      val curSum = labelSum(obs)
+      converged = curSum == prevSum
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $round shrunk=${obs.get("shrunk")}")
+        System.err.println(s"[cc] round $round lsum=$curSum prev=$prevSum")
+      prevSum = curSum
       // `next` is materialized — the previous round's checkpoint blocks can
       // never be read again; drop them NOW or rounds accumulate blocks for
       // the session's lifetime (the r4 recorded-bench 16–22× amplification)
       ScaleOps.freeBlocks(labels)
-      labels = next.select("doc_id", "cluster")
+      labels = next
     }
     ScaleOps.freeBlocks(sym) // the loop was the edge list's only reader
     (labels, converged)

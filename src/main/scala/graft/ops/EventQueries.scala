@@ -216,14 +216,27 @@ object EventQueries {
       .agg(sum(col("net")).as("day_net"))
       .select(col("day_idx"),
         coalesce(sum(col("day_net")).over(wPrior), lit(0L)).as("carry"))
+    // r18 (guide §2.4 + §4): the argmax was max(struct(run, -t)) — a
+    // struct aggregate plans as SortAggregate, and its grouping keys
+    // (day_idx, carry) forced a FULL re-sort of the boundary stream that
+    // the day window had just sorted by (day_idx, t). The same argmax now
+    // rides the existing partitioning: a whole-partition window max needs
+    // no new exchange and no new sort (child is already hash(day_idx) +
+    // sorted), the argmax rows filter down to the peak instants, and the
+    // final min(t)/max(lvl) hash-aggregates WITHOUT an exchange
+    // (hash(day_idx) satisfies clustering on (day_idx, carry)). Sort +
+    // 2×SortAggregate → Window + filter + HashAggregate; identical
+    // values: max level and min-t tiebreak are the same total order.
     local.join(broadcast(carry), "day_idx")
+      .withColumn("lvl", col("run") + col("carry"))
+      .withColumn("mx", max("lvl").over(Window.partitionBy("day_idx")))
+      .filter(col("lvl") === col("mx"))
       .groupBy("day_idx", "carry")
-      .agg(max(struct((col("run") + col("carry")).as("run"),
-        (-col("t")).as("nt"))).as("p"))
+      .agg(max("lvl").as("mrun"), min("t").as("mt"))
       .select(col("day_idx"),
-        greatest(col("carry"), col("p.run")).as("peak"),
-        when(col("carry") >= col("p.run"), col("day_idx") * lit(dayUs))
-          .otherwise(-col("p.nt")).as("first_peak_t_us"))
+        greatest(col("carry"), col("mrun")).as("peak"),
+        when(col("carry") >= col("mrun"), col("day_idx") * lit(dayUs))
+          .otherwise(col("mt")).as("first_peak_t_us"))
   }
 
   /** Point-in-time join (r15) — the feature-store correctness op: each

@@ -229,8 +229,17 @@ object RetrievalQueries {
           throw new IllegalArgumentException(
             s"bad spark.graft.bm25.idf: $other (rational | log)")
       }
+    // r18 (guide §4.4's duplication trap, the q_hard_negatives barrier):
+    // a plain filter-on-alias is pushed through the projection by
+    // SUBSTITUTING the score expression — the full BM25 formula (and its
+    // query_term_stats tokenize) then evaluates in BOTH the pushed Filter
+    // and the Project, 2× per surviving row. The one-element
+    // explode(array(...)) Generate makes `score` an ATTRIBUTE the filter
+    // cannot be pushed past, so the formula evaluates exactly once.
     bm25Prep(docs, QueryTerms, frozen)
-      .withColumn("score", expr(if (useLog) scoreLogSql else scoreSql))
+      .select(col("doc_id"),
+        explode(array(expr(if (useLog) scoreLogSql else scoreSql)))
+          .as("score"))
       .filter(col("score") > 0)
       .select(col("doc_id"), col("score"))
   }
@@ -238,8 +247,9 @@ object RetrievalQueries {
   /** The log-idf scorer, explicitly — q_bm25_logidf's body, independent
     * of the session conf so the registered variant is deterministic. */
   private[graft] def bm25ScoredLog(docs: DataFrame): DataFrame =
+    // same Generate barrier as [[bm25Scored]] — one formula evaluation
     bm25Prep(docs, QueryTerms)
-      .withColumn("score", expr(scoreLogSql))
+      .select(col("doc_id"), explode(array(expr(scoreLogSql))).as("score"))
       .filter(col("score") > 0)
       .select(col("doc_id"), col("score"))
 
