@@ -548,7 +548,14 @@ object DedupQueries {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true) // read every round; bounded by the pair list
+    // r18 (guide §2.4): deg is joined EVERY round and seeded the rank
+    // table, but was never materialized — each consumer re-ran the
+    // edge-list aggregation (5 re-aggregations across the fixed rounds,
+    // plus the node-count job). One row per graph node, bounded by the
+    // pair list — checkpoint once, every round reads blocks. Arithmetic
+    // untouched (same degrees, same divisions).
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val n = deg.count()
     var ranks = deg.select(col("src").as("doc_id"),
       (lit(1.0) / lit(n.toDouble)).as("pr"))

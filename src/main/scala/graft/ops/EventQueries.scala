@@ -448,13 +448,26 @@ object EventQueries {
         col("lv.event_id").as("state_event_id"))
   }
 
-  private[ops] def attributionLastOf(ev: DataFrame): DataFrame =
+  /** r18 (guide §4): min(struct(gap_us, click_id)) plans as SortAggregate
+    * (struct min is not hash-aggregatable) — partial-sort the matched
+    * click→purchase pair stream, exchange, sort again, final-sort-agg.
+    * Both argmin components are non-negative longs with disjoint digit
+    * ranges (gap_us ∈ (0, 3.6e9] by the attribution band; click_id is a
+    * non-negative int64 < 10^19), so the lexicographic order IS the
+    * numeric order of gap_us·10^19 + click_id in DECIMAL(38,0) — ≤ 29
+    * digits, exact, and min(decimal) hash-aggregates. Sort + SortAgg×2 →
+    * HashAgg×2 with zero sorts; unpack restores the identical longs. */
+  private[ops] def attributionLastOf(ev: DataFrame): DataFrame = {
+    val P = "CAST('10000000000000000000' AS DECIMAL(20,0))" // 10^19
     attributionOf(ev)
       .groupBy("user_id", "purchase_id", "amount")
-      .agg(min(struct(col("gap_us"), col("click_id"))).as("b"))
+      .agg(min(expr(s"CAST(gap_us AS DECIMAL(19,0)) * $P" +
+        s" + CAST(click_id AS DECIMAL(19,0))")).as("b"))
       .select(col("user_id"), col("purchase_id"),
-        col("b.click_id").as("click_id"), col("b.gap_us").as("gap_us"),
+        expr(s"CAST(b % $P AS BIGINT)").as("click_id"),
+        expr(s"CAST(b DIV $P AS BIGINT)").as("gap_us"),
         col("amount"))
+  }
 
   private[ops] def attributionOf(ev: DataFrame): DataFrame = {
     val c = ev.filter(col("event_type") === "click")

@@ -783,17 +783,32 @@ object SimilarityQueries {
     // SemDeDup picks k proportional to corpus size so cells hold ~10³
     // vectors regardless of scale (k is 16 here only because the fixture
     // oracle interpolates 16 seed centroids).
+    // r18 (guide §2.4 + §4, the lshPairsOf/q_embed_neardup lesson applied
+    // here too): the r13 cell SELF-JOIN evaluated the 16-centroid argmax
+    // assignment once per join SIDE (2× seventeen vector_dots per corpus
+    // row, visible as two full Project subtrees in the before-plan), and
+    // its cos threshold was pushed into the join condition while the
+    // projection recomputed the identical dot — 2× the per-pair work,
+    // which is the quadratic part. Group-and-expand runs the assignment
+    // exactly once, exchanges the corpus once (on cell), and the in-cell
+    // i<j lambda computes each pair's cos ONCE, filtering inside the
+    // expansion. Per-cell members are bounded by design (production
+    // SemDeDup sizes k so cells hold ~10³ vectors — the collect_list
+    // buffer is that bound, the q_embed_neardup argument verbatim).
+    // sort_array orders members by vec_id (first struct field) = the
+    // id_a < id_b rule; cos operand order (a=smaller id) is unchanged.
     "q_semdedup" -> ((s, d) => {
-      val e = ivfAssigned(s, d)
-      val a = e.select(col("cell"), col("vec_id").as("id_a"),
-        col("emb").as("ea"), col("nv").as("na"))
-      val b = e.select(col("cell"), col("vec_id").as("id_b"),
-        col("emb").as("eb"), col("nv").as("nb"))
-      a.join(b, Seq("cell"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("cell"), col("id_b"),
-          (expr("vector_dot(ea, eb)") / (col("na") * col("nb"))).as("cos"))
-        .filter(col("cos") >= 0.25)
+      ivfAssigned(s, d)
+        .groupBy("cell")
+        .agg(sort_array(collect_list(
+          struct(col("vec_id"), col("emb"), col("nv")))).as("ms"))
+        .select(col("cell"), explode(expr(
+          "flatten(transform(ms, (a, __i) ->" +
+            " filter(transform(slice(ms, __i + 2, size(ms) - __i - 1)," +
+            " b -> named_struct('id_b', b.vec_id," +
+            " 'cos', vector_dot(a.emb, b.emb) / (a.nv * b.nv)))," +
+            " p -> p.cos >= 0.25)))")).as("p"))
+        .select(col("cell"), col("p.id_b").as("id_b"), col("p.cos").as("cos"))
         // max over doubles is order-free — exact on any partitioning
         .groupBy("id_b", "cell")
         .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("max_cos"))
