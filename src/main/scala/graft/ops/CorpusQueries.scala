@@ -257,7 +257,7 @@ object CorpusQueries {
     // per-source counts explode against ONE broadcast totals row, and
     // the final per-source max piggybacks on the source-window exchange
     // (grouping by source over source-partitioned input needs no new
-    // shuffle). 14 exchanges → 6, the eager grid checkpoint gone, values
+    // shuffle). 14 exchanges → 7, the eager grid checkpoint gone, values
     // bit-identical (all-integer cums, one final double division).
     "q_dist_drift" -> ((s, d) => {
       val cell = Tables.documents(s, d)
