@@ -146,6 +146,17 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir","n_queries":${selected.length},"n_registered":${SparkEntry.queries.size},"load_start":$loadStart,"load_end":${load1m()}}"""
     println(json)
+    // The driver scrapes a bounded log TAIL (2000 bytes, observed in
+    // BENCH_r17/r18.json): the full line above is ~12 KB (two 177-entry
+    // maps; the query NAMES alone are 2.2 KB), so the tail starts mid-line
+    // and the driver's parse has read null for two rounds (VERDICT r18 #1).
+    // Emit a compact totals-only JSON as the FINAL stdout line — it fits
+    // the tail with room for the runner's epilogue, and it is an ADDITION:
+    // the full line and the file artifact above are unchanged, so
+    // round-over-round comparison of both stays valid.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"reps":$reps,"sf":"$sfDir","n_queries":${selected.length},"n_registered":${SparkEntry.queries.size},"load_start":$loadStart,"load_end":${load1m()}}"""
+    println(compact)
     // Also land the artifact as a FILE: BENCH_r06.json was scraped from a
     // truncated log tail and lost its "total" plus 12 queries ("parsed":
     // null). A file write is atomic-enough and self-contained.
