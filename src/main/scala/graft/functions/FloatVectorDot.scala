@@ -254,6 +254,19 @@ object GraftFunctions {
           Cast(args(2), ArrayType(lt)),
           Cast(args(3), lt), k)
       }),
+    (new FunctionIdentifier("arg_last_event"),
+      new ExpressionInfo(classOf[ArgLastEventAgg].getName, "arg_last_event"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "arg_last_event expects (cond, tsu, event_id, event_type, value)")
+        val lt = org.apache.spark.sql.types.LongType
+        ArgLastEventAgg(
+          Cast(args.head, org.apache.spark.sql.types.BooleanType),
+          Cast(args(1), lt), Cast(args(2), lt),
+          Cast(args(3), org.apache.spark.sql.types.StringType),
+          Cast(args(4), org.apache.spark.sql.types.DoubleType))
+          .toAggregateExpression()
+      }),
     (new FunctionIdentifier("md5_low63"),
       new ExpressionInfo(classOf[Md5Low63].getName, "md5_low63"),
       (args: Seq[Expression]) => {

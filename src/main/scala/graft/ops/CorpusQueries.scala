@@ -44,6 +44,52 @@ object CorpusQueries {
       .filter(col("doc_id") === col("keeper"))
       .drop("keeper")
 
+  /** q_dist_drift's pipeline over an arbitrary documents frame (factored
+    * r19 for the growth harness — the registered query binds it to the sf
+    * dir; body unchanged from the r18 diet). Buffer bounds, stated for
+    * the growth probe (VERDICT r18 #5): perB's per-bucket collect_list
+    * holds ≤ #sources structs (one per source present in the bucket) and
+    * totRow's list exactly #sources — both independent of corpus size;
+    * the corpus CDF window is single-partition but bounded by #buckets
+    * (max n_chars div 32), also corpus-size-free. */
+  private[graft] def distDriftOf(docs: DataFrame): DataFrame = {
+    val cell = docs
+      .select(col("source"), expr("n_chars div 32").as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("n"))
+    val perB = cell.groupBy("b").agg(sum("n").as("nb"),
+      collect_list(struct(col("source"), col("n"))).as("ps"))
+    val cumB = perB.withColumn("cum_c",
+      sum("nb").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one bounded row: every source's total + the corpus total. Derived
+    // from perB's own output (explode of the per-bucket structs), so the
+    // corpus aggregates ONCE — ReuseExchange dedups the shared cell
+    // subtree under both consumers.
+    val totRow = perB
+      .select(explode(col("ps")).as("p"))
+      .groupBy(col("p.source").as("source"))
+      .agg(sum(col("p.n")).as("n_s"))
+      .agg(collect_list(struct(col("source"), col("n_s"))).as("ss"),
+        sum("n_s").as("n_c"))
+    val full = cumB.crossJoin(broadcast(totRow))
+      .select(col("b"), col("cum_c"), col("n_c"), col("ps"),
+        explode(col("ss")).as("sv"))
+      .select(col("b"), col("cum_c"), col("n_c"),
+        col("sv.source").as("source"), col("sv.n_s").as("n_s"),
+        coalesce(expr("get(filter(ps, p -> p.source = sv.source), 0).n"),
+          lit(0L)).as("n"))
+    full
+      .withColumn("cum_s",
+        sum("n").over(Window.partitionBy("source").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("source"), col("n_s"), col("n_c"))
+      .agg(max(abs(col("cum_s") * col("n_c") - col("cum_c") * col("n_s")))
+        .as("d_num"))
+      .select(col("source"), col("n_s"),
+        (col("d_num").cast("double") /
+          (col("n_s") * col("n_c")).cast("double")).as("ks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic train/val/test split (r13) — the assignment every
     // training pipeline needs to be REPRODUCIBLE and FILTER-FREE at 100 TB:
@@ -259,43 +305,7 @@ object CorpusQueries {
     // (grouping by source over source-partitioned input needs no new
     // shuffle). 14 exchanges → 7, the eager grid checkpoint gone, values
     // bit-identical (all-integer cums, one final double division).
-    "q_dist_drift" -> ((s, d) => {
-      val cell = Tables.documents(s, d)
-        .select(col("source"), expr("n_chars div 32").as("b"))
-        .groupBy("source", "b").agg(count(lit(1)).as("n"))
-      val perB = cell.groupBy("b").agg(sum("n").as("nb"),
-        collect_list(struct(col("source"), col("n"))).as("ps"))
-      val cumB = perB.withColumn("cum_c",
-        sum("nb").over(Window.orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // one bounded row: every source's total + the corpus total. Derived
-      // from perB's own output (explode of the per-bucket structs), so the
-      // corpus aggregates ONCE — ReuseExchange dedups the shared cell
-      // subtree under both consumers.
-      val totRow = perB
-        .select(explode(col("ps")).as("p"))
-        .groupBy(col("p.source").as("source"))
-        .agg(sum(col("p.n")).as("n_s"))
-        .agg(collect_list(struct(col("source"), col("n_s"))).as("ss"),
-          sum("n_s").as("n_c"))
-      val full = cumB.crossJoin(broadcast(totRow))
-        .select(col("b"), col("cum_c"), col("n_c"), col("ps"),
-          explode(col("ss")).as("sv"))
-        .select(col("b"), col("cum_c"), col("n_c"),
-          col("sv.source").as("source"), col("sv.n_s").as("n_s"),
-          coalesce(expr("get(filter(ps, p -> p.source = sv.source), 0).n"),
-            lit(0L)).as("n"))
-      full
-        .withColumn("cum_s",
-          sum("n").over(Window.partitionBy("source").orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("source"), col("n_s"), col("n_c"))
-        .agg(max(abs(col("cum_s") * col("n_c") - col("cum_c") * col("n_s")))
-          .as("d_num"))
-        .select(col("source"), col("n_s"),
-          (col("d_num").cast("double") /
-            (col("n_s") * col("n_c")).cast("double")).as("ks"))
-    }),
+    "q_dist_drift" -> ((s, d) => distDriftOf(Tables.documents(s, d))),
 
     "q_winsorize" -> ((s, d) => {
       val docs = Tables.documents(s, d)

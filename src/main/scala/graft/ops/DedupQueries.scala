@@ -414,17 +414,26 @@ object DedupQueries {
       round += 1
       val viaEdge = sym.join(labels, sym("doc_b") === labels("doc_id"))
         .select(sym("doc_a").as("doc_id"), col("cluster"))
-      // path halving (pointer doubling): also adopt my label's OWN label,
-      // so a length-d chain collapses in O(log d) rounds instead of d —
-      // the fixture's chain-shaped components took 7 edge-only rounds.
-      // Provably a no-op in round 1 (labels start as the identity), so the
-      // self-join only joins from round 2.
+      // pointer jumping (r19, was path halving): adopt my label's label's
+      // LABEL, so a length-d chain collapses in O(log₃ d) rounds instead
+      // of O(log₂ d) — the loop is serial-JOB-count-bound at every scale
+      // (each round is one checkpoint job), so one more bounded join per
+      // round for fewer rounds is the right trade (VERDICT r18 #2; the
+      // r18 single-halving loop took 6 rounds at sf0.1, this takes 5 —
+      // and the deeper chase pays off more the longer the chains).
+      // label(y) ≤ y always (labels start as the identity and a round's
+      // min() includes the old label), so label³(x) ≤ label²(x) and the
+      // two-join chase term SUBSUMES the old one-join halving term —
+      // union of both would be pure aggregate input growth. Still
+      // provably a no-op in round 1 (labels = identity), so the chase
+      // only joins from round 2.
       val prop =
         if (round == 1) labels.union(viaEdge)
         else labels.union(viaEdge).union(
           labels.as("l1")
             .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
-            .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("cluster")))
+            .join(labels.as("l3"), col("l2.cluster") === col("l3.doc_id"))
+            .select(col("l1.doc_id").as("doc_id"), col("l3.cluster").as("cluster")))
       // convergence detection rides INSIDE the checkpoint job: Observation
       // metrics are collected by the SAME action that materializes the
       // round, so each iteration is ONE job — the earlier isEmpty-scan
@@ -570,7 +579,15 @@ object DedupQueries {
           (lit((1.0 - damping) / n.toDouble) +
             lit(damping) * col("s")).as("pr"))
     }
-    ranks
+    // r19 (ADVICE r18): sym and deg blocks were never freed — every
+    // invocation left two checkpoint block sets alive for the session's
+    // lifetime (the CC-loop accumulation pattern). Materialize the final
+    // ranks (one bounded block set, one row per node) and free both
+    // inputs before returning; the caller's frame reads ranks blocks only.
+    val out = ranks.localCheckpoint(true)
+    ScaleOps.freeBlocks(sym)
+    ScaleOps.freeBlocks(deg)
+    out
   }
 
   /** SQL for the sorted in-bucket pair expansion: for each i<j element pair
@@ -993,12 +1010,24 @@ object DedupQueries {
       else sigset0.localCheckpoint(true)
     val truth = simjoinPrefixFromSets(sigset.select(col("doc_id"),
         col("ss")))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).as("side"))
     val cand = lshPairsFromSig(sigset
         .select("doc_id", "mh0", "mh1", "mh2", "mh3"))
-      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
-    truth.join(cand, Seq("doc_a", "doc_b"), "left_outer")
-      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("side"))
+    // r19 (guide §2.4): the truth ⋈ cand left_outer exchanged BOTH pair
+    // streams on the pair key and sort-merge-joined them (two exchange
+    // stages + two sorts) only to count matches. The tagged UNION needs
+    // ONE pair-keyed exchange (both subtrees computed in the same stage)
+    // and a hash aggregate — no sorts at any scale, and each side's pairs
+    // are unique by construction (the exact join emits each pair once;
+    // first-agreeing-band emission likewise), so "matched" = "both tags
+    // present in the pair's group", exactly what count(hit) counted.
+    truth.union(cand)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("side") === 0).as("is_true"),
+        max(col("side") === 1).as("is_cand"))
+      .agg(count(when(col("is_true"), 1)).as("n_true"),
+        count(when(col("is_true") && col("is_cand"), 1)).as("n_caught"))
       .select(col("n_true"), col("n_caught"),
         when(col("n_true") === 0, lit(null).cast("double"))
           .otherwise(col("n_caught").cast("double") /

@@ -114,29 +114,39 @@ object EventQueries {
     * the snapshot never had is a no-op and emits nothing.
     *
     * Plan: ONE exchange on user_id — both sides' latest-row picks are
-    * max(struct(tsu, event_id, …)) conditionals inside the SAME aggregate
-    * (struct order is total: event_id is unique), so there is no
+    * conditional arg_last_event argmaxes inside the SAME aggregate
+    * ((tsu, event_id) order is total: event_id is unique), so there is no
     * snapshot⋈changelog join at all; the split threshold is an in-plan
     * scalar subquery (`Dataset.scalar()`), so the same query runs at
     * every SF. At 100 TB the changelog side is a day's delta — the
     * aggregate's map-side combine collapses it before the shuffle, and
     * the snapshot side ships each key once. */
   private[ops] def cdcMergeOf(ev: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(ev.sparkSession)
     // explicit FLOOR, not a bare long cast: Spark's double→long cast
     // truncates while DuckDB's CAST rounds, so max·0.8 with fractional
     // part ≥ .5 (max ≡ 1,2 mod 5) would split the boundary event onto
     // different sides per engine — FLOOR in both spellings pins it
     val k = ev.agg(floor(max("event_id") * lit(0.8)).cast("long").as("k"))
       .scalar()
-    val side = struct(col("tsu"), col("event_id"), col("event_type"),
-      col("value"))
+    // r19 (VERDICT r18 #3): max(when(cond, struct(tsu, event_id,
+    // event_type, value))) planned as SortAggregate — struct buffers are
+    // not hash-aggregable, and the string payload blocks the decimal
+    // packing that fixed q_attribution_last. arg_last_event
+    // ([[graft.functions.ArgLastEventAgg]]) keeps the identical
+    // (tsu, event_id)-max row per side in an ObjectHashAggregate: no sort
+    // of the event stream, map-side combine to one 40-byte buffer per
+    // (user, side). Equivalence: event_id is unique, so the old struct
+    // comparison never reached fields 3–4 — pinned in R19OptSpec.
     ev.select(col("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
         col("event_id"), col("event_type"), col("value"),
         (col("event_id") >= k).as("is_delta"))
       .groupBy("user_id")
-      .agg(max(when(!col("is_delta"), side)).as("bw"),
-        max(when(col("is_delta"), side)).as("dw"))
+      .agg(expr("arg_last_event(NOT is_delta, tsu, event_id, event_type," +
+          " value)").as("bw"),
+        expr("arg_last_event(is_delta, tsu, event_id, event_type, value)")
+          .as("dw"))
       .withColumn("action",
         when(col("dw").isNull, "unchanged")
           .when(col("dw.event_type") === "error" && col("bw").isNotNull,
@@ -459,10 +469,18 @@ object EventQueries {
     * HashAgg×2 with zero sorts; unpack restores the identical longs. */
   private[ops] def attributionLastOf(ev: DataFrame): DataFrame = {
     val P = "CAST('10000000000000000000' AS DECIMAL(20,0))" // 10^19
+    // click_id ≥ 0 guard (ADVICE r18): the packing is order-preserving
+    // only while click_id is non-negative (gap_us > 0 holds by the join
+    // band). event_ids are non-negative in every fixture generation, but
+    // that was asserted only in prose — a signed-id domain change must
+    // fail loudly, not silently reorder the argmin. The branch is two
+    // long compares per row, dead in the common path.
     attributionOf(ev)
       .groupBy("user_id", "purchase_id", "amount")
-      .agg(min(expr(s"CAST(gap_us AS DECIMAL(19,0)) * $P" +
-        s" + CAST(click_id AS DECIMAL(19,0))")).as("b"))
+      .agg(min(expr(s"IF(click_id >= 0, CAST(gap_us AS DECIMAL(19,0)) * $P" +
+        s" + CAST(click_id AS DECIMAL(19,0))," +
+        s" CAST(raise_error('attributionLastOf: negative click_id breaks" +
+        s" the decimal argmin pack') AS DECIMAL(38,0)))")).as("b"))
       .select(col("user_id"), col("purchase_id"),
         expr(s"CAST(b % $P AS BIGINT)").as("click_id"),
         expr(s"CAST(b DIV $P AS BIGINT)").as("gap_us"),

@@ -239,6 +239,33 @@ object SimilarityQueries {
   private[graft] def frozenCentroids(s: SparkSession, fitDir: String): Array[(Long, Array[Float])] =
     headVecs(s, fitDir, 16)
 
+  /** q_semdedup's group-and-expand body over an arbitrary assigned frame
+    * (vec_id, emb, nv, cell) — factored r19 for the growth harness (the
+    * registered query binds it to [[ivfAssigned]]; body unchanged from
+    * the r18 diet). Buffer bound, stated for the growth probe (VERDICT
+    * r18 #5): the per-cell collect_list holds one (vec_id, emb, nv)
+    * struct per cell member, and production SemDeDup sizes k ∝ corpus so
+    * cell occupancy stays ~10³ regardless of scale — the probe holds
+    * occupancy constant by scaling the centroid count with the corpus and
+    * measures the wall clock stays linear. */
+  private[graft] def semdedupFromAssigned(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("cell")
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("emb"), col("nv")))).as("ms"))
+      .select(col("cell"), explode(expr(
+        "flatten(transform(ms, (a, __i) ->" +
+          " filter(transform(slice(ms, __i + 2, size(ms) - __i - 1)," +
+          " b -> named_struct('id_b', b.vec_id," +
+          " 'cos', vector_dot(a.emb, b.emb) / (a.nv * b.nv)))," +
+          " p -> p.cos >= 0.25)))")).as("p"))
+      .select(col("cell"), col("p.id_b").as("id_b"), col("p.cos").as("cos"))
+      // max over doubles is order-free — exact on any partitioning
+      .groupBy("id_b", "cell")
+      .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("max_cos"))
+      .select(col("id_b").as("drop_id"), col("cell"),
+        col("n_dups"), col("max_cos"))
+
   private[ops] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cents = headVecs(s, d, 16).map { case (id, ce) =>
@@ -797,24 +824,7 @@ object SimilarityQueries {
     // buffer is that bound, the q_embed_neardup argument verbatim).
     // sort_array orders members by vec_id (first struct field) = the
     // id_a < id_b rule; cos operand order (a=smaller id) is unchanged.
-    "q_semdedup" -> ((s, d) => {
-      ivfAssigned(s, d)
-        .groupBy("cell")
-        .agg(sort_array(collect_list(
-          struct(col("vec_id"), col("emb"), col("nv")))).as("ms"))
-        .select(col("cell"), explode(expr(
-          "flatten(transform(ms, (a, __i) ->" +
-            " filter(transform(slice(ms, __i + 2, size(ms) - __i - 1)," +
-            " b -> named_struct('id_b', b.vec_id," +
-            " 'cos', vector_dot(a.emb, b.emb) / (a.nv * b.nv)))," +
-            " p -> p.cos >= 0.25)))")).as("p"))
-        .select(col("cell"), col("p.id_b").as("id_b"), col("p.cos").as("cos"))
-        // max over doubles is order-free — exact on any partitioning
-        .groupBy("id_b", "cell")
-        .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("max_cos"))
-        .select(col("id_b").as("drop_id"), col("cell"),
-          col("n_dups"), col("max_cos"))
-    }),
+    "q_semdedup" -> ((s, d) => semdedupFromAssigned(ivfAssigned(s, d))),
 
     // kNN weak labeling: classify the query vectors by majority label of
     // their exact top-10 cosine neighbors — the annotation bootstrap a
@@ -965,6 +975,13 @@ object SimilarityQueries {
         .select(col("source"), col("pos"),
           round(col("x").cast("double") * 1024).cast("long").as("q"))
         .groupBy("source", "pos").agg(sum("q").as("sv"))
+        // r19 (guide §2.4): the a/b sides of the pairwise self-join each
+        // owned a full copy of the corpus subtree (join + explode + agg),
+        // deduped only by runtime ReusedExchange. One bounded checkpoint
+        // (#sources × dim rows) makes the single corpus pass STRUCTURAL —
+        // one scan in the plan, robust to planner changes that would
+        // break canonical-subtree equality.
+        .localCheckpoint(true)
       val a = sums.select(col("source").as("src_a"), col("pos"),
         col("sv").as("va"))
       val b = sums.select(col("source").as("src_b"), col("pos"),
